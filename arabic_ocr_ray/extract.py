@@ -1,0 +1,85 @@
+"""Single-document extraction: the fused per-row chain.
+
+tokenize (M1-M3) → segment (M4-M13, C1-C3) → template mask (C2) →
+features (F1-F8) → bucket-NN labels (F10) → span assembly
+(segment_words.py:162-206 analog).
+
+Assembly contract (the engine's canonical separator, FIXTURES.md §1):
+within a line, kept (content) sub-span texts join with a single space
+— the reference's ``' ' + word`` accumulator (segment_words.py:188) —
+and non-empty lines join with ``\\n`` (engine divergence: the reference
+flattens the whole page into one space-joined string; we keep line
+structure, documented).  Arabic pages substitute the composite
+sentinel back on the way out (``replace_composities``,
+integrator.py:39-43).
+
+This is a pure function of one row — called from inside the
+classifier actor pool's ``__call__`` over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from .features import feature_vector
+from .html.tokenizer import COMPOSITE, COMPOSITE_SENTINEL, tokenize
+from .model import CONTENT_LABEL, PrototypeModel
+from .segmentation import segment_document
+from .templates import Templates
+
+
+def extract_document(
+    html: bytes,
+    lang: str,
+    model: PrototypeModel,
+    templates: Templates,
+) -> dict:
+    """Extract main content from one page; returns per-doc stats too."""
+    ts = tokenize(html, lang)
+    seg = segment_document(ts)
+
+    n_content = 0
+    line_texts: dict[int, list[str]] = {}
+    for sub in seg.subspans:
+        tlabel = templates.match(sub.text)
+        if tlabel:
+            sub.is_template = True
+            label = tlabel
+        else:
+            fv = feature_vector(ts, sub.start, sub.end,
+                                seg.line_baselines[sub.line_idx])
+            label = model.predict_one(fv) if fv else ""
+        if label == CONTENT_LABEL:
+            n_content += 1
+            line_texts.setdefault(sub.line_idx, []).append(sub.text)
+
+    parts = []
+    for li in range(len(seg.line_ranges)):
+        if li in line_texts:
+            parts.append(" ".join(line_texts[li]))
+    text = "\n".join(parts)
+    if lang == "ar":
+        text = text.replace(COMPOSITE_SENTINEL, COMPOSITE)
+
+    return {
+        "extracted_text": text,
+        "n_tokens": len(ts),
+        "n_lines": len(seg.line_ranges),
+        "n_spans": len(seg.subspans),
+        "n_content_spans": n_content,
+    }
+
+
+def segment_stats(html: bytes, lang: str) -> dict:
+    """Segmentation-only stats for one page (the ``process.py`` stats
+    job analog, with the A5 max-tracking bug FIXED — process.py:185
+    returns the loop's last value instead of the tracked maxima;
+    SURVEY.md §2.6 A5: do not reproduce)."""
+    ts = tokenize(html, lang)
+    seg = segment_document(ts)
+    span_lens = [len(s.text) for s in seg.subspans]
+    return {
+        "n_tokens": len(ts),
+        "n_lines": len(seg.line_ranges),
+        "n_spans": len(seg.subspans),
+        "max_span_chars": max(span_lens) if span_lens else 0,
+        "baseline_depth": seg.baseline,
+    }

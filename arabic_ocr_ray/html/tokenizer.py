@@ -1,0 +1,243 @@
+"""HTML byte-stream → token stream (the "binarize + invert" analog).
+
+Reference mapping (SURVEY.md §2.2):
+  - M2 ``convert_to_binary_and_invert`` (utils.py:35-39): decode bytes,
+    strip script/style/comments, classify every token as markup
+    (background, weight 0) or text (foreground, weight = char count).
+  - M3 ``deskew`` (preprocess.py:33-51): estimate the document-level
+    wrapper nesting offset (min text depth) and subtract it, so the
+    rest of the pipeline sees depth-normalized tokens regardless of how
+    many ``<html><body><div class=wrap>`` layers enclose the content.
+  - X2 composite substitution (integrator.py:26-43): Arabic-language
+    pages normalize the composite glyph ``لا`` to the single sentinel
+    ``L`` on the way in; span assembly substitutes it back
+    (functions/text.py), round-tripping exactly like the reference's
+    golden-text loader + ``replace_composities``.
+
+Everything here is pure per-document Python over compiled regexes —
+stateless, deterministic, no floats.  It is invoked from inside
+``map_batches`` stages only.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+# --- token kinds -----------------------------------------------------------
+MARKUP = 0
+TEXT = 1
+
+# Tags that terminate an inline run: each such token is its own
+# zero-weight "row" in the density profile, the analog of the blank
+# pixel rows separating lines (segment_words.py:51-72).
+BLOCK_TAGS = frozenset(
+    """address article aside blockquote body caption dd details dialog div dl dt
+    fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 head header hgroup
+    hr html li main menu nav ol option p pre section select summary table tbody
+    td tfoot th thead title tr ul""".split()
+)
+
+# Void elements never push onto the tag stack.
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.S)
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?(?:</\1\s*>|$)", re.S | re.I
+)
+# <head> subtree never renders; unclosed heads recover at <body>.
+_HEAD_RE = re.compile(r"<head\b[^>]*>.*?(?:</head\s*>|(?=<body\b)|$)", re.S | re.I)
+# A stray '<' that opens no tag is literal text (browser recovery).
+_STRAY_LT_RE = re.compile(r"<(?![a-zA-Z/!?])")
+# A '<' only opens a tag when followed by a letter, '/', '!' or '?'
+# (browser-style error recovery; a stray '< ' stays text).
+_TAG_OR_TEXT_RE = re.compile(r"<([a-zA-Z/!?][^>]*)>|([^<]+)")
+_WS_RE = re.compile(r"\s+")
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
+
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "ascii": "ascii", "us-ascii": "ascii",
+}
+
+COMPOSITE = "لا"  # لا
+COMPOSITE_SENTINEL = "L"
+
+
+@dataclass
+class TokenStream:
+    """Columnar per-document token stream (arrays, not row objects)."""
+
+    kinds: np.ndarray      # int8: MARKUP / TEXT
+    weights: np.ndarray    # int32: text char count (0 for markup)
+    depths: np.ndarray     # int32: wrapper-normalized tag-stack depth
+    texts: list            # str per token ('' for markup)
+    tags: list             # tag name per markup token ('' for text)
+    is_block: np.ndarray   # bool: markup token of a block-level tag
+    is_open: np.ndarray    # bool: opening markup token (pushed stack)
+    is_close: np.ndarray   # bool: closing markup token (popped stack)
+    is_link: np.ndarray    # bool: opening <a> token
+    in_link: np.ndarray    # bool: token lies inside an <a> element
+    match: np.ndarray      # int32: open<->close partner index, -1 if none
+
+    def __len__(self) -> int:
+        return len(self.kinds)
+
+
+def decode_html(raw: bytes) -> str:
+    """Charset-sniffing byte decode (deterministic).
+
+    Order: BOM → ``charset=`` declaration in the first 2048 bytes →
+    strict UTF-8 → Latin-1 fallback (never fails).  The analog of the
+    reference's fixed grayscale read (segment_words.py:215): get a
+    canonical "pixel" representation no matter the container encoding.
+    """
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw.decode("utf-8-sig", errors="replace")
+    if raw.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return raw.decode("utf-16", errors="replace")
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        codec = _CHARSET_ALIASES.get(m.group(1).decode("ascii").lower())
+        if codec:
+            try:
+                return raw.decode(codec)
+            except (UnicodeDecodeError, LookupError):
+                pass
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def strip_invisible(doc: str) -> str:
+    """Remove comments and script/style subtrees (must never leak into
+    extracted text — FIXTURES.md hazard; binarization analog M2)."""
+    doc = _COMMENT_RE.sub(" ", doc)
+    doc = _SCRIPT_STYLE_RE.sub(" ", doc)
+    doc = _HEAD_RE.sub(" ", doc)
+    doc = _STRAY_LT_RE.sub("&lt;", doc)
+    return doc
+
+
+def tokenize(raw: bytes, lang: str = "") -> TokenStream:
+    """bytes → :class:`TokenStream`.
+
+    One linear regex scan; maintains a tag stack for depth/tag-path and
+    records open↔close partner indices (used by the hole/concavity
+    features, F1/F4 analogs).  Ends with the deskew analog: depths are
+    shifted so the minimum depth over text tokens is 0.
+    """
+    doc = strip_invisible(decode_html(raw))
+
+    kinds: list[int] = []
+    weights: list[int] = []
+    depths: list[int] = []
+    texts: list[str] = []
+    tags: list[str] = []
+    is_block: list[bool] = []
+    is_open: list[bool] = []
+    is_close: list[bool] = []
+    is_link: list[bool] = []
+    in_link: list[bool] = []
+    match: list[int] = []
+
+    stack: list[tuple[str, int]] = []  # (tag, token index of the open)
+    normalize_ar = lang == "ar"
+
+    def _linked() -> bool:
+        return any(t == "a" for t, _ in stack)
+
+    for m in _TAG_OR_TEXT_RE.finditer(doc):
+        tag_body, text = m.group(1), m.group(2)
+        if tag_body is not None:
+            body = tag_body.strip()
+            if body.startswith(("!", "?")):
+                continue  # doctype / processing instruction: no token
+            closing = body.startswith("/")
+            name = body.lstrip("/").split()[0].split(">")[0].lower() if body.lstrip("/") else ""
+            name = name.rstrip("/")
+            if not name:
+                continue
+            self_closing = body.endswith("/")
+            idx = len(kinds)
+            # Depth convention: an element's open and close tokens carry
+            # its *inside* depth (same depth as its text content), so a
+            # nested element is one contiguous deeper excursion —
+            # the "glyph body" the fine-cut stage looks for (C1).
+            if closing:
+                # Error recovery: pop through a matching open if one is
+                # on the stack, else ignore the stray close.
+                found = -1
+                for si in range(len(stack) - 1, -1, -1):
+                    if stack[si][0] == name:
+                        found = si
+                        break
+                if found < 0:
+                    continue
+                while len(stack) > found:
+                    _, open_idx = stack.pop()
+                    if len(stack) == found:  # the matching open
+                        match[open_idx] = idx
+                        partner = open_idx
+                kinds.append(MARKUP); weights.append(0)
+                depths.append(found + 1)
+                texts.append(""); tags.append(name)
+                is_block.append(name in BLOCK_TAGS)
+                is_open.append(False); is_close.append(True)
+                is_link.append(False); in_link.append(name == "a" or _linked())
+                match.append(partner)
+            else:
+                opens = name not in VOID_TAGS and not self_closing
+                kinds.append(MARKUP); weights.append(0)
+                depths.append(len(stack) + 1 if opens else len(stack))
+                texts.append(""); tags.append(name)
+                is_block.append(name in BLOCK_TAGS)
+                is_open.append(opens); is_close.append(False)
+                is_link.append(name == "a" and opens)
+                in_link.append((name == "a" and opens) or _linked())
+                match.append(-1)
+                if opens:
+                    stack.append((name, idx))
+        else:
+            t = _WS_RE.sub(" ", _htmlmod.unescape(text)).strip()
+            if not t:
+                continue  # whitespace-only: background, no token
+            if normalize_ar:
+                t = t.replace(COMPOSITE, COMPOSITE_SENTINEL)
+            kinds.append(TEXT); weights.append(len(t))
+            depths.append(len(stack))
+            texts.append(t); tags.append("")
+            is_block.append(False); is_open.append(False)
+            is_close.append(False); is_link.append(False)
+            in_link.append(_linked())
+            match.append(-1)
+
+    d = np.asarray(depths, dtype=np.int32)
+    k = np.asarray(kinds, dtype=np.int8)
+    # Deskew analog (M3, preprocess.py:33-51): subtract the global
+    # wrapper offset = min depth over *text* tokens.
+    if (k == TEXT).any():
+        d = d - int(d[k == TEXT].min())
+        np.maximum(d, 0, out=d)
+
+    return TokenStream(
+        kinds=k,
+        weights=np.asarray(weights, dtype=np.int32),
+        depths=d,
+        texts=texts,
+        tags=tags,
+        is_block=np.asarray(is_block, dtype=bool),
+        is_open=np.asarray(is_open, dtype=bool),
+        is_close=np.asarray(is_close, dtype=bool),
+        is_link=np.asarray(is_link, dtype=bool),
+        in_link=np.asarray(in_link, dtype=bool),
+        match=np.asarray(match, dtype=np.int32),
+    )

@@ -1,0 +1,173 @@
+"""Pure, deterministic numeric kernels shared by all stages.
+
+Each kernel mirrors a reference idiom (file:line cites point into
+/root/reference).  All integer math — no floats on any path that decides
+output text, so results are bit-stable across NumPy versions
+(SURVEY.md §7.3 determinism note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: Sentinel threshold meaning "never split" (guard for the reference's
+#: unguarded ``min([])`` crash path in utils.py:42-60 when a line has
+#: fewer than three gaps — an engine fix, documented divergence).
+NO_SPLIT = 2**31 - 1
+
+
+def zero_runs(profile: np.ndarray) -> list[tuple[int, int, bool]]:
+    """Scan ``profile`` for runs of zeros.
+
+    Returns ``[(start, width, closed), ...]`` where *closed* means a
+    nonzero value follows the run (the reference's scanner only emits a
+    cut when it sees the run end: segment_words.py:24-41, the most
+    reused idiom in the codebase — SURVEY.md §2.9 X5).
+    """
+    runs: list[tuple[int, int, bool]] = []
+    n = len(profile)
+    i = 0
+    while i < n:
+        if profile[i] == 0:
+            j = i
+            while j < n and profile[j] == 0:
+                j += 1
+            runs.append((i, j - i, j < n))
+            i = j
+        else:
+            i += 1
+    return runs
+
+
+def zero_run_cuts(profile: np.ndarray) -> tuple[list[int], list[int]]:
+    """Integer midpoints + widths of *closed* zero runs.
+
+    Parity with the reference scanner (segment_words.py:24-41 /
+    segment_words.py:125-145): the cut coordinate is the mean index of
+    the zero run (``y/count`` there, a float); we use the exact integer
+    floor of that mean, ``start + (width-1)//2``, to stay float-free
+    (SURVEY.md §7.3).  The trailing unclosed run is never emitted, same
+    as the reference.
+    """
+    cuts: list[int] = []
+    widths: list[int] = []
+    for start, width, closed in zero_runs(profile):
+        if closed:
+            cuts.append(start + (width - 1) // 2)
+            widths.append(width)
+    return cuts, widths
+
+
+def adaptive_gap_threshold(widths: list[int]) -> int:
+    """Adaptive word/span gap threshold — exact port of the reference
+    rule (utils.py:42-60, spec README.md:88-95):
+
+    1. drop the first and last gap (``distances[1:-1]``)
+    2. stable-sort distinct widths by frequency, descending
+    3. keep the top 3
+    4. return ``min(top3) + max(top3) // 4``
+
+    Divergence (documented): the reference crashes on < 1 interior gap
+    (``min([])``); we return :data:`NO_SPLIT` so such a line becomes a
+    single span.
+    """
+    interior = list(widths[1:-1])
+    if not interior:
+        return NO_SPLIT
+    # Stable frequency sort using list.count, exactly like the O(n^2)
+    # reference expression ``sorted(d, key=d.count, reverse=True)`` —
+    # input is a handful of gaps per line, cost is irrelevant.
+    by_freq = sorted(interior, key=interior.count, reverse=True)
+    top: list[int] = []
+    for w in by_freq:  # unique_everseen analog (utils.py:46)
+        if w not in top:
+            top.append(w)
+        if len(top) == 3:
+            break
+    return min(top) + max(top) // 4
+
+
+def most_frequent(arr: np.ndarray) -> int:
+    """Mode with zero-exclusion fallback — exact port of utils.py:9-19.
+
+    ``np.unique`` sorts values, ``argmax`` takes the first maximal
+    count, so ties resolve to the smallest value, same as the
+    reference.  If the mode is 0 and nonzero values exist, recompute on
+    the nonzero subset; all-zero input returns 0 (the reference would
+    crash on the empty recompute — guarded here, divergence documented).
+    """
+    arr = np.asarray(arr)
+    if arr.size == 0:
+        return 0
+    values, counts = np.unique(arr, return_counts=True)
+    mode = int(values[int(np.argmax(counts))])
+    if mode == 0:
+        nz = arr[arr != 0]
+        if nz.size == 0:
+            return 0
+        values, counts = np.unique(nz, return_counts=True)
+        mode = int(values[int(np.argmax(counts))])
+    return mode
+
+
+def dominant_weighted(keys: np.ndarray, weights: np.ndarray) -> int:
+    """Key with the maximum total weight; ties → smallest key.
+
+    Baseline analog: the reference's baseline is the argmax of the
+    horizontal projection (preprocess.py:8-11); ours is the tag-depth
+    carrying the most text mass (SURVEY.md §2.2 M6).
+    """
+    keys = np.asarray(keys)
+    weights = np.asarray(weights, dtype=np.int64)
+    if keys.size == 0:
+        return 0
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, weights)
+    return int(uniq[int(np.argmax(sums))])  # argmax → first max → smallest key
+
+
+def trim_to_content(weights: np.ndarray, lo: int, hi: int) -> tuple[int, int]:
+    """Shrink [lo, hi) to the first/last index with weight > 0.
+
+    Bounding-box trim analog (train_recognition.py:176-196, M12):
+    strips leading/trailing weightless (markup/whitespace) tokens from a
+    segment.  Returns (lo, lo) if the range has no content.
+    """
+    seg = np.asarray(weights[lo:hi])
+    nz = np.flatnonzero(seg)
+    if nz.size == 0:
+        return lo, lo
+    return lo + int(nz[0]), lo + int(nz[-1]) + 1
+
+
+def max_window_sum(values: np.ndarray, window: int) -> int:
+    """Max sum over any length-``window`` sliding window (cumsum trick).
+
+    Used for the transition-maxima features hmax/vmax
+    (train_recognition.py:58-73 analog, F2): the reference takes the
+    max per-column/row transition count; we take the max windowed
+    markup↔text transition (resp. depth-variation) mass.
+    """
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return 0
+    if v.size <= window:
+        return int(v.sum())
+    c = np.concatenate([[0], np.cumsum(v)])
+    return int((c[window:] - c[:-window]).max())
+
+
+def runs_of_mask(mask: np.ndarray) -> list[tuple[int, int]]:
+    """Maximal True runs of a boolean mask → [(start, end), ...)."""
+    m = np.asarray(mask, dtype=bool)
+    if m.size == 0:
+        return []
+    diff = np.diff(m.astype(np.int8))
+    starts = list(np.flatnonzero(diff == 1) + 1)
+    ends = list(np.flatnonzero(diff == -1) + 1)
+    if m[0]:
+        starts.insert(0, 0)
+    if m[-1]:
+        ends.append(m.size)
+    return list(zip(starts, ends))

@@ -1,0 +1,131 @@
+"""The flagship pipeline: pages Parquet → extracted text Parquet.
+
+SURVEY.md §7.1 shape:
+
+    pages = ray.data.read_parquet(in_dir, columns=["url","html","lang"])
+    extracted = pages.map_batches(ExtractText, concurrency=N,
+                                  batch_size=B, batch_format="pyarrow")
+    extracted.write_parquet(out_dir, partition_cols=["part"])
+
+- column pruning at the read: the golden ``text`` column never leaves
+  storage on the hot path;
+- the only stateful stage is the actor pool (model in ``__init__``);
+- nothing shuffles; streaming end to end with backpressure;
+- giant-html skew is tamed by a small ``batch_size`` (a batch of B rows
+  bounds worker heap ≈ B × max_html) and the url-hash ``part`` column
+  keeps the output layout uniform regardless of input order.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..model import DEFAULT_MODEL_PATH
+from ..stages.extract_stage import ExtractText
+from ..state.lineage import completed_urls, write_lineage
+
+DEFAULT_BATCH_SIZE = 64
+
+
+def _default_concurrency() -> int:
+    import ray
+
+    if ray.is_initialized():
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    return 4
+
+
+def extract_pages(
+    input_path: str,
+    model_path: str = DEFAULT_MODEL_PATH,
+    model_ref=None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | None = None,
+    num_partitions: int = 64,
+    done_urls_ref=None,
+):
+    """Lazy Dataset of (url, extracted_text, html_bytes, n_*, part)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_path, columns=["url", "html", "lang"])
+    if done_urls_ref is not None:
+        import ray
+
+        def drop_done(batch: pa.Table, ref=done_urls_ref) -> pa.Table:
+            done = ray.get(ref)
+            keep = [u not in done for u in batch.column("url").to_pylist()]
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    return ds.map_batches(
+        ExtractText,
+        fn_constructor_kwargs={
+            "model_path": model_path,
+            "model_ref": model_ref,
+            "num_partitions": num_partitions,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(),
+        num_cpus=1,
+    )
+
+
+def run_extract(
+    input_path: str,
+    out_dir: str,
+    model_path: str = DEFAULT_MODEL_PATH,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | None = None,
+    num_partitions: int = 64,
+    resume: bool = True,
+) -> dict:
+    """Materializing runner with resume + lineage (north_rule).
+
+    Returns run metrics (docs, bytes, wall_s, docs_per_s, skipped)."""
+    import ray
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    done_ref = None
+    skipped = 0
+    if resume:
+        done = completed_urls(out_dir)
+        if done:
+            skipped = len(done)
+            done_ref = ray.put(done)
+
+    ds = extract_pages(
+        input_path,
+        model_path=model_path,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_partitions=num_partitions,
+        done_urls_ref=done_ref,
+    )
+    ds.write_parquet(out_dir, partition_cols=["part"])
+
+    # lineage over the (small) written output — second pass reads only
+    # the stat columns, never html
+    out_ds = rd.read_parquet(
+        out_dir, columns=["url", "part", "html_bytes", "n_content_spans"]
+    )
+    write_lineage(out_ds, out_dir)
+
+    stats = rd.read_parquet(
+        os.path.join(out_dir, "_lineage")
+    ).to_pandas()
+    wall = time.monotonic() - t0
+    docs = int(stats["docs"].sum())
+    nbytes = int(stats["html_bytes"].sum())
+    return {
+        "docs": docs,
+        "html_bytes": nbytes,
+        "skipped_resume": skipped,
+        "wall_s": wall,
+        "docs_per_s": docs / wall if wall > 0 else 0.0,
+        "bytes_per_s": nbytes / wall if wall > 0 else 0.0,
+        "partitions": int(stats.shape[0]),
+    }

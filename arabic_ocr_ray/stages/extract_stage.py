@@ -1,0 +1,128 @@
+"""Ray Data stages for the extraction pipeline.
+
+Design (SURVEY.md §7.1): the per-document chain tokenize → segment →
+classify → assemble is a pure function of one row, so the hot path is
+ONE FUSED actor-pool stage (:class:`ExtractText`) — no token streams
+ever cross a stage boundary, nothing shuffles.  The class is passed to
+``ds.map_batches(ExtractText, fn_constructor_kwargs=..., concurrency=N,
+batch_size=B, batch_format="pyarrow")``:
+
+  - ``__init__`` runs ONCE per actor: load the prototype model (S4,
+    ``load_features_map`` at segment_words.py:258 — once, reused for
+    every document) and compile the boilerplate templates (S8 — fixing
+    the reference's per-call template re-read, preprocess.py:247-248).
+  - ``__call__`` runs per Arrow batch, zero-copy in, Arrow out.
+
+Model distribution: pass ``model_ref=ray.put(model.mapping)`` for a
+driver-broadcast model (one object-store copy per node), or
+``model_path=`` to load from a shared filesystem.  Never ship the model
+inside the batch or per task.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..extract import extract_document, segment_stats
+from ..html.tokenizer import tokenize
+from ..model import DEFAULT_MODEL_PATH, PrototypeModel
+from ..templates import Templates
+
+
+def url_partition(urls, num_partitions: int) -> np.ndarray:
+    """Stable url-hash partition ids (crc32 — deterministic across
+    processes/runs, unlike Python's salted ``hash``).  The explicit
+    partitioning key for skew taming + resumable layout (north_rule)."""
+    return np.asarray(
+        [zlib.crc32(u.encode()) % num_partitions for u in urls],
+        dtype=np.int32,
+    )
+
+
+class ExtractText:
+    """Fused tokenize→segment→classify→assemble actor stage."""
+
+    def __init__(
+        self,
+        model_path: str = DEFAULT_MODEL_PATH,
+        model_ref=None,
+        extra_templates: list | None = None,
+        num_partitions: int = 0,
+    ):
+        if model_ref is not None:
+            import ray
+
+            mapping = ray.get(model_ref)
+            self.model = PrototypeModel(mapping)
+        else:
+            self.model = PrototypeModel.load(model_path)
+        self.templates = Templates(extra_templates)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+
+        texts: list[str] = []
+        stats = {k: np.empty(len(urls), dtype=np.int32)
+                 for k in ("n_tokens", "n_lines", "n_spans", "n_content_spans")}
+        html_bytes = np.empty(len(urls), dtype=np.int64)
+        for i, (h, lg) in enumerate(zip(htmls, langs)):
+            out = extract_document(h, lg or "", self.model, self.templates)
+            texts.append(out["extracted_text"])
+            for k in stats:
+                stats[k][i] = out[k]
+            html_bytes[i] = len(h)
+
+        cols: dict = {
+            "url": batch.column("url"),
+            "extracted_text": pa.array(texts, pa.string()),
+            "html_bytes": pa.array(html_bytes),
+        }
+        for k, v in stats.items():
+            cols[k] = pa.array(v)
+        if self.num_partitions:
+            cols["part"] = pa.array(url_partition(urls, self.num_partitions))
+        return pa.table(cols)
+
+
+class SegmentStats:
+    """Segmentation-only stage (the ``process.py`` stats job analog,
+    A5 bug fixed — see extract.segment_stats)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = [segment_stats(h, lg or "") for h, lg in zip(htmls, langs)]
+        cols = {"url": batch.column("url")}
+        for k in ("n_tokens", "n_lines", "n_spans", "max_span_chars",
+                  "baseline_depth"):
+            cols[k] = pa.array([r[k] for r in rows], pa.int32())
+        return pa.table(cols)
+
+
+def tokenize_stats_batch(batch: pa.Table) -> pa.Table:
+    """Stateless tokenizer-inspection stage: per-doc token counts.
+    Exposes the M1-M3 stage on its own for tests/inspection."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    n_tokens, n_text, n_chars, max_depth = [], [], [], []
+    for h, lg in zip(htmls, langs):
+        ts = tokenize(h, lg or "")
+        n_tokens.append(len(ts))
+        n_text.append(int((ts.kinds == 1).sum()))
+        n_chars.append(int(ts.weights.sum()))
+        max_depth.append(int(ts.depths.max()) if len(ts) else 0)
+    return pa.table({
+        "url": batch.column("url"),
+        "n_tokens": pa.array(n_tokens, pa.int32()),
+        "n_text_tokens": pa.array(n_text, pa.int32()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "max_depth": pa.array(max_depth, pa.int32()),
+    })

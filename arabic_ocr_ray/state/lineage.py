@@ -1,0 +1,78 @@
+"""Per-partition lineage + doc-level resume support.
+
+The reference's only checkpoint is rewriting the whole model JSON after
+every document in train mode (segment_words.py:192-201); predict mode
+re-runs everything.  The engine writes:
+
+  - the extracted corpus as partitioned Parquet
+    (``write_parquet(partition_cols=["part"])``, part = crc32(url) % P
+    — a deterministic layout, NOT arrival order, SURVEY.md §4);
+  - a lineage manifest ``<out>/_lineage/`` with per-partition
+    ``(part, docs, html_bytes, content_spans)`` — the
+    "(partition_id, urls, docs, bytes, …)" record of SURVEY.md §1.2.
+
+Resume contract (doc-level anti-filter): a rerun reads ONLY the ``url``
+column of the existing output (column-pruned), broadcasts the done-set
+via ``ray.put``, and drops finished rows inside ``map_batches`` before
+any extraction work — a broadcast anti-semi-join, no shuffle.  At
+10^12-doc scale the same anti-filter runs per PARTITION (read one part
+dir's urls inside the task that extends it); the fixture-scale
+implementation materializes the set on the driver, documented here.
+"""
+
+from __future__ import annotations
+
+import os
+
+LINEAGE_DIR = "_lineage"
+
+
+def completed_urls(out_dir: str):
+    """Set of urls already extracted into ``out_dir`` (or None)."""
+    if not os.path.isdir(out_dir):
+        return None
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    try:
+        dataset = pads.dataset(out_dir, format="parquet",
+                               partitioning="hive",
+                               ignore_prefixes=[".", "_"])
+        tbl = dataset.to_table(columns=["url"])
+    except (OSError, pa.ArrowInvalid):
+        return None
+    if tbl.num_rows == 0:
+        return None
+    return set(tbl.column("url").to_pylist())
+
+
+def write_lineage(extracted_ds, out_dir: str) -> None:
+    """Aggregate per-partition stats from the written output and save
+    the manifest (groupby over the small result table — the wide
+    operation happens on (url, counts), never on html)."""
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    path = os.path.join(out_dir, LINEAGE_DIR)
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # manifest is recomputed from the output
+    manifest = (
+        extracted_ds
+        .groupby("part")
+        .aggregate(
+            Count(alias_name="docs"),
+            Sum("html_bytes", alias_name="html_bytes"),
+            Sum("n_content_spans", alias_name="content_spans"),
+        )
+    )
+    manifest.write_parquet(os.path.join(out_dir, LINEAGE_DIR))
+
+
+def read_lineage(out_dir: str):
+    import pyarrow.dataset as pads
+
+    path = os.path.join(out_dir, LINEAGE_DIR)
+    if not os.path.isdir(path):
+        return None
+    return pads.dataset(path, format="parquet").to_table()

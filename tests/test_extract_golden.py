@@ -1,0 +1,45 @@
+"""End-to-end golden conformance: byte-identical extracted text per url
+(the north rule), via the real Ray Data pipeline."""
+
+import pyarrow.parquet as pq
+
+from arabic_ocr_ray.pipelines.extract import extract_pages, run_extract
+from arabic_ocr_ray.pipelines.evaluate import evaluate_extraction
+
+
+def test_extract_byte_identical(ray_session, pages_parquet, default_model):
+    ds = extract_pages(pages_parquet["pages"], batch_size=16, concurrency=2)
+    got = {r["url"]: r["extracted_text"] for b in
+           ds.iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    golden = pq.read_table(pages_parquet["pages"], columns=["url", "text"])
+    exp = dict(zip(golden.column("url").to_pylist(),
+                   golden.column("text").to_pylist()))
+    assert set(got) == set(exp)
+    mismatched = [u for u in exp if got[u] != exp[u]]
+    assert mismatched == [], f"{len(mismatched)} docs not byte-identical: {mismatched[:3]}"
+
+
+def test_run_extract_writes_partitioned_output(ray_session, pages_parquet,
+                                               default_model, tmp_path):
+    out = str(tmp_path / "out")
+    metrics = run_extract(pages_parquet["pages"], out, batch_size=16,
+                          concurrency=2, num_partitions=8, resume=False)
+    assert metrics["docs"] == pages_parquet["n"]
+    assert metrics["partitions"] >= 2          # url-hash layout exists
+    assert metrics["docs_per_s"] > 0
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(out, format="parquet", partitioning="hive",
+                       ignore_prefixes=[".", "_"]).to_table()
+    assert tbl.num_rows == pages_parquet["n"]
+    assert "extracted_text" in tbl.column_names
+
+
+def test_evaluate_perfect_match(ray_session, pages_parquet, default_model):
+    ds = extract_pages(pages_parquet["pages"], batch_size=16, concurrency=2)
+    report = evaluate_extraction(ds, pages_parquet["pages"], num_partitions=4)
+    assert report["total_docs"] == pages_parquet["n"]
+    assert report["matched_docs"] == pages_parquet["n"]
+    assert report["match_rate"] == 1.0
+    assert report["total_edit_distance"] == 0
+    assert report["mean_accuracy"] == 1.0

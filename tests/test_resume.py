@@ -1,0 +1,57 @@
+"""Resume-from-checkpoint: partial run + rerun == clean full run, with
+no re-processing of completed docs (lineage/anti-filter contract)."""
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from arabic_ocr_ray.pipelines.extract import run_extract
+from arabic_ocr_ray.sources.pages import pages_table
+from arabic_ocr_ray.state.lineage import completed_urls, read_lineage
+
+
+def _read_out(out):
+    return pads.dataset(out, format="parquet", partitioning="hive",
+                        ignore_prefixes=[".", "_"]).to_table()
+
+
+def test_resume_after_partial_failure(ray_session, default_model, tmp_path):
+    full = pages_table(80, seed=11)
+    part_path = str(tmp_path / "pages_part.parquet")
+    full_path = str(tmp_path / "pages_full.parquet")
+    pq.write_table(full.slice(0, 30), part_path, row_group_size=10)
+    pq.write_table(full, full_path, row_group_size=10)
+    out = str(tmp_path / "out")
+
+    # "failed" run: only the first 30 docs got processed
+    m1 = run_extract(part_path, out, batch_size=8, concurrency=2,
+                     num_partitions=8)
+    assert m1["docs"] == 30
+    assert m1["skipped_resume"] == 0
+
+    done = completed_urls(out)
+    assert done is not None and len(done) == 30
+
+    # resumed run over the FULL input: skips the 30 finished docs
+    m2 = run_extract(full_path, out, batch_size=8, concurrency=2,
+                     num_partitions=8)
+    assert m2["skipped_resume"] == 30
+    assert m2["docs"] == 80  # lineage counts the whole output
+
+    tbl = _read_out(out)
+    assert tbl.num_rows == 80  # no duplicates, nothing missing
+    assert len(set(tbl.column("url").to_pylist())) == 80
+
+    # lineage manifest covers all partitions and sums to the corpus
+    lin = read_lineage(out)
+    assert lin is not None
+    assert sum(lin.column("docs").to_pylist()) == 80
+
+
+def test_resume_noop_when_complete(ray_session, default_model, tmp_path):
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages_table(20, seed=12), p)
+    out = str(tmp_path / "out")
+    run_extract(p, out, batch_size=8, concurrency=2, num_partitions=4)
+    m = run_extract(p, out, batch_size=8, concurrency=2, num_partitions=4)
+    assert m["skipped_resume"] == 20
+    assert _read_out(out).num_rows == 20

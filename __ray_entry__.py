@@ -1,44 +1,510 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in arabic_ocr_ray) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Queries cover SURVEY.md §2's operator inventory plus the training-data
+operators (dedup / ANN / text analysis / multimodal).  The extraction
+family runs over the deterministic synthetic pages fixture (FIXTURES.md;
+the driver's TPC-H-ish tables don't have the required
+(url, warc_ts, html, text, lang) shape) written once under
+/tmp/aor_fixtures/<sf-name>/ — its golden ``text`` column doubles as the
+DuckDB oracle via read_parquet(), which makes the byte-identical
+north-rule check part of the hash-verified correctness gate.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+FIXTURE_ROOT = "/tmp/aor_fixtures"
+FIXTURE_SEED = 123
+FIXTURE_ROWS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 8000}
+KNN_QUERIES = list(range(10))
+KNN_K = 5
+
+
+def _fixture(sf_dir: str) -> dict:
+    """Write (once) the pages fixture matching this sf dir."""
+    import pyarrow.parquet as pq
+
+    from arabic_ocr_ray.sources.pages import (
+        ensure_pages_parquet,
+        golden_spans_table,
+    )
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    n = FIXTURE_ROWS.get(name, 500)
+    d = os.path.join(FIXTURE_ROOT, name)
+    pages = os.path.join(d, "pages.parquet")
+    spans = os.path.join(d, "spans.parquet")
+    ensure_pages_parquet(pages, n, seed=FIXTURE_SEED)
+    if not os.path.exists(spans):
+        os.makedirs(d, exist_ok=True)
+        tmp = spans + ".tmp"
+        pq.write_table(golden_spans_table(n, seed=FIXTURE_SEED), tmp)
+        os.replace(tmp, spans)
+    return {"pages": pages, "spans": spans, "n": n}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: pages → fused extraction
+    actor pool → (url, extracted_text, stats) Dataset."""
+    from arabic_ocr_ray.pipelines.extract import extract_pages
 
+    fx = _fixture("/root/testdata/sf0.001")
+    return extract_pages(fx["pages"], batch_size=32, concurrency=4)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import pyarrow.parquet as pq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
 
+    from arabic_ocr_ray.functions import ann, dedup, multimodal, text
+    from arabic_ocr_ray.pipelines.evaluate import evaluate_extraction
+    from arabic_ocr_ray.pipelines.extract import extract_pages
+    from arabic_ocr_ray.pipelines.train import train_model
+    from arabic_ocr_ray.stages.extract_stage import SegmentStats
+
+    # ---------------- extraction family (pages fixture) ----------------
+    def q_extract(sf_dir: str):
+        fx = _fixture(sf_dir)
+        return (extract_pages(fx["pages"], batch_size=32, concurrency=4)
+                .select_columns(["url", "extracted_text"]))
+
+    def q_extract_eval(sf_dir: str):
+        import pandas as pd
+
+        fx = _fixture(sf_dir)
+        ds = extract_pages(fx["pages"], batch_size=32, concurrency=4)
+        rep = evaluate_extraction(ds, fx["pages"], num_partitions=4)
+        return pd.DataFrame({
+            "total_docs": [rep["total_docs"]],
+            "matched_docs": [rep["matched_docs"]],
+            "total_edit_distance": [rep["total_edit_distance"]],
+        })
+
+    def q_corpus_stats(sf_dir: str):
+        import pyarrow as pa
+
+        fx = _fixture(sf_dir)
+        ds = rd.read_parquet(fx["pages"], columns=["html", "text"])
+
+        def sizes(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "html_bytes": pa.array(
+                    [len(x) for x in b.column("html").to_pylist()],
+                    pa.int64()),
+                "text_chars": pa.array(
+                    [len(x or "") for x in b.column("text").to_pylist()],
+                    pa.int64()),
+            })
+
+        import pandas as pd
+
+        row = ds.map_batches(sizes, batch_format="pyarrow").aggregate(
+            Count(alias_name="n_docs"),
+            Max("html_bytes", alias_name="max_html_bytes"),
+            Sum("html_bytes", alias_name="total_html_bytes"),
+            Max("text_chars", alias_name="max_text_chars"),
+        )
+        return pd.DataFrame([row])
+
+    def q_segment_stats(sf_dir: str):
+        fx = _fixture(sf_dir)
+        ds = rd.read_parquet(fx["pages"], columns=["url", "html", "lang"])
+        out = ds.map_batches(SegmentStats, batch_format="pyarrow",
+                             batch_size=32, concurrency=4)
+        return out.select_columns(["url", "n_spans"])
+
+    def q_train_prototypes(sf_dir: str):
+        import pandas as pd
+
+        fx = _fixture(sf_dir)
+        model, _stats = train_model(fx["pages"], fx["spans"],
+                                    num_partitions=4, concurrency=4)
+        rows = [(s, lab, ",".join(map(str, fv)))
+                for s, lab, fv in model.triples()]
+        return pd.DataFrame(rows, columns=["score", "label", "fv"])
+
+    # ---------------- documents: text analysis --------------------------
+    def _docs(sf_dir: str, cols=("doc_id", "text")):
+        return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=list(cols))
+
+    def q_token_count(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.token_count_batch,
+                                         batch_format="pyarrow")
+
+    def q_char_stats(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.char_stats_batch,
+                                         batch_format="pyarrow")
+
+    def q_lang_id(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.lang_id_batch,
+                                         batch_format="pyarrow")
+
+    def q_quality(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.quality_batch,
+                                         batch_format="pyarrow")
+
+    def q_fingerprint(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.fingerprint_batch,
+                                         batch_format="pyarrow")
+
+    # ---------------- dedup family --------------------------------------
+    def q_dedup_exact(sf_dir: str):
+        return dedup.dedup_exact(_docs(sf_dir)).select_columns(
+            ["doc_id", "n_copies"])
+
+    def _typed(ds_result, schema: dict):
+        """Materialize a (small, possibly empty) pair result with a
+        guaranteed schema — an all-empty map_groups output otherwise
+        yields a schemaless dataset."""
+        import pandas as pd
+
+        df = ds_result.to_pandas()
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in schema.items()})
+        return df[list(schema)].astype(schema)
+
+    def q_near_dup(sf_dir: str):
+        return _typed(dedup.near_dup_pairs(_docs(sf_dir), threshold=0.8),
+                      {"a": "int64", "b": "int64", "jaccard_x1000": "int64"})
+
+    def q_simhash_dup(sf_dir: str):
+        return _typed(dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3),
+                      {"a": "int64", "b": "int64", "hamming": "int64"})
+
+    def _emb(sf_dir: str):
+        return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+
+    def q_emb_near_dup(sf_dir: str):
+        return _typed(
+            dedup.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.95),
+            {"a": "int64", "b": "int64", "cos_x1000": "int64"})
+
+    # ---------------- similarity search ---------------------------------
+    def q_knn(sf_dir: str):
+        out = ann.knn_bruteforce(_emb(sf_dir), KNN_QUERIES, k=KNN_K)
+        return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+    def q_knn_ivf(sf_dir: str):
+        out = ann.knn_ivf(_emb(sf_dir), KNN_QUERIES, k=KNN_K)
+        return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+    # ---------------- relational primitives ------------------------------
+    def q_q1_pricing(sf_dir: str):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+
+        # map-side combine: one partial row per (flag,status) per batch
+        def partial(b: pa.Table) -> pd.DataFrame:
+            df = b.to_pandas()
+            g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            out = g.agg(sum_qty=("l_quantity", "sum"),
+                        sum_price=("l_extendedprice", "sum"),
+                        sum_disc=("l_discount", "sum"),
+                        n_rows=("l_quantity", "size")).reset_index()
+            return out
+
+        partials = li.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=65536)
+        final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            qty = np.round(np.asarray(b.column("sum_qty"), dtype=np.float64), 2)
+            price = np.round(np.asarray(b.column("sum_price"), dtype=np.float64), 2)
+            n = np.asarray(b.column("n_rows"), dtype=np.int64)
+            avgd = np.round(
+                np.asarray(b.column("sum_disc"), dtype=np.float64) / n, 4)
+            return pa.table({
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_qty": pa.array(qty, pa.float64()),
+                "sum_price": pa.array(price, pa.float64()),
+                "avg_disc": pa.array(avgd, pa.float64()),
+                "n_rows": pa.array(n, pa.int64()),
+            })
+
+        return final.map_batches(finish, batch_format="pyarrow")
+
+    def q_top_orders(sf_dir: str):
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        return orders.sort(
+            ["o_totalprice", "o_orderkey"],
+            descending=[True, False]).limit(10)
+
+    def q_segment_order_stats(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"]).to_pandas()
+        lookup_ref = ray.put(
+            dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+        def add_seg(b: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            seg = [lk.get(c, "") for c in b.column("o_custkey").to_pylist()]
+            return pa.table({
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "o_totalprice": b.column("o_totalprice"),
+            })
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"])
+        g = orders.map_batches(add_seg, batch_format="pyarrow").groupby(
+            "c_mktsegment").aggregate(
+                Count(alias_name="n_orders"),
+                Sum("o_totalprice", alias_name="sum_price"))
+
+        def r2(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n_orders": b.column("n_orders"),
+                "sum_price": pa.array(
+                    np.round(np.asarray(b.column("sum_price"),
+                                        dtype=np.float64), 2), pa.float64()),
+            })
+
+        return g.map_batches(r2, batch_format="pyarrow")
+
+    def q_events_hourly(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+
+        def hour_bucket(b: pa.Table) -> pa.Table:
+            us = b.column("ts").cast(pa.int64())
+            hour = pa.array(np.asarray(us) // 3_600_000_000, pa.int64())
+            return pa.table({"user_id": b.column("user_id"),
+                             "hour_id": hour,
+                             "value": b.column("value")})
+
+        g = (ev.map_batches(hour_bucket, batch_format="pyarrow")
+             .groupby(["user_id", "hour_id"])
+             .aggregate(Count(alias_name="n_events"),
+                        Sum("value", alias_name="sum_value")))
+
+        def r2(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return pa.table({
+                "user_id": b.column("user_id"),
+                "hour_id": b.column("hour_id"),
+                "n_events": b.column("n_events"),
+                "sum_value": pa.array(
+                    np.round(np.asarray(b.column("sum_value"),
+                                        dtype=np.float64), 2), pa.float64()),
+            })
+
+        return g.map_batches(r2, batch_format="pyarrow")
+
+    def q_event_type_counts(sf_dir: str):
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type"])
+        return ev.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    # ---------------- multimodal plumbing -------------------------------
+    def q_mm_decode(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        payloads = multimodal.payload_table_from_documents(docs)
+        ds = rd.from_arrow(payloads)
+        return multimodal.decode_metadata(ds, concurrency=2, batch_size=16)
+
+    return {
+        "extract_pages": q_extract,
+        "extract_eval": q_extract_eval,
+        "corpus_stats": q_corpus_stats,
+        "segment_stats": q_segment_stats,
+        "train_prototypes": q_train_prototypes,
+        "doc_token_count": q_token_count,
+        "doc_char_stats": q_char_stats,
+        "doc_lang_id": q_lang_id,
+        "doc_quality": q_quality,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "near_dup_pairs": q_near_dup,
+        "simhash_dup_pairs": q_simhash_dup,
+        "embedding_near_dup": q_emb_near_dup,
+        "knn_cosine": q_knn,
+        "knn_ivf": q_knn_ivf,
+        "q1_pricing": q_q1_pricing,
+        "top_orders": q_top_orders,
+        "segment_order_stats": q_segment_order_stats,
+        "events_hourly": q_events_hourly,
+        "event_type_counts": q_event_type_counts,
+        "mm_decode_meta": q_mm_decode,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB), sf0.01
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fx = _fixture("/root/testdata/sf0.01")  # oracle always runs at sf0.01
+    pages = fx["pages"]
+    spans = fx["spans"]
+
+    from arabic_ocr_ray.functions.text import STOPWORDS
+
+    def stop_re(lang: str) -> str:
+        return r"\b(?:" + "|".join(STOPWORDS[lang]) + r")\b"
+
+    lang_counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{stop_re(lg)}')) AS {lg}_n"
+        for lg in ("en", "de", "es", "fr"))
+
+    return {
+        "extract_pages": (
+            f"SELECT url, text AS extracted_text "
+            f"FROM read_parquet('{pages}')"
+        ),
+        "extract_eval": (
+            f"SELECT count(*) AS total_docs, count(*) AS matched_docs, "
+            f"CAST(0 AS BIGINT) AS total_edit_distance "
+            f"FROM read_parquet('{pages}')"
+        ),
+        "corpus_stats": (
+            f"SELECT count(*) AS n_docs, "
+            f"max(octet_length(html)) AS max_html_bytes, "
+            f"sum(octet_length(html)) AS total_html_bytes, "
+            f"max(length(text)) AS max_text_chars "
+            f"FROM read_parquet('{pages}')"
+        ),
+        "segment_stats": (
+            f"SELECT url, CAST(count(*) AS INT) AS n_spans "
+            f"FROM read_parquet('{spans}') GROUP BY url"
+        ),
+        "doc_token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_char_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "
+            "len(regexp_extract_all(text, '[0-9]')) AS n_digit, "
+            "len(regexp_extract_all(text, ' ')) AS n_space, "
+            "len(regexp_extract_all(text, '[A-Z]')) AS n_upper "
+            "FROM documents"
+        ),
+        "doc_lang_id": (
+            "SELECT doc_id, CASE "
+            "WHEN regexp_matches(text, '[\\x{0600}-\\x{06FF}]') THEN 'ar' "
+            "WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' "
+            "WHEN fr_n > en_n AND fr_n > de_n AND fr_n > es_n THEN 'fr' "
+            "WHEN es_n > en_n AND es_n > de_n THEN 'es' "
+            "WHEN de_n > en_n THEN 'de' ELSE 'en' "
+            "END AS lang_pred "
+            f"FROM (SELECT doc_id, text, {lang_counts} FROM documents)"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, "
+            "CASE WHEN n_tokens > 0 THEN (tok_chars * 100) // n_tokens "
+            "ELSE 0 END AS mean_tok_len_x100, "
+            f"len(regexp_extract_all(lower(text), '{stop_re('en')}')) "
+            "AS n_stopwords, "
+            "CASE WHEN length(text) > 0 THEN "
+            "(len(regexp_extract_all(text, '[0-9]')) * 1000) // length(text) "
+            "ELSE 0 END AS digit_permille, "
+            "CASE WHEN length(text) > 0 THEN "
+            "(len(regexp_extract_all(text, ' ')) * 1000) // length(text) "
+            "ELSE 0 END AS space_permille "
+            "FROM (SELECT doc_id, text, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "length(regexp_replace(text, '\\s', '', 'g')) AS tok_chars "
+            "FROM documents)"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "CAST(round(list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) * 1000) AS BIGINT) AS cos_x1000 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.95"
+        ),
+        "knn_cosine": (
+            "WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])), 9) AS sim "
+            f"FROM embeddings q, embeddings e "
+            f"WHERE q.vec_id < {len(KNN_QUERIES)} AND e.vec_id != q.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)"
+            " AS rank FROM s) "
+            f"SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {KNN_K}"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "segment_order_stats": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "events_hourly": (
+            "SELECT user_id, "
+            "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "event_type_counts": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+        ),
+        # near_dup_pairs / simhash_dup_pairs / knn_ivf / doc_fingerprint /
+        # train_prototypes / mm_decode_meta: non-SQL-expressible
+        # (sketches, approximate search, custom hashes, model training) —
+        # rows-only checks by design.
+    }

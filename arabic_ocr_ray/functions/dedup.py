@@ -1,0 +1,296 @@
+"""Deduplication operators — exact and near-duplicate, at corpus scale.
+
+The reference's only dedup is the prototype set-insert (D1,
+integrator.py:157-159) = exact dedup on a composite key; the engine
+generalizes it to the operators a 100 TB training-data pipeline needs.
+
+Scale shapes (the groupby keys are the shuffle keys):
+
+  exact        content hash per batch → groupby(hash) → min(id)
+  MinHash-LSH  shingles → K minhashes → B bands → explode (band,
+               band_hash, id) rows → groupby((band, band_hash)) →
+               candidate pairs inside buckets → exact-Jaccard verify
+               (pair volume bounded by bucket sizes, never n²)
+  SimHash      64-bit simhash per doc → split into 4×16-bit bands →
+               same banded groupby → verify Hamming ≤ k
+  embedding    normalized vectors → sign-LSH buckets (random
+               hyperplanes, seeded) → in-bucket cosine verify
+
+All hash seeds are fixed constants → bit-deterministic across runs
+and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"\S+")
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def content_hash_batch(batch: pa.Table, col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(col).to_pylist()
+    h = [hashlib.sha1((t or "").encode()).hexdigest() for t in texts]
+    return pa.table({
+        id_col: batch.column(id_col),
+        "content_hash": pa.array(h, pa.string()),
+    })
+
+
+def dedup_exact(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset(content_hash, doc_id=min id, n_copies).  The D1
+    pattern: hash-partition + per-group first/min."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, col, id_col), batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col),
+        Count(alias_name="n_copies"),
+    )
+
+
+# --- shingles + MinHash ---------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16          # 16 bands × 4 rows ≈ s-curve threshold ~0.55
+ROWS_PER_BAND = N_HASHES // N_BANDS
+# Mersenne-31 modulus keeps every product < 2^62 → exact int64 math,
+# fully vectorized (no object/bigint arithmetic in the hot path).
+_M31 = (1 << 31) - 1
+_RNG = np.random.RandomState(0x5EED)
+_A = _RNG.randint(1, _M31, size=N_HASHES, dtype=np.int64)
+_B = _RNG.randint(0, _M31, size=N_HASHES, dtype=np.int64)
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if len(toks) < k:
+        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+    return {zlib.crc32(" ".join(toks[i:i + k]).encode())
+            for i in range(len(toks) - k + 1)}
+
+
+def minhash_signature(sh: set[int]) -> np.ndarray:
+    if not sh:
+        return np.zeros(N_HASHES, dtype=np.int64)
+    x = np.fromiter(sh, dtype=np.int64, count=len(sh)) % _M31
+    vals = (x[None, :] * _A[:, None] + _B[:, None]) % _M31  # int64-exact
+    return np.min(vals, axis=1)
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def _band_rows_batch(batch: pa.Table, col: str, id_col: str) -> pa.Table:
+    """doc → N_BANDS (band, band_hash, id) rows."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(col).to_pylist()
+    out_id, out_band, out_hash = [], [], []
+    for i, t in zip(ids, texts):
+        sig = minhash_signature(shingles(t))
+        for band in range(N_BANDS):
+            chunk = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
+            out_id.append(i)
+            out_band.append(band)
+            out_hash.append(zlib.crc32(chunk.tobytes()))
+    return pa.table({
+        id_col: pa.array(out_id),
+        "band": pa.array(out_band, pa.int32()),
+        "band_hash": pa.array(out_hash, pa.int64()),
+    })
+
+
+def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset(a, b) candidate pairs (a < b), deduped."""
+    rows = ds.map_batches(
+        lambda b: _band_rows_batch(b, col, id_col), batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col])
+        if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets
+            return pd.DataFrame({"a": [], "b": []})
+        pairs = [(x, y) for xi, x in enumerate(ids) for y in ids[xi + 1:]]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    cand = rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # a pair can surface from several bands → distinct
+    return cand.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
+                         col: str = "text", id_col: str = "doc_id"):
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Fixture-scale implementation broadcasts the text column via
+    ``ray.put`` (small side) and verifies inside ``map_batches``; the
+    10^12-doc path joins candidate ids back to the corpus on id
+    (documented partitioning assumption: pair lists fit per-bucket)."""
+    import ray
+
+    texts = {}
+    for b in docs_ds.select_columns([id_col, col]).iter_batches(
+            batch_format="pyarrow"):
+        texts.update(zip(b.column(id_col).to_pylist(),
+                         b.column(col).to_pylist()))
+    ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        a = batch.column("a").to_pylist()
+        bb = batch.column("b").to_pylist()
+        sims = [jaccard(shingles(t.get(x)), shingles(t.get(y)))
+                for x, y in zip(a, bb)]
+        keep = [s >= threshold for s in sims]
+        out = batch.append_column(
+            "jaccard_x1000",
+            pa.array([int(s * 1000) for s in sims], pa.int64()))
+        return out.filter(pa.array(keep))
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dup_pairs(ds, threshold: float = 0.8,
+                   col: str = "text", id_col: str = "doc_id"):
+    """MinHash-LSH candidates + exact Jaccard verify → verified pairs."""
+    return verify_pairs_jaccard(minhash_candidates(ds, col, id_col),
+                                ds, threshold, col, id_col)
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for tok in toks:
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
+        bits = ((h >> shifts) & one).astype(np.int64)
+        acc += 2 * bits - 1
+    return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+
+
+def simhash_batch(batch: pa.Table, col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(col).to_pylist()
+    hs = [simhash64(t) for t in texts]
+    cols = {id_col: batch.column(id_col),
+            "simhash": pa.array(np.array(hs, dtype=np.uint64).view(np.int64))}
+    # 4 × 16-bit bands for hamming-LSH (≤3 differing bits ⇒ at least
+    # one identical band, pigeonhole)
+    for band in range(4):
+        cols[f"sh_band{band}"] = pa.array(
+            [(h >> (16 * band)) & 0xFFFF for h in hs], pa.int32())
+    return pa.table(cols)
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3,
+                      col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset(a, b, hamming) with hamming ≤ max_hamming."""
+    # materialize: the (id, simhash, bands) table is tiny relative to
+    # the corpus and is consumed once per band — without this the
+    # simhash computation would re-run 4×
+    sh = ds.map_batches(lambda b: simhash_batch(b, col, id_col),
+                        batch_format="pyarrow").materialize()
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g[id_col], g["simhash"]))
+        out = []
+        for i, (ida, ha) in enumerate(rows):
+            for idb, hb in rows[i + 1:]:
+                d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    out.append((ida, idb, d))
+        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+
+    parts = [
+        sh.groupby(f"sh_band{band}").map_groups(
+            bucket_pairs, batch_format="pandas")
+        for band in range(4)
+    ]
+    allp = parts[0].union(*parts[1:])
+    return allp.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# --- embedding near-dup ---------------------------------------------------
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
+                             n_planes: int = 8, n_tables: int = 4,
+                             id_col: str = "vec_id",
+                             col: str = "embedding"):
+    """Sign-LSH buckets + in-bucket cosine verify → Dataset(a, b,
+    cos_x1000).
+
+    Recall math: a cosine-0.95 pair disagrees on one hyperplane with
+    p = arccos(0.95)/π ≈ 0.10, so one 8-plane table catches it with
+    0.9^8 ≈ 0.43; 4 independent tables (seeded 0xC05+t) lift that to
+    ≈ 0.9.  Each doc emits n_tables (table, bucket) rows; the shuffle
+    key is (table, bucket)."""
+    planes = [np.random.RandomState(0xC05 + t).randn(n_planes, dim)
+              for t in range(n_tables)]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        E = np.array(batch.column(col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        En = E / norms
+        ids, buckets, tables, vecs = [], [], [], []
+        raw = batch.column(id_col).to_pylist()
+        emb = batch.column(col).to_pylist()
+        for t, P in enumerate(planes):
+            sig = (En @ P.T > 0).astype(np.int64)
+            bk = (sig * (1 << np.arange(n_planes))).sum(axis=1)
+            ids.extend(raw)
+            buckets.extend(bk.tolist())
+            tables.extend([t] * len(raw))
+            vecs.extend(emb)
+        return pa.table({
+            id_col: pa.array(ids),
+            "table": pa.array(tables, pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
+            col: pa.array(vecs),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        E = np.array(list(g[col]), dtype=np.float64)
+        ids = list(g[id_col])
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        En = E / norms
+        S = En @ En.T
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if S[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out.append((a, b, int(round(S[i, j] * 1000))))
+        return pd.DataFrame(out, columns=["a", "b", "cos_x1000"])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(["table", "bucket"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["a", "b"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))

@@ -1,0 +1,147 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+Each operator is a vectorized per-batch function designed so an ANSI
+SQL oracle (DuckDB) can reproduce it EXACTLY — integer outputs, fixed
+priority orders, no floats on any decision path.  The SQL twins live in
+``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# --- token counting -------------------------------------------------------
+# Python's str.split() semantics (any whitespace run, no empty tokens).
+_WS_SPLIT = re.compile(r"\S+")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    n = [len(_WS_SPLIT.findall(t or "")) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n, pa.int64()),
+    })
+
+
+# --- character-class stats (quality-score ingredients) --------------------
+_DIGIT = re.compile(r"[0-9]")
+_ALPHA = re.compile(r"[A-Za-z]")
+_SPACE = re.compile(r" ")
+_UPPER = re.compile(r"[A-Z]")
+
+
+def char_stats_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    out = {"n_chars": [], "n_alpha": [], "n_digit": [], "n_space": [],
+           "n_upper": []}
+    for t in texts:
+        t = t or ""
+        out["n_chars"].append(len(t))
+        out["n_alpha"].append(len(_ALPHA.findall(t)))
+        out["n_digit"].append(len(_DIGIT.findall(t)))
+        out["n_space"].append(len(_SPACE.findall(t)))
+        out["n_upper"].append(len(_UPPER.findall(t)))
+    cols = {"doc_id": batch.column("doc_id")}
+    cols.update({k: pa.array(v, pa.int64()) for k, v in out.items()})
+    return pa.table(cols)
+
+
+# --- language identification (n-gram/stopword heuristic) ------------------
+# Deterministic rule, replicable in SQL:
+#   1. any Arabic-block char        → 'ar'
+#   2. any CJK-block char           → 'zh'
+#   3. else stopword-hit vote among {en,de,es,fr}; ties break by this
+#      fixed priority order (en > de > es > fr); zero hits → 'en'.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour", "dans", "un", "une"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr")
+_STOP_RE = {
+    lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b")
+    for lang, ws in STOPWORDS.items()
+}
+_ARABIC_RE = re.compile(r"[؀-ۿ]")
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def lang_id(text: str) -> str:
+    t = (text or "").lower()
+    if _ARABIC_RE.search(t):
+        return "ar"
+    if _CJK_RE.search(t):
+        return "zh"
+    best, best_n = "en", -1
+    for lang in _LANG_ORDER:
+        k = len(_STOP_RE[lang].findall(t))
+        if k > best_n:
+            best, best_n = lang, k
+    return best
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang_pred": pa.array([lang_id(t) for t in texts], pa.string()),
+    })
+
+
+# --- document fingerprint (rolling polynomial hash) -----------------------
+FP_MOD = (1 << 61) - 1
+FP_BASE = 1_000_003
+
+
+def fingerprint(text: str) -> int:
+    """Karp-Rabin style rolling hash over the byte stream, mod 2^61-1.
+    Vectorized horner via precomputed powers (numpy u64 → python int
+    arithmetic chunked to stay exact)."""
+    h = 0
+    for b in (text or "").encode("utf-8"):
+        h = (h * FP_BASE + b) % FP_MOD
+    return h
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array([fingerprint(t) for t in texts], pa.int64()),
+    })
+
+
+# --- quality score --------------------------------------------------------
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality signals: mean token length (x100), stopword hits
+    (en), digit permille, space permille.  All int64 → oracle-exact."""
+    texts = batch.column("text").to_pylist()
+    mean_tok_len_x100, n_stop, digit_pm, space_pm = [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = _WS_SPLIT.findall(t)
+        total = sum(len(w) for w in toks)
+        mean_tok_len_x100.append((total * 100) // len(toks) if toks else 0)
+        n_stop.append(len(_STOP_RE["en"].findall(t.lower())))
+        n = len(t)
+        digit_pm.append((len(_DIGIT.findall(t)) * 1000) // n if n else 0)
+        space_pm.append((len(_SPACE.findall(t)) * 1000) // n if n else 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "mean_tok_len_x100": pa.array(mean_tok_len_x100, pa.int64()),
+        "n_stopwords": pa.array(n_stop, pa.int64()),
+        "digit_permille": pa.array(digit_pm, pa.int64()),
+        "space_permille": pa.array(space_pm, pa.int64()),
+    })
+
+
+def replace_composites(text: str) -> str:
+    """X2 analog surface (integrator.py:39-43): sentinel → composite."""
+    from ..html.tokenizer import COMPOSITE, COMPOSITE_SENTINEL
+
+    return text.replace(COMPOSITE_SENTINEL, COMPOSITE)

@@ -117,10 +117,17 @@ def dominant_weighted(keys: np.ndarray, weights: np.ndarray) -> int:
     horizontal projection (preprocess.py:8-11); ours is the tag-depth
     carrying the most text mass (SURVEY.md §2.2 M6).
     """
+    n = len(keys)
+    if n == 0:
+        return 0
+    if n <= 128:  # typical line/span: dict fold beats numpy dispatch
+        acc: dict[int, int] = {}
+        for k, w in zip(keys.tolist(), weights.tolist()):
+            acc[k] = acc.get(k, 0) + w
+        best_w = max(acc.values())
+        return min(k for k, w in acc.items() if w == best_w)
     keys = np.asarray(keys)
     weights = np.asarray(weights, dtype=np.int64)
-    if keys.size == 0:
-        return 0
     uniq, inv = np.unique(keys, return_inverse=True)
     sums = np.zeros(len(uniq), dtype=np.int64)
     np.add.at(sums, inv, weights)
@@ -134,6 +141,16 @@ def trim_to_content(weights: np.ndarray, lo: int, hi: int) -> tuple[int, int]:
     strips leading/trailing weightless (markup/whitespace) tokens from a
     segment.  Returns (lo, lo) if the range has no content.
     """
+    if hi - lo <= 256:  # spans are short: two scans beat numpy alloc
+        i = lo
+        while i < hi and weights[i] == 0:
+            i += 1
+        if i == hi:
+            return lo, lo
+        j = hi - 1
+        while weights[j] == 0:
+            j -= 1
+        return i, j + 1
     seg = np.asarray(weights[lo:hi])
     nz = np.flatnonzero(seg)
     if nz.size == 0:

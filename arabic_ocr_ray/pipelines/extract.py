@@ -29,10 +29,12 @@ DEFAULT_BATCH_SIZE = 64
 
 
 def _default_concurrency() -> int:
+    """Actor-pool size: leave CPUs for the read/write task operators —
+    a pool reserving every CPU starves them and the pipeline stalls."""
     import ray
 
     if ray.is_initialized():
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+        return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     return 4
 
 
@@ -105,14 +107,20 @@ def run_extract(
         num_partitions=num_partitions,
         done_urls_ref=done_ref,
     )
-    ds.write_parquet(out_dir, partition_cols=["part"])
-
-    # lineage over the (small) written output — second pass reads only
-    # the stat columns, never html
-    out_ds = rd.read_parquet(
-        out_dir, columns=["url", "part", "html_bytes", "n_content_spans"]
-    )
-    write_lineage(out_ds, out_dir)
+    # Materialize the RESULT (url + text + stats — an order of magnitude
+    # smaller than the html input) so the single extraction pass feeds
+    # both the sink and the lineage aggregate; re-reading the written
+    # hive layout for lineage costs more than the extraction itself
+    # (thousands of small per-task-per-partition files).  At 10^12-doc
+    # scale the equivalent is per-partition manifests emitted by the
+    # sink; the object store spills if the result exceeds memory.
+    extracted = ds.materialize()
+    # coalesce producer blocks so the hive fan-out (blocks × partitions)
+    # doesn't explode the file count
+    n_blocks = max(4, min(16, num_partitions))
+    extracted.repartition(n_blocks).write_parquet(
+        out_dir, partition_cols=["part"])
+    write_lineage(extracted, out_dir)
 
     stats = rd.read_parquet(
         os.path.join(out_dir, "_lineage")

@@ -152,6 +152,8 @@ def fine_cuts(ts: TokenStream, start: int, end: int, baseline: int) -> list[int]
     holds no text is dropped (segment merges forward).
     """
     d = ts.depths[start:end]
+    if int(d.max(initial=0)) <= baseline:
+        return []  # flat span (the common case): no excursions
     k = ts.kinds[start:end]
     deep = d > baseline
     cand: list[int] = []

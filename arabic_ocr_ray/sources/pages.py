@@ -201,9 +201,14 @@ def _br_paragraph(rng: random.Random, page: _Page, lang: str) -> None:
     page.spans += [("content", " ".join(s)) for s in spans if s]
 
 
-def build_page(seed: int, i: int, giant: bool = False) -> dict:
+def build_page(seed: int, i: int, giant: bool = False,
+               scale: int = 1) -> dict:
     """Build row ``i``; returns dict with url/warc_ts/html/text/lang
-    plus the golden labeled spans (for the training fixture)."""
+    plus the golden labeled spans (for the training fixture).
+
+    ``scale`` multiplies the paragraph count (bench corpora use larger
+    pages for realistic bytes/doc) without changing the rng draw
+    sequence — golden text stays exact at any scale."""
     rng = random.Random((seed << 32) | i)
     lang = ("ar", "en", "de")[i % 3]
     hazard = HAZARDS.get(i % 20, "")
@@ -286,7 +291,7 @@ def build_page(seed: int, i: int, giant: bool = False) -> dict:
             page.spans.append(("content", title))
             page.lines.append(title)
         n_par = (40 if hazard == "giant"
-                 else 2 + rng.randrange(4))
+                 else scale * (2 + rng.randrange(4)))
         n_words_hi = (400 if hazard == "giant" else 40)
         for pi in range(n_par):
             trailer = hazard == "readmore" and pi == n_par - 1
@@ -386,6 +391,43 @@ def ensure_pages_parquet(path: str, n: int, seed: int = 42,
                        row_group_size=row_group_size)
         os.replace(tmp, path)
     return path
+
+
+def ensure_bench_corpus(dir_path: str, n: int, seed: int = 42,
+                        scale: int = 6, giant: bool = True) -> str:
+    """Generate a bench-scale pages corpus WITH RAY (rows are
+    independent — ``build_page(seed, i)`` — so generation itself is a
+    map_batches pipeline), written once and cached.  Atomic: writes to
+    a temp dir, renames on success."""
+    if os.path.isdir(dir_path) and os.listdir(dir_path):
+        return dir_path
+    import pyarrow as pa
+    import ray.data as rd
+
+    tmp = dir_path + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    def gen(batch) -> pa.Table:
+        ids = batch["id"].tolist()
+        rows = [build_page(seed, int(i), giant=giant, scale=scale)
+                for i in ids]
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        })
+
+    (rd.range(n)
+     .map_batches(gen, batch_format="numpy", batch_size=500)
+     .write_parquet(tmp))
+    os.replace(tmp, dir_path)
+    return dir_path
 
 
 def read_pages(path: str, columns: list[str] | None = None):

@@ -47,17 +47,18 @@ def completed_urls(out_dir: str):
 
 
 def write_lineage(extracted_ds, out_dir: str) -> None:
-    """Aggregate per-partition stats from the written output and save
-    the manifest (groupby over the small result table — the wide
-    operation happens on (url, counts), never on html)."""
+    """Aggregate per-partition stats from this run's extracted rows,
+    MERGE with any prior manifest (a resumed run only extends it), and
+    save.  The groupby runs over the small result table — the wide
+    operation touches (part, counts), never html; the merged manifest
+    itself is O(num_partitions) rows, written driver-side."""
     import shutil
 
+    import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
-    path = os.path.join(out_dir, LINEAGE_DIR)
-    if os.path.isdir(path):
-        shutil.rmtree(path)  # manifest is recomputed from the output
-    manifest = (
+    prior = read_lineage(out_dir)
+    new = (
         extracted_ds
         .groupby("part")
         .aggregate(
@@ -65,8 +66,24 @@ def write_lineage(extracted_ds, out_dir: str) -> None:
             Sum("html_bytes", alias_name="html_bytes"),
             Sum("n_content_spans", alias_name="content_spans"),
         )
+        .to_pandas()
     )
-    manifest.write_parquet(os.path.join(out_dir, LINEAGE_DIR))
+    if prior is not None and prior.num_rows:
+        import pandas as pd
+
+        new = (
+            pd.concat([prior.to_pandas(), new], ignore_index=True)
+            .groupby("part", as_index=False)
+            .sum()
+        )
+    path = os.path.join(out_dir, LINEAGE_DIR)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(new, preserve_index=False),
+                   os.path.join(path, "manifest.parquet"))
 
 
 def read_lineage(out_dir: str):

@@ -1,0 +1,143 @@
+"""Benchmark harness.  Prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+Headline: full extraction pipeline (read pages parquet → fused
+tokenize/segment/classify actor pool → partitioned parquet write) over
+a Ray-generated bench corpus sized to the sf dir, PLUS a correctness
+gate (eval join must report match_rate == 1.0 — a fast wrong pipeline
+scores zero).  Secondary queries: near-dup (MinHash-LSH), brute-force
+kNN, TPC-H-style Q1 with map-side combine.
+
+``--scaling``: reruns this script in two fresh processes with
+RAY_GRAFT_CPUS=8 and =32 on the SAME corpus (page cache warmed by the
+first generation pass) and reports throughput at both plus scaling
+efficiency = (docs/s @32) / (4 × docs/s @8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: bench corpus rows by sf name (pages are scale-6, ~5-10 KiB each,
+#: plus 56 KiB giant rows every 499th — the skew hazard)
+BENCH_ROWS = {"sf0.001": 1000, "sf0.01": 8000, "sf0.1": 60000}
+BENCH_SEED = 4242
+BENCH_ROOT = "/tmp/aor_bench"
+
+
+def main() -> None:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import ann, dedup
+    from arabic_ocr_ray.pipelines.evaluate import evaluate_extraction
+    from arabic_ocr_ray.pipelines.extract import run_extract
+    from arabic_ocr_ray.sources.pages import ensure_bench_corpus
+
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    n = BENCH_ROWS.get(name, 8000)
+    corpus = os.path.join(BENCH_ROOT, name)
+    ensure_bench_corpus(corpus, n, seed=BENCH_SEED)
+
+    # warm the page cache (untimed read)
+    rd.read_parquet(corpus, columns=["url"]).count()
+
+    queries: dict[str, float] = {}
+    out_dir = os.path.join(BENCH_ROOT, f"out_{name}_{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    # leave 2 CPUs for the read/write task operators: an actor pool
+    # reserving every CPU starves them and the pipeline stalls
+    metrics = run_extract(corpus, out_dir, batch_size=64,
+                          concurrency=max(2, NUM_CPUS - 2),
+                          num_partitions=64, resume=False)
+    queries["extract"] = round(time.monotonic() - t0, 3)
+
+    # correctness gate: byte-identical per url over the written output
+    t0 = time.monotonic()
+    out_ds = rd.read_parquet(out_dir, columns=["url", "extracted_text"])
+    report = evaluate_extraction(out_ds, corpus, num_partitions=16)
+    queries["eval"] = round(time.monotonic() - t0, 3)
+    assert report["match_rate"] == 1.0, f"extraction not byte-identical: {report}"
+
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    dedup.near_dup_pairs(docs, threshold=0.8).to_pandas()
+    queries["near_dup"] = round(time.monotonic() - t0, 3)
+
+    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    t0 = time.monotonic()
+    ann.knn_bruteforce(emb, list(range(10)), k=5).to_pandas()
+    queries["knn"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    entrymod.queries()["q1_pricing"](SF_DIR).to_pandas()
+    queries["q1"] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "pages_extraction_wall_sec",
+        "value": queries["extract"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": name,
+        "num_cpus": NUM_CPUS,
+        "docs": metrics["docs"],
+        "docs_per_s": round(metrics["docs_per_s"], 1),
+        "mb_per_s": round(metrics["bytes_per_s"] / 1e6, 2),
+        "match_rate": report["match_rate"],
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_hi["docs_per_s"] / r_lo["docs_per_s"]) / (hi / lo)
+    print(json.dumps({
+        "sf": r_lo["sf"],
+        "docs": r_lo["docs"],
+        f"docs_per_s_{lo}": r_lo["docs_per_s"],
+        f"docs_per_s_{hi}": r_hi["docs_per_s"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,181 @@
+"""Tests for the training-data operators: text analysis, dedup
+(exact / MinHash / SimHash / embedding), ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from arabic_ocr_ray.functions import ann, dedup, multimodal, text
+
+
+def _docs_table(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+# ---------------- text analysis -------------------------------------------
+
+def test_token_count_matches_python_split():
+    t = _docs_table(["a b  c", "", "  ", "one"])
+    out = text.token_count_batch(t)
+    assert out.column("n_tokens").to_pylist() == [3, 0, 0, 1]
+
+
+def test_lang_id_rules():
+    assert text.lang_id("كتاب جميل") == "ar"
+    assert text.lang_id("中文文本") == "zh"
+    assert text.lang_id("the cat and the dog") == "en"
+    assert text.lang_id("der hund und die katze ist nicht da") == "de"
+    assert text.lang_id("") == "en"  # zero hits → priority order
+
+
+def test_fingerprint_deterministic():
+    a = text.fingerprint("hello world")
+    assert a == text.fingerprint("hello world")
+    assert a != text.fingerprint("hello worlD")
+    assert 0 <= a < (1 << 61) - 1
+
+
+# ---------------- dedup ----------------------------------------------------
+
+def test_shingles_and_jaccard():
+    a = dedup.shingles("the quick brown fox jumps")
+    b = dedup.shingles("the quick brown fox leaps")
+    assert 0 < dedup.jaccard(a, b) < 1
+    assert dedup.jaccard(a, a) == 1.0
+    assert dedup.jaccard(set(), set()) == 1.0
+
+
+def test_minhash_similarity_tracks_jaccard():
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "chi")  # changes 3 of 18 shingles
+    far = "completely different words about other topics entirely here now"
+    sha, shb = dedup.shingles(base), dedup.shingles(near)
+    sa = dedup.minhash_signature(sha)
+    sb = dedup.minhash_signature(shb)
+    sc = dedup.minhash_signature(dedup.shingles(far))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    true_ab = dedup.jaccard(sha, shb)
+    assert abs(sim_ab - true_ab) < 0.2  # estimator tracks truth
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_simhash_hamming_small_for_near_texts():
+    a = dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    b = dedup.simhash64("the quick brown fox jumps over the lazy cat")
+    c = dedup.simhash64("entirely unrelated content on another subject")
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+def test_exact_dedup_planted(ray_session):
+    import ray.data as rd
+
+    texts = ["same text here", "unique one", "same text here", "unique two",
+             "same text here"]
+    ds = rd.from_arrow(_docs_table(texts))
+    out = dedup.dedup_exact(ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 3
+    dup_row = out[out["doc_id"] == 0].iloc[0]
+    assert dup_row["n_copies"] == 3
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    base = ("data processing engines shuffle partition and aggregate "
+            "large tables of records across many worker nodes quickly " * 3)
+    near = base.replace("quickly", "rapidly")
+    others = [
+        f"document number {i} about an unrelated topic with words "
+        f"chosen to avoid overlap set {i * 7} and {i * 13}"
+        for i in range(20)
+    ]
+    ds = rd.from_arrow(_docs_table([base, near] + others))
+    # planted pair has exact 3-shingle Jaccard 0.684
+    pairs = dedup.near_dup_pairs(ds, threshold=0.6).to_pandas()
+    assert {(0, 1)} == set(zip(pairs["a"], pairs["b"]))
+
+
+def test_embedding_near_dup_planted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    E = rng.randn(40, 64)
+    E[7] = E[3] + rng.randn(64) * 0.01  # planted near-duplicate
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    out = dedup.embedding_near_dup_pairs(
+        rd.from_arrow(t), threshold=0.95).to_pandas()
+    assert (3, 7) in set(zip(out["a"], out["b"]))
+
+
+# ---------------- ANN ------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    E = rng.randn(200, 32)
+    t = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(t), E
+
+
+def test_knn_bruteforce_exact(emb_ds):
+    ds, E = emb_ds
+    out = ann.knn_bruteforce(ds, [0, 5], k=3).to_pandas()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for q in (0, 5):
+        sims = np.round(En[q] @ En.T, 9)
+        sims[q] = -2
+        exp = np.lexsort((np.arange(200), -sims))[:3]
+        got = (out[out["query_id"] == q].sort_values("rank")["neighbor_id"]
+               .tolist())
+        assert got == exp.tolist()
+
+
+def test_knn_ivf_recall(emb_ds):
+    ds, E = emb_ds
+    exact = ann.knn_bruteforce(ds, list(range(10)), k=5).to_pandas()
+    approx = ann.knn_ivf(ds, list(range(10)), k=5, n_clusters=8,
+                         nprobe=4).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # nprobe=4 of 8 cells
+
+
+# ---------------- multimodal ----------------------------------------------
+
+def test_multimodal_decode_stage(ray_session):
+    import ray.data as rd
+
+    docs = _docs_table(["payload one", "payload two", ""])
+    payloads = multimodal.payload_table_from_documents(docs)
+    out = multimodal.decode_metadata(
+        rd.from_arrow(payloads), concurrency=2, batch_size=2).to_pandas()
+    out = out.sort_values("item_id")
+    assert list(out["status"])[:2] == ["ok", "ok"]
+    assert list(out["status"])[2].startswith("error")  # empty payload
+    assert (out["payload_bytes"] >= 0).all()
+    # deterministic fake decode
+    out2 = multimodal.decode_metadata(
+        rd.from_arrow(payloads), concurrency=2, batch_size=2).to_pandas()
+    assert out.reset_index(drop=True).equals(out2.sort_values("item_id").reset_index(drop=True))
+
+
+def test_frame_sample_indices():
+    assert multimodal.frame_sample_indices(25, 10).tolist() == [0, 10, 20]
+    assert multimodal.frame_sample_indices(0).tolist() == []

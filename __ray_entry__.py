@@ -336,6 +336,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type"])
         return ev.groupby("event_type").aggregate(Count(alias_name="n"))
 
+    def q_event_sessions(sf_dir: str):
+        from arabic_ocr_ray.functions.windows import session_stats
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        return session_stats(ev)
+
     # ---------------- multimodal plumbing -------------------------------
     def q_mm_decode(sf_dir: str):
         import pyarrow.parquet as pq
@@ -368,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": q_segment_order_stats,
         "events_hourly": q_events_hourly,
         "event_type_counts": q_event_type_counts,
+        "event_sessions": q_event_sessions,
         "mm_decode_meta": q_mm_decode,
     }
 
@@ -502,6 +510,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_type_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+        ),
+        "event_sessions": (
+            "WITH d AS (SELECT user_id, ts, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) "
+            "OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, new_s, "
+            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sess_id FROM d) "
+            "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events, "
+            "CAST(max(sess_n) AS BIGINT) AS max_session_events "
+            "FROM (SELECT user_id, new_s, "
+            "count(*) OVER (PARTITION BY user_id, sess_id) AS sess_n "
+            "FROM s) GROUP BY user_id"
         ),
         # near_dup_pairs / simhash_dup_pairs / knn_ivf / doc_fingerprint /
         # train_prototypes / mm_decode_meta: non-SQL-expressible

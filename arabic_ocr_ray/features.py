@@ -62,8 +62,39 @@ def _cap3(n: int) -> int:
     return n if n < 3 else 3
 
 
+def _single_token_fv(ts: TokenStream, i: int, baseline: int) -> list[int]:
+    """Fast path for the dominant case (a trimmed span of one text
+    token — every plain paragraph/nav word).  Produces exactly what the
+    general path would: no pairs/concavities possible, transitions 0."""
+    if ts.kinds[i] != TEXT:
+        return []
+    t = ts.texts[i]
+    if not t:
+        return []
+    d = int(ts.depths[i])
+    n_u = 1 if d >= baseline + 2 else 0
+    n_d = 1 if d <= baseline - 2 else 0
+    score = 64 * n_u + 256 * n_d
+    total = len(t)
+    char_form = 1 if total < 8 else (2 if total < 48 else 3)
+    c0, c1 = t[0], t[-1]
+    corvar = (
+        (4 if (c0.isupper() or ARABIC_LO <= ord(c0) <= ARABIC_HI) else 0)
+        + (8 if c1 in SENTENCE_END else 0)
+    )
+    if ts.in_link[i]:
+        return [score, char_form, corvar, 0, 1, 1, 0, 0, 0]
+    return [score, char_form, corvar, 0, 0, 0, 0, 0, 0]
+
+
 def feature_vector(ts: TokenStream, start: int, end: int, baseline: int) -> list[int]:
     """Compute the 9-slot fv for token range [start, end)."""
+    if end - start == 1:
+        return _single_token_fv(ts, start, baseline)
+    return _general_fv(ts, start, end, baseline)
+
+
+def _general_fv(ts: TokenStream, start: int, end: int, baseline: int) -> list[int]:
     k = ts.kinds[start:end]
     text_idx = np.flatnonzero(k == TEXT)
     if text_idx.size == 0:

@@ -6,4 +6,4 @@ All expressed Ray-Data-first: vectorized ``map_batches`` stages +
 ``groupby`` exchanges with explicit keys.
 """
 
-from . import ann, dedup, multimodal, text  # noqa: F401
+from . import ann, dedup, multimodal, text, windows  # noqa: F401

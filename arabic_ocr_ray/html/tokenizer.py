@@ -151,9 +151,7 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
 
     stack: list[tuple[str, int]] = []  # (tag, token index of the open)
     normalize_ar = lang == "ar"
-
-    def _linked() -> bool:
-        return any(t == "a" for t, _ in stack)
+    link_depth = 0  # number of open <a> elements (O(1) containment test)
 
     for m in _TAG_OR_TEXT_RE.finditer(doc):
         tag_body, text = m.group(1), m.group(2)
@@ -183,7 +181,9 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                 if found < 0:
                     continue
                 while len(stack) > found:
-                    _, open_idx = stack.pop()
+                    popped_tag, open_idx = stack.pop()
+                    if popped_tag == "a":
+                        link_depth -= 1
                     if len(stack) == found:  # the matching open
                         match[open_idx] = idx
                         partner = open_idx
@@ -192,7 +192,8 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                 texts.append(""); tags.append(name)
                 is_block.append(name in BLOCK_TAGS)
                 is_open.append(False); is_close.append(True)
-                is_link.append(False); in_link.append(name == "a" or _linked())
+                is_link.append(False)
+                in_link.append(name == "a" or link_depth > 0)
                 match.append(partner)
             else:
                 opens = name not in VOID_TAGS and not self_closing
@@ -202,10 +203,12 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                 is_block.append(name in BLOCK_TAGS)
                 is_open.append(opens); is_close.append(False)
                 is_link.append(name == "a" and opens)
-                in_link.append((name == "a" and opens) or _linked())
+                in_link.append((name == "a" and opens) or link_depth > 0)
                 match.append(-1)
                 if opens:
                     stack.append((name, idx))
+                    if name == "a":
+                        link_depth += 1
         else:
             t = _WS_RE.sub(" ", _htmlmod.unescape(text)).strip()
             if not t:
@@ -217,7 +220,7 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
             texts.append(t); tags.append("")
             is_block.append(False); is_open.append(False)
             is_close.append(False); is_link.append(False)
-            in_link.append(_linked())
+            in_link.append(link_depth > 0)
             match.append(-1)
 
     d = np.asarray(depths, dtype=np.int32)

@@ -113,13 +113,23 @@ class PrototypeModel:
 
     def _rebuild(self) -> None:
         self._buckets = {}
+        self._exact: dict[tuple, str] = {}
         for score, protos in self.mapping.items():
             if protos:
                 mat = np.asarray([fv for _, fv in protos], dtype=np.int64)
                 self._buckets[score] = (mat, [lab for lab, _ in protos])
+                for lab, fv in protos:
+                    # first prototype wins on duplicate fvs — same as the
+                    # scan's early exit on distance 0 (integrator.py:195)
+                    self._exact.setdefault(tuple(fv), lab)
 
     # --- prediction (F10/F11) --------------------------------------------
     def predict_one(self, fv: list[int]) -> str:
+        # exact-match fast path ≡ the reference's early exit on
+        # distance 0 (integrator.py:195-196) — O(1) dict hit
+        hit = self._exact.get(tuple(fv))
+        if hit is not None:
+            return hit
         bucket = self._buckets.get(str(int(fv[0])))
         if bucket is None:
             return ""  # unknown bucket ⇒ empty label (integrator.py:187)

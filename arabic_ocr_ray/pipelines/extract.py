@@ -25,7 +25,7 @@ from ..model import DEFAULT_MODEL_PATH
 from ..stages.extract_stage import ExtractText
 from ..state.lineage import completed_urls, write_lineage
 
-DEFAULT_BATCH_SIZE = 64
+DEFAULT_BATCH_SIZE = 256
 
 
 def _default_concurrency() -> int:
@@ -107,20 +107,15 @@ def run_extract(
         num_partitions=num_partitions,
         done_urls_ref=done_ref,
     )
-    # Materialize the RESULT (url + text + stats — an order of magnitude
-    # smaller than the html input) so the single extraction pass feeds
-    # both the sink and the lineage aggregate; re-reading the written
-    # hive layout for lineage costs more than the extraction itself
-    # (thousands of small per-task-per-partition files).  At 10^12-doc
-    # scale the equivalent is per-partition manifests emitted by the
-    # sink; the object store spills if the result exceeds memory.
-    extracted = ds.materialize()
-    # coalesce producer blocks so the hive fan-out (blocks × partitions)
-    # doesn't explode the file count
-    n_blocks = max(4, min(16, num_partitions))
-    extracted.repartition(n_blocks).write_parquet(
-        out_dir, partition_cols=["part"])
-    write_lineage(extracted, out_dir)
+    # Stream straight into the sink: one file per producer block, the
+    # url-hash ``part`` kept as a COLUMN (not a hive directory — a
+    # random hash key against arbitrary producer blocks would fan out
+    # blocks × partitions tiny files, and co-locating first costs an
+    # all-to-all of the result; measured slower than extraction itself).
+    # Resume works at doc level (url anti-filter) and the per-partition
+    # manifest is aggregated from the output's stat columns below.
+    ds.write_parquet(out_dir)
+    write_lineage(out_dir)
 
     stats = rd.read_parquet(
         os.path.join(out_dir, "_lineage")

@@ -59,7 +59,9 @@ class Templates:
             return ""
         n = len(text)
         for label, rx, thr in self._compiled:
+            if rx.search(text) is None:  # cheap gate: most spans miss
+                continue
             covered = sum(m.end() - m.start() for m in rx.finditer(text))
-            if covered and covered >= thr * n:
+            if covered >= thr * n:
                 return label
         return ""

@@ -1,0 +1,48 @@
+"""Stream-shaped window operators (sessions, tumbling)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arabic_ocr_ray.functions.windows import session_stats, tumbling_window
+
+
+def _events(rows):
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+    })
+
+
+def test_session_stats(ray_session):
+    import ray.data as rd
+
+    rows = [
+        (1, "2024-01-01T00:00:00", 1),
+        (1, "2024-01-01T00:10:00", 1),   # same session (gap 10m)
+        (1, "2024-01-01T01:00:00", 1),   # new session (gap 50m)
+        (2, "2024-01-01T00:00:00", 1),   # single-event user
+    ]
+    out = (session_stats(rd.from_arrow(_events(rows)))
+           .to_pandas().set_index("user_id").sort_index())
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[1, "max_session_events"] == 2
+    assert out.loc[2, "n_sessions"] == 1
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+
+    rows = [
+        (1, "2024-01-01T00:05:00", 2.0),
+        (1, "2024-01-01T00:55:00", 3.0),   # same hour
+        (1, "2024-01-01T01:05:00", 4.0),   # next hour
+    ]
+    out = (tumbling_window(rd.from_arrow(_events(rows)),
+                           size_us=3_600_000_000)
+           .to_pandas().sort_values("window_id"))
+    assert list(out["n_events"]) == [2, 1]
+    assert list(out["sum_value"]) == [5.0, 4.0]

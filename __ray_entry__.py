@@ -343,6 +343,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return session_stats(ev)
 
+    def q_orders_asof_event(sf_dir: str):
+        from arabic_ocr_ray.functions.joins import asof_join
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        events = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "value"])
+        return asof_join(
+            orders, events,
+            key_left="o_custkey", key_right="user_id",
+            ts_left="o_orderdate", ts_right="ts",
+            left_cols=["o_orderkey"], right_cols=["value"],
+            right_id="event_id",
+        )
+
     # ---------------- multimodal plumbing -------------------------------
     def q_mm_decode(sf_dir: str):
         import pyarrow.parquet as pq
@@ -376,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "event_type_counts": q_event_type_counts,
         "event_sessions": q_event_sessions,
+        "orders_asof_event": q_orders_asof_event,
         "mm_decode_meta": q_mm_decode,
     }
 
@@ -526,6 +544,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, new_s, "
             "count(*) OVER (PARTITION BY user_id, sess_id) AS sess_n "
             "FROM s) GROUP BY user_id"
+        ),
+        "orders_asof_event": (
+            # ties on (user_id, ts) are deduplicated to the max
+            # event_id on both sides (the engine's documented rule) —
+            # DuckDB's ASOF picks an unspecified row otherwise
+            "WITH e AS (SELECT user_id, ts, value, row_number() OVER "
+            "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT o_orderkey, e.value AS value "
+            "FROM orders ASOF LEFT JOIN (SELECT * FROM e WHERE rn = 1) e "
+            "ON orders.o_custkey = e.user_id AND e.ts <= orders.o_orderdate"
         ),
         # near_dup_pairs / simhash_dup_pairs / knn_ivf / doc_fingerprint /
         # train_prototypes / mm_decode_meta: non-SQL-expressible

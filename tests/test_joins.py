@@ -1,0 +1,59 @@
+"""As-of join + broadcast semi/anti join operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arabic_ocr_ray.functions.joins import (
+    anti_join_broadcast,
+    asof_join,
+    semi_join_broadcast,
+)
+
+
+def _ts(s):
+    return np.datetime64(s, "us")
+
+
+def test_asof_join_backward(ray_session):
+    import ray.data as rd
+
+    orders = pa.table({
+        "okey": pa.array([1, 2, 3, 4], pa.int64()),
+        "cust": pa.array([10, 10, 20, 30], pa.int64()),
+        "odate": pa.array([_ts("2024-01-05"), _ts("2024-01-01"),
+                           _ts("2024-01-10"), _ts("2024-01-10")],
+                          pa.timestamp("us")),
+    })
+    events = pa.table({
+        "eid": pa.array([100, 101, 102, 103], pa.int64()),
+        "user": pa.array([10, 10, 20, 20], pa.int64()),
+        "ts": pa.array([_ts("2024-01-02"), _ts("2024-01-04"),
+                        _ts("2024-01-10"), _ts("2024-01-10")],
+                       pa.timestamp("us")),
+        "val": pa.array([1.5, 2.5, 3.5, 4.5], pa.float64()),
+    })
+    out = asof_join(
+        rd.from_arrow(orders), rd.from_arrow(events),
+        key_left="cust", key_right="user",
+        ts_left="odate", ts_right="ts",
+        left_cols=["okey"], right_cols=["val"], right_id="eid",
+    ).to_pandas().set_index("okey").sort_index()
+
+    assert out.loc[1, "val"] == 2.5     # latest event <= 01-05
+    assert pd.isna(out.loc[2, "val"])   # no event before 01-01
+    assert out.loc[3, "val"] == 4.5     # exact-ts match; tie → max eid
+    assert pd.isna(out.loc[4, "val"])   # key 30 has no events
+
+
+def test_semi_anti_join_broadcast(ray_session):
+    import ray
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64())})
+    ref = ray.put({2, 4})
+    ds = rd.from_arrow(t)
+    semi = sorted(r["k"] for r in semi_join_broadcast(ds, "k", ref).take_all())
+    anti = sorted(r["k"] for r in anti_join_broadcast(ds, "k", ref).take_all())
+    assert semi == [2, 4]
+    assert anti == [1, 3]

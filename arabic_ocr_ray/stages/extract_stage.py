@@ -68,19 +68,33 @@ class ExtractText:
         langs = batch.column("lang").to_pylist()
 
         texts: list[str] = []
+        status: list[str] = []
         stats = {k: np.empty(len(urls), dtype=np.int32)
                  for k in ("n_tokens", "n_lines", "n_spans", "n_content_spans")}
         html_bytes = np.empty(len(urls), dtype=np.int64)
         for i, (h, lg) in enumerate(zip(htmls, langs)):
-            out = extract_document(h, lg or "", self.model, self.templates)
-            texts.append(out["extracted_text"])
-            for k in stats:
-                stats[k][i] = out[k]
+            h = h or b""
+            try:
+                out = extract_document(h, lg or "", self.model,
+                                       self.templates)
+                texts.append(out["extracted_text"])
+                status.append("ok")
+                for k in stats:
+                    stats[k][i] = out[k]
+            except Exception as e:  # noqa: BLE001
+                # per-row status instead of the reference's silent
+                # bare-except swallow (train_recognition.py:364-367,
+                # SURVEY.md §4 "stragglers/retries" design note)
+                texts.append("")
+                status.append(f"error: {type(e).__name__}: {e}"[:200])
+                for k in stats:
+                    stats[k][i] = 0
             html_bytes[i] = len(h)
 
         cols: dict = {
             "url": batch.column("url"),
             "extracted_text": pa.array(texts, pa.string()),
+            "status": pa.array(status, pa.string()),
             "html_bytes": pa.array(html_bytes),
         }
         for k, v in stats.items():

@@ -1,0 +1,52 @@
+"""Robustness: extraction never raises and always returns a string,
+on arbitrary byte input (hypothesis + structured nasties)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arabic_ocr_ray.extract import extract_document
+from arabic_ocr_ray.html.tokenizer import tokenize
+from arabic_ocr_ray.model import PrototypeModel
+from arabic_ocr_ray.templates import Templates
+
+_MODEL = PrototypeModel.load()
+_TPL = Templates()
+
+NASTIES = [
+    b"", b"<", b"<p", b"</p>", b"<p>" * 2000, b"</div>" * 2000,
+    b"<a href='x'>" * 1000, b"\x00\x01\x02<p>x</p>",
+    b"<p>" + b"&amp;" * 5000, b"<script>alert(1)",
+    b"<!--" + b"x" * 5000, b"<p style='>'>tricky</p>",
+    b"<p>a<p>b<p>c", b"\xff\xfe\x00b\x00r\x00o\x00k",
+    "<div>نص عربي <b>".encode() * 50,
+]
+
+
+def test_structured_nasties_never_raise():
+    for i, raw in enumerate(NASTIES):
+        out = extract_document(raw, ("ar", "en", "de")[i % 3], _MODEL, _TPL)
+        assert isinstance(out["extracted_text"], str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=3000), st.sampled_from(["", "ar", "en", "de"]))
+def test_fuzz_extract_total(raw, lang):
+    out = extract_document(raw, lang, _MODEL, _TPL)
+    assert isinstance(out["extracted_text"], str)
+    assert out["n_spans"] >= out["n_content_spans"] >= 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2000))
+def test_fuzz_tokenizer_invariants(raw):
+    ts = tokenize(raw)
+    n = len(ts)
+    assert len(ts.texts) == len(ts.tags) == n
+    # weights positive exactly on text tokens
+    for i in range(n):
+        assert (ts.weights[i] > 0) == (ts.kinds[i] == 1)
+    # matched pairs are consistent
+    for i in range(n):
+        m = int(ts.match[i])
+        if m != -1 and ts.is_open[i]:
+            assert int(ts.match[m]) == i

@@ -78,7 +78,7 @@ class ExtractText:
                 out = extract_document(h, lg or "", self.model,
                                        self.templates)
                 texts.append(out["extracted_text"])
-                status.append("ok")
+                status.append("ok" if h else "empty")
                 for k in stats:
                     stats[k][i] = out[k]
             except Exception as e:  # noqa: BLE001

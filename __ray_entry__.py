@@ -125,6 +125,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              batch_size=32, concurrency=4)
         return out.select_columns(["url", "n_spans"])
 
+    def q_extract_dedup(sf_dir: str):
+        """Chained pipeline: extract → exact-dedup on extracted_text.
+        The fixture's dup hazard (identical content under distinct
+        urls) and the empty-content hazard (all '' texts collide)
+        give non-trivial groups; byte-identical extraction makes the
+        golden text column a valid oracle for the whole chain."""
+        import pandas as pd
+
+        fx = _fixture(sf_dir)
+        ds = extract_pages(fx["pages"], batch_size=64, concurrency=4)
+        from arabic_ocr_ray.functions.dedup import dedup_exact
+
+        groups = dedup_exact(ds.select_columns(["url", "extracted_text"]),
+                             col="extracted_text", id_col="url")
+        df = groups.to_pandas()
+        return pd.DataFrame({
+            "n_groups": [len(df)],
+            "dup_docs": [int(df.loc[df["n_copies"] > 1, "n_copies"].sum())],
+        })
+
     def q_train_prototypes(sf_dir: str):
         import pandas as pd
 
@@ -374,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": q_extract,
         "extract_eval": q_extract_eval,
         "corpus_stats": q_corpus_stats,
+        "extract_dedup": q_extract_dedup,
         "segment_stats": q_segment_stats,
         "train_prototypes": q_train_prototypes,
         "doc_token_count": q_token_count,
@@ -425,6 +446,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS total_docs, count(*) AS matched_docs, "
             f"CAST(0 AS BIGINT) AS total_edit_distance "
             f"FROM read_parquet('{pages}')"
+        ),
+        "extract_dedup": (
+            "SELECT count(*) AS n_groups, "
+            "CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) "
+            "AS dup_docs FROM "
+            f"(SELECT count(*) AS c FROM read_parquet('{pages}') "
+            "GROUP BY text)"
         ),
         "corpus_stats": (
             f"SELECT count(*) AS n_docs, "

@@ -96,13 +96,24 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+#: Docs with fewer distinct shingles than this are excluded from LSH
+#: banding: near-identical SHORT texts (1-word pages, empty pages)
+#: produce identical signatures in huge classes and explode the
+#: candidate space quadratically, while carrying no shingle evidence —
+#: exact dedup (dedup_exact) is the right operator for them.
+MIN_SHINGLES = 5
+
+
 def _band_rows_batch(batch: pa.Table, col: str, id_col: str) -> pa.Table:
     """doc → N_BANDS (band, band_hash, id) rows."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(col).to_pylist()
     out_id, out_band, out_hash = [], [], []
     for i, t in zip(ids, texts):
-        sig = minhash_signature(shingles(t))
+        sh = shingles(t)
+        if len(sh) < MIN_SHINGLES:
+            continue
+        sig = minhash_signature(sh)
         for band in range(N_BANDS):
             chunk = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
             out_id.append(i)

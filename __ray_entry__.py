@@ -35,9 +35,11 @@ def _fixture(sf_dir: str) -> dict:
         golden_spans_table,
     )
 
+    from arabic_ocr_ray.sources.pages import GEN_VERSION
+
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
     n = FIXTURE_ROWS.get(name, 500)
-    d = os.path.join(FIXTURE_ROOT, name)
+    d = os.path.join(FIXTURE_ROOT, f"{name}-g{GEN_VERSION}")
     pages = os.path.join(d, "pages.parquet")
     spans = os.path.join(d, "spans.parquet")
     ensure_pages_parquet(pages, n, seed=FIXTURE_SEED)

@@ -186,9 +186,15 @@ def segment_document(ts: TokenStream) -> Segmented:
     for ls, le in segment_lines(ts):
         lm = text_mask[ls:le]
         local = dominant_weighted(ts.depths[ls:le][lm], ts.weights[ls:le][lm])
-        # Local-vs-global baseline fallback (preprocess.py:420-422).
-        if abs(local - baseline) > 2:
-            local = baseline
+        # C3 note (preprocess.py:420-422): the reference distrusts a
+        # CONTOUR's local baseline when it strays >2 from its LINE
+        # baseline.  In this engine sub-spans inherit the line baseline
+        # directly, which realizes that rule by construction; a
+        # line→document fallback (the first mapping attempted) was
+        # removed — in the DOM, inter-line depth variance is
+        # structural (nav at depth 6 vs content under k wrapper divs),
+        # and the fallback mis-baselined deeply-wrapped low-content
+        # pages (caught by the wrap-variation golden soak).
         line_idx = len(seg.line_ranges)
         seg.line_ranges.append((ls, le))
         seg.line_baselines.append(local)

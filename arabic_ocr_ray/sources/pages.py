@@ -48,6 +48,10 @@ from ..kernels import NO_SPLIT, adaptive_gap_threshold
 
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
+#: Generator version — cache directories embed it so evolving the
+#: grammar can never silently reuse stale fixture parquet.
+GEN_VERSION = 2
+
 WORDS_EN = (
     "time year people way day man thing woman life child world school state "
     "family student group country problem hand part place case week company "
@@ -259,6 +263,12 @@ def build_page(seed: int, i: int, giant: bool = False,
         page.spans.append(("cookie", f"{COOKIE_BTNS[0]} {COOKIE_BTNS[1]}"))
 
     # --- main content ----------------------------------------------------
+    # Nested-wrapper variation: the deskew stress (preprocess.py:33-51
+    # analog).  0-4 layers of <div> around <main> shift every content
+    # depth; wrapper-depth normalization + line-local baselines keep
+    # extraction byte-identical at any k.
+    wrap_depth = rng.randrange(5)
+    page.html.append("<div>" * wrap_depth)
     page.html.append("<main><article>")
     if hazard == "empty":
         pass
@@ -298,6 +308,7 @@ def build_page(seed: int, i: int, giant: bool = False,
             _paragraph(rng, page, lang, 5 + rng.randrange(n_words_hi - 4),
                        trailer=trailer)
     page.html.append("</article></main>")
+    page.html.append("</div>" * wrap_depth)
 
     # --- aside -----------------------------------------------------------
     if rng.randrange(10) < 5:

@@ -52,9 +52,11 @@ def main() -> None:
     from arabic_ocr_ray.pipelines.extract import run_extract
     from arabic_ocr_ray.sources.pages import ensure_bench_corpus
 
+    from arabic_ocr_ray.sources.pages import GEN_VERSION
+
     name = os.path.basename(os.path.normpath(SF_DIR))
     n = BENCH_ROWS.get(name, 8000)
-    corpus = os.path.join(BENCH_ROOT, name)
+    corpus = os.path.join(BENCH_ROOT, f"{name}-g{GEN_VERSION}")
     ensure_bench_corpus(corpus, n, seed=BENCH_SEED)
 
     # warm the page cache (untimed read)

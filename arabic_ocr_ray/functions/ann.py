@@ -32,6 +32,19 @@ def _normalize(E: np.ndarray) -> np.ndarray:
     return E / norms
 
 
+def _merge_topk(k: int):
+    """Final per-query top-k merge: sort by (sim desc, neighbor asc),
+    head k, 1-based rank — the single tie-break/rank definition shared
+    by the exact and IVF paths so they can never silently diverge."""
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_x1e9", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+    return merge
+
+
 def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
                    id_col: str = "vec_id", col: str = "embedding"):
     """→ Dataset(query_id, neighbor_id, rank, cos_x1e9) — exact top-k
@@ -76,16 +89,8 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
         })
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_x1e9", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     return partials.groupby("query_id").map_groups(
-        merge_topk, batch_format="pandas")
+        _merge_topk(k), batch_format="pandas")
 
 
 def kmeans_lite(E: np.ndarray, n_clusters: int, n_iter: int = 10,
@@ -168,13 +173,5 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, n_clusters: int = 16,
         })
 
     partials = ds.map_batches(assign_and_score, batch_format="pyarrow")
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_x1e9", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     return partials.groupby("query_id").map_groups(
-        merge_topk, batch_format="pandas")
+        _merge_topk(k), batch_format="pandas")

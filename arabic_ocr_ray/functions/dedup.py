@@ -120,7 +120,9 @@ def _band_rows_batch(batch: pa.Table, col: str, id_col: str) -> pa.Table:
             out_band.append(band)
             out_hash.append(zlib.crc32(chunk.tobytes()))
     return pa.table({
-        id_col: pa.array(out_id),
+        # id array typed from the input column — an all-skipped batch
+        # must not emit a null-typed column (block schema mismatch)
+        id_col: pa.array(out_id, type=batch.schema.field(id_col).type),
         "band": pa.array(out_band, pa.int32()),
         "band_hash": pa.array(out_hash, pa.int64()),
     })
@@ -166,8 +168,17 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
         t = ray.get(ref)
         a = batch.column("a").to_pylist()
         bb = batch.column("b").to_pylist()
-        sims = [jaccard(shingles(t.get(x)), shingles(t.get(y)))
-                for x, y in zip(a, bb)]
+        # memoize shingle sets: a doc in P pairs is shingled once, not 2P
+        # times (near-dup clusters make P quadratic in cluster size)
+        cache: dict = {}
+
+        def sh(doc_id):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = shingles(t.get(doc_id))
+            return s
+
+        sims = [jaccard(sh(x), sh(y)) for x, y in zip(a, bb)]
         keep = [s >= threshold for s in sims]
         out = batch.append_column(
             "jaccard_x1000",

@@ -73,6 +73,20 @@ def asof_join(
     l = left_ds.map_batches(tag_left_typed, batch_format="pyarrow")
     r = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
+    # Integer columns must come back as NULLABLE ints: pandas coerces
+    # int64-with-NaN to float64, which both loses key precision beyond
+    # 2^53 and makes block schemas differ between groups with and
+    # without right-side rows.
+    int_cols = (
+        [c for c in left_cols if pa.types.is_integer(ltypes[c])]
+        + [c for c in right_cols if pa.types.is_integer(rtypes[c])]
+    )
+
+    def _restore_ints(df: pd.DataFrame) -> pd.DataFrame:
+        for c in int_cols:
+            df[c] = df[c].astype("Int64")
+        return df
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0]
         rf = g[g["_side"] == 1]
@@ -80,7 +94,7 @@ def asof_join(
         if rf.empty:
             # left rows already carry correctly-typed null right cols
             # from the union schema
-            return lf[left_cols + right_cols].copy()
+            return _restore_ints(lf[left_cols + right_cols].copy())
         sort_cols = ["_ts"] + (["_rid"] if "_rid" in rf.columns else [])
         rf = rf.sort_values(sort_cols, kind="mergesort")
         if "_rid" in rf.columns:
@@ -89,7 +103,7 @@ def asof_join(
             lf[["_ts"] + left_cols].reset_index(drop=True),
             rf[["_ts"] + right_cols].reset_index(drop=True),
             on="_ts", direction="backward", allow_exact_matches=True)
-        return merged.drop(columns=["_ts"])
+        return _restore_ints(merged.drop(columns=["_ts"]))
 
     return l.union(r).groupby("_key").map_groups(
         merge, batch_format="pandas")

@@ -55,8 +55,14 @@ _HEAD_RE = re.compile(r"<head\b[^>]*>.*?(?:</head\s*>|(?=<body\b)|$)", re.S | re
 # A stray '<' that opens no tag is literal text (browser recovery).
 _STRAY_LT_RE = re.compile(r"<(?![a-zA-Z/!?])")
 # A '<' only opens a tag when followed by a letter, '/', '!' or '?'
-# (browser-style error recovery; a stray '< ' stays text).
-_TAG_OR_TEXT_RE = re.compile(r"<([a-zA-Z/!?][^>]*)>|([^<]+)")
+# (browser-style error recovery; a stray '< ' stays text).  Quoted
+# attribute values may contain '>' (inline JSON, onclick handlers) —
+# the tag body alternation skips over them like a browser does; each
+# alternative is disjoint on its first character, so matching stays
+# linear.
+_TAG_OR_TEXT_RE = re.compile(
+    r"""<([a-zA-Z/!?](?:[^<>"']|"[^"]*"|'[^']*')*)>|([^<]+)"""
+)
 _WS_RE = re.compile(r"\s+")
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
 

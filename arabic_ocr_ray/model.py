@@ -56,7 +56,7 @@ class PrototypeModel:
         try:
             with open(path, encoding="utf-8") as f:
                 return cls(json.load(f))
-        except (OSError, json.JSONDecodeError):
+        except (OSError, json.JSONDecodeError, UnicodeDecodeError):
             return cls({})
 
     def save(self, path: str) -> None:
@@ -109,7 +109,9 @@ class PrototypeModel:
         for _score, protos in other.mapping.items():
             for label, fv in protos:
                 self.insert(label, fv)
-        self._rebuild()
+        # canonicalize so merge order can never change the serialized
+        # model (the same invariant from_triples guarantees)
+        self.canonicalize()
 
     def _rebuild(self) -> None:
         self._buckets = {}

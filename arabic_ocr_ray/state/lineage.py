@@ -28,7 +28,11 @@ LINEAGE_DIR = "_lineage"
 
 
 def completed_urls(out_dir: str):
-    """Set of urls already extracted into ``out_dir`` (or None)."""
+    """Set of urls already SUCCESSFULLY extracted into ``out_dir``
+    (or None).  Rows with an error status are excluded so a rerun
+    retries them; note a retried url leaves the superseded error row
+    behind in the old file — corpus readers should prefer non-error
+    rows per url (extraction is total, so this path is defensive)."""
     if not os.path.isdir(out_dir):
         return None
     import pyarrow as pa
@@ -38,12 +42,22 @@ def completed_urls(out_dir: str):
         dataset = pads.dataset(out_dir, format="parquet",
                                partitioning="hive",
                                ignore_prefixes=[".", "_"])
-        tbl = dataset.to_table(columns=["url"])
+        cols = ["url"]
+        if "status" in dataset.schema.names:
+            cols.append("status")
+        tbl = dataset.to_table(columns=cols)
     except (OSError, pa.ArrowInvalid):
         return None
     if tbl.num_rows == 0:
         return None
-    return set(tbl.column("url").to_pylist())
+    urls = tbl.column("url").to_pylist()
+    if "status" in cols:
+        # rows that FAILED extraction are not complete — a rerun (with
+        # a fixed model/code) must retry them, not skip them
+        status = tbl.column("status").to_pylist()
+        return {u for u, s in zip(urls, status)
+                if not (s or "").startswith("error")}
+    return set(urls)
 
 
 def write_lineage(out_dir: str) -> None:

@@ -55,3 +55,17 @@ def test_resume_noop_when_complete(ray_session, default_model, tmp_path):
     m = run_extract(p, out, batch_size=8, concurrency=2, num_partitions=4)
     assert m["skipped_resume"] == 20
     assert _read_out(out).num_rows == 20
+
+
+def test_completed_urls_excludes_errored_rows(tmp_path):
+    import pyarrow as pa
+
+    out = tmp_path / "out"
+    out.mkdir()
+    pq.write_table(pa.table({
+        "url": ["a", "b", "c"],
+        "status": ["ok", "error: ValueError: boom", "empty"],
+        "extracted_text": ["x", "", ""],
+    }), str(out / "f.parquet"))
+    done = completed_urls(str(out))
+    assert done == {"a", "c"}  # errored row must be retried on resume

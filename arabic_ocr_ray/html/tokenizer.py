@@ -76,6 +76,24 @@ _CHARSET_ALIASES = {
 COMPOSITE = "لا"  # لا
 COMPOSITE_SENTINEL = "L"
 
+#: Memoized tag-body parse for the high-frequency attribute-free tags
+#: (``p``, ``/p``, ``li``, ``b`` …) — (closing, name, self_closing).
+#: Attribute-bearing bodies (unique hrefs etc.) are parsed inline and
+#: never cached; the cache is size-capped for pathological inputs.
+_TAG_INFO: dict[str, tuple[bool, str, bool]] = {}
+
+
+def _tag_info(body: str) -> tuple[bool, str, bool]:
+    info = _TAG_INFO.get(body)
+    if info is None:
+        closing = body.startswith("/")
+        stripped = body.lstrip("/")
+        name = stripped.split()[0].split(">")[0].lower() if stripped else ""
+        info = (closing, name.rstrip("/"), body.endswith("/"))
+        if " " not in body and len(body) < 16 and len(_TAG_INFO) < 8192:
+            _TAG_INFO[body] = info
+    return info
+
 
 @dataclass
 class TokenStream:
@@ -160,17 +178,14 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
     link_depth = 0  # number of open <a> elements (O(1) containment test)
 
     for m in _TAG_OR_TEXT_RE.finditer(doc):
-        tag_body, text = m.group(1), m.group(2)
+        tag_body, text = m.group(1, 2)
         if tag_body is not None:
             body = tag_body.strip()
             if body.startswith(("!", "?")):
                 continue  # doctype / processing instruction: no token
-            closing = body.startswith("/")
-            name = body.lstrip("/").split()[0].split(">")[0].lower() if body.lstrip("/") else ""
-            name = name.rstrip("/")
+            closing, name, self_closing = _tag_info(body)
             if not name:
                 continue
-            self_closing = body.endswith("/")
             idx = len(kinds)
             # Depth convention: an element's open and close tokens carry
             # its *inside* depth (same depth as its text content), so a

@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR", **kw)
@@ -87,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
                                 scale=args.scale)
             print(json.dumps({"path": args.output, "n": args.n}))
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a session we didn't start
+            ray.shutdown()
     return 0
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pyarrow as pa
 
 # --- token counting -------------------------------------------------------
@@ -99,9 +98,8 @@ FP_BASE = 1_000_003
 
 
 def fingerprint(text: str) -> int:
-    """Karp-Rabin style rolling hash over the byte stream, mod 2^61-1.
-    Vectorized horner via precomputed powers (numpy u64 → python int
-    arithmetic chunked to stay exact)."""
+    """Karp-Rabin style rolling hash over the utf-8 byte stream,
+    mod 2^61−1 (Horner fold; python-int arithmetic stays exact)."""
     h = 0
     for b in (text or "").encode("utf-8"):
         h = (h * FP_BASE + b) % FP_MOD

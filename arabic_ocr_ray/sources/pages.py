@@ -40,7 +40,6 @@ import html as _htmlmod
 import os
 import random
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 

@@ -19,6 +19,38 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+
+def _register_package_by_value() -> None:
+    """Make Ray workers independent of the driver's sys.path.
+
+    The driver may import this module via a bare ``sys.path`` insert
+    from another cwd; worker processes then cannot import
+    ``arabic_ocr_ray`` and every actor/UDF deserialization dies with
+    ModuleNotFoundError.  Registering the package (and submodules) for
+    cloudpickle by-VALUE serialization ships the code with each task
+    instead of referencing it — verified against exactly that failure
+    mode."""
+    try:
+        import importlib
+        import pkgutil
+
+        # Ray serializes with its VENDORED cloudpickle — registering
+        # with the PyPI one has no effect on task/actor serialization.
+        from ray import cloudpickle
+
+        import arabic_ocr_ray
+
+        cloudpickle.register_pickle_by_value(arabic_ocr_ray)
+        for m in pkgutil.walk_packages(arabic_ocr_ray.__path__,
+                                       "arabic_ocr_ray."):
+            cloudpickle.register_pickle_by_value(
+                importlib.import_module(m.name))
+    except Exception:  # noqa: BLE001 — never break the driver import
+        pass
+
+
+_register_package_by_value()
+
 FIXTURE_ROOT = "/tmp/aor_fixtures"
 FIXTURE_SEED = 123
 FIXTURE_ROWS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 8000}
@@ -51,13 +83,23 @@ def _fixture(sf_dir: str) -> dict:
     return {"pages": pages, "spans": spans, "n": n}
 
 
+def _conc(cap: int = 8) -> int:
+    """Actor-pool size for fixture-scale queries: never all CPUs (the
+    read/write operators starve and the pipeline stalls), capped for
+    small corpora."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(cap, cpus - 2))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages → fused extraction
     actor pool → (url, extracted_text, stats) Dataset."""
     from arabic_ocr_ray.pipelines.extract import extract_pages
 
     fx = _fixture("/root/testdata/sf0.001")
-    return extract_pages(fx["pages"], batch_size=32, concurrency=4)
+    return extract_pages(fx["pages"], batch_size=32, concurrency=_conc())
 
 
 # --------------------------------------------------------------------------
@@ -79,14 +121,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---------------- extraction family (pages fixture) ----------------
     def q_extract(sf_dir: str):
         fx = _fixture(sf_dir)
-        return (extract_pages(fx["pages"], batch_size=32, concurrency=4)
+        return (extract_pages(fx["pages"], batch_size=32, concurrency=_conc())
                 .select_columns(["url", "extracted_text"]))
 
     def q_extract_eval(sf_dir: str):
         import pandas as pd
 
         fx = _fixture(sf_dir)
-        ds = extract_pages(fx["pages"], batch_size=32, concurrency=4)
+        ds = extract_pages(fx["pages"], batch_size=32, concurrency=_conc())
         rep = evaluate_extraction(ds, fx["pages"], num_partitions=4)
         return pd.DataFrame({
             "total_docs": [rep["total_docs"]],
@@ -124,7 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fx = _fixture(sf_dir)
         ds = rd.read_parquet(fx["pages"], columns=["url", "html", "lang"])
         out = ds.map_batches(SegmentStats, batch_format="pyarrow",
-                             batch_size=32, concurrency=4)
+                             batch_size=32, concurrency=_conc())
         return out.select_columns(["url", "n_spans"])
 
     def q_extract_dedup(sf_dir: str):
@@ -136,7 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
 
         fx = _fixture(sf_dir)
-        ds = extract_pages(fx["pages"], batch_size=64, concurrency=4)
+        ds = extract_pages(fx["pages"], batch_size=64, concurrency=_conc())
         from arabic_ocr_ray.functions.dedup import dedup_exact
 
         groups = dedup_exact(ds.select_columns(["url", "extracted_text"]),
@@ -152,7 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         fx = _fixture(sf_dir)
         model, _stats = train_model(fx["pages"], fx["spans"],
-                                    num_partitions=4, concurrency=4)
+                                    num_partitions=4, concurrency=_conc())
         rows = [(s, lab, ",".join(map(str, fv)))
                 for s, lab, fv in model.triples()]
         return pd.DataFrame(rows, columns=["score", "label", "fv"])

@@ -92,11 +92,17 @@ def main() -> None:
     assert report["total_docs"] > 0
     assert report["match_rate"] == 1.0, f"extraction not byte-identical: {report}"
 
-    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                           columns=["doc_id", "text"])
+    # near-dup over the corpus just extracted (chained pipeline at
+    # scale; capped slice keeps the 8-cpu run bounded)
+    ext = rd.read_parquet(out_dir, columns=["url", "extracted_text"])
     t0 = time.monotonic()
-    dedup.near_dup_pairs(docs, threshold=0.8).to_pandas()
+    pairs = dedup.near_dup_pairs(ext.limit(120_000), threshold=0.8,
+                                 col="extracted_text",
+                                 id_col="url").to_pandas()
     queries["near_dup"] = round(time.monotonic() - t0, 3)
+    assert all(("/dup/" in a) or ("/dup/" in b)
+               for a, b in zip(pairs["a"], pairs["b"])), \
+        "near-dup false positives"
 
     emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])

@@ -279,31 +279,74 @@ def simhash_batch(batch: pa.Table, col: str = "text",
 
 def simhash_dup_pairs(ds, max_hamming: int = 3,
                       col: str = "text", id_col: str = "doc_id"):
-    """→ Dataset(a, b, hamming) with hamming ≤ max_hamming."""
-    # materialize: the (id, simhash, bands) table is tiny relative to
-    # the corpus and is consumed once per band — without this the
-    # simhash computation would re-run 4×
+    """→ Dataset(a, b, hamming) with hamming ≤ max_hamming.
+
+    Same fixed-partition shape as :func:`minhash_candidates`: each doc
+    emits 4 (band_idx, band_val, id, simhash) rows; rows are
+    hash-partitioned on the band key and every partition resolves its
+    buckets with ONE vectorized self-merge + numpy popcount — never a
+    python call per bucket (16-bit bands make ~65k mostly-singleton
+    buckets per band at corpus scale)."""
     sh = ds.map_batches(lambda b: simhash_batch(b, col, id_col),
-                        batch_format="pyarrow").materialize()
+                        batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[id_col], g["simhash"]))
-        out = []
-        for i, (ida, ha) in enumerate(rows):
-            for idb, hb in rows[i + 1:]:
-                d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    out.append((ida, idb, d))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids, bidx, bval, hashes = [], [], [], []
+        raw_ids = b.column(id_col).to_pylist()
+        raw_h = b.column("simhash").to_pylist()
+        for band in range(4):
+            vals = b.column(f"sh_band{band}").to_pylist()
+            ids.extend(raw_ids)
+            bidx.extend([band] * n)
+            bval.extend(vals)
+            hashes.extend(raw_h)
+        pk = (np.asarray(bval, dtype=np.int64) * 4
+              + np.asarray(bidx, dtype=np.int64)) % _PAIR_PARTITIONS
+        return pa.table({
+            id_col: pa.array(ids, type=b.schema.field(id_col).type),
+            "band_idx": pa.array(bidx, pa.int32()),
+            "band_val": pa.array(bval, pa.int32()),
+            "simhash": pa.array(hashes, pa.int64()),
+            "pk": pa.array(pk, pa.int32()),
+        })
 
-    parts = [
-        sh.groupby(f"sh_band{band}").map_groups(
-            bucket_pairs, batch_format="pandas")
-        for band in range(4)
-    ]
-    allp = parts[0].union(*parts[1:])
-    return allp.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = ["band_idx", "band_val"]
+        sizes = g.groupby(key)[id_col].transform("size")
+        g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET)]
+        if g2.empty:
+            return pd.DataFrame({
+                "a": g2[id_col], "b": g2[id_col],
+                "hamming": pd.Series(dtype="int64")})
+        m = g2.merge(g2, on=key, suffixes=("_x", "_y"))
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        hx = m[f"simhash_x"].to_numpy().astype(np.uint64)
+        hy = m[f"simhash_y"].to_numpy().astype(np.uint64)
+        xor = (hx ^ hy).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "a": m[f"{id_col}_x"].to_numpy()[keep],
+            "b": m[f"{id_col}_y"].to_numpy()[keep],
+            "hamming": ham[keep],
+        }).drop_duplicates(["a", "b"])
+
+    cand = (sh.map_batches(explode, batch_format="pyarrow")
+            .groupby("pk").map_groups(pairs_part, batch_format="pandas"))
+
+    def add_ppk(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}".encode()) % 32 for x, y in zip(a, bb)]
+        return b.append_column("ppk", pa.array(pk, pa.int32()))
+
+    return (cand.map_batches(add_ppk, batch_format="pyarrow")
+            .groupby("ppk")
+            .map_groups(
+                lambda g: g.drop_duplicates(["a", "b"])[
+                    ["a", "b", "hamming"]],
+                batch_format="pandas"))
 
 
 # --- embedding near-dup ---------------------------------------------------

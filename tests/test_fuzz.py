@@ -28,7 +28,7 @@ def test_structured_nasties_never_raise():
         assert isinstance(out["extracted_text"], str)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(st.binary(max_size=3000), st.sampled_from(["", "ar", "en", "de"]))
 def test_fuzz_extract_total(raw, lang):
     out = extract_document(raw, lang, _MODEL, _TPL)
@@ -36,7 +36,7 @@ def test_fuzz_extract_total(raw, lang):
     assert out["n_spans"] >= out["n_content_spans"] >= 0
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(st.binary(max_size=2000))
 def test_fuzz_tokenizer_invariants(raw):
     ts = tokenize(raw)

@@ -77,7 +77,7 @@ def _fixture(sf_dir: str) -> dict:
     ensure_pages_parquet(pages, n, seed=FIXTURE_SEED)
     if not os.path.exists(spans):
         os.makedirs(d, exist_ok=True)
-        tmp = spans + ".tmp"
+        tmp = f"{spans}.tmp{os.getpid()}"  # unique per writer
         pq.write_table(golden_spans_table(n, seed=FIXTURE_SEED), tmp)
         os.replace(tmp, spans)
     return {"pages": pages, "spans": spans, "n": n}

@@ -396,9 +396,9 @@ def ensure_pages_parquet(path: str, n: int, seed: int = 42,
     Multiple row groups so ray.data can split the read."""
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = path + ".tmp"
-        pq.write_table(pages_table(n, seed, giant), tmp,
-                       row_group_size=row_group_size)
+        tmp = f"{path}.tmp{os.getpid()}"  # unique per writer: concurrent
+        pq.write_table(pages_table(n, seed, giant), tmp,   # callers race
+                       row_group_size=row_group_size)      # benignly
         os.replace(tmp, path)
     return path
 

@@ -160,7 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Sum("html_bytes", alias_name="total_html_bytes"),
             Max("text_chars", alias_name="max_text_chars"),
         )
-        return pd.DataFrame([row])
+        # explicit int64: Ray's aggregate row dict may carry numpy
+        # scalar types that pandas coerces inconsistently vs the
+        # oracle's BIGINT casts (the r1 hash-only mismatch)
+        return pd.DataFrame([row]).astype("int64")
 
     def q_segment_stats(sf_dir: str):
         fx = _fixture(sf_dir)
@@ -278,7 +281,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice", "l_discount"])
 
-        # map-side combine: one partial row per (flag,status) per batch
+        # map-side combine: one partial row per (flag,status) per batch.
+        # Dtypes are pinned even for an EMPTY batch — a schemaless empty
+        # partial block otherwise triggers per-block schema-mismatch
+        # warnings downstream (r1 bench log).
+        _PARTIAL_TYPES = {"l_returnflag": "object", "l_linestatus": "object",
+                          "sum_qty": "float64", "sum_price": "float64",
+                          "sum_disc": "float64", "n_rows": "int64"}
+
         def partial(b: pa.Table) -> pd.DataFrame:
             df = b.to_pandas()
             g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
@@ -286,7 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         sum_price=("l_extendedprice", "sum"),
                         sum_disc=("l_discount", "sum"),
                         n_rows=("l_quantity", "size")).reset_index()
-            return out
+            return out.astype(_PARTIAL_TYPES)
 
         partials = li.map_batches(partial, batch_format="pyarrow",
                                   batch_size=65536)
@@ -316,13 +326,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return final.map_batches(finish, batch_format="pyarrow")
 
-    def q_top_orders(sf_dir: str):
+    def q_top_orders(sf_dir: str, k: int = 10):
+        """Top-k WITHOUT a global sort: per-block top-k partials
+        (map-side combine) → one tiny driver merge of ≤ k×blocks rows —
+        the `ann._merge_topk` shape.  A `sort().limit(10)` would
+        all-to-all-shuffle the whole orders table for a 10-row answer."""
+        import numpy as np
+        import pyarrow as pa
+
         orders = rd.read_parquet(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_totalprice"])
-        return orders.sort(
-            ["o_totalprice", "o_orderkey"],
-            descending=[True, False]).limit(10)
+
+        def block_topk(b: pa.Table) -> pa.Table:
+            price = np.asarray(b.column("o_totalprice"), dtype=np.float64)
+            okey = np.asarray(b.column("o_orderkey"), dtype=np.int64)
+            order = np.lexsort((okey, -price))[:k]
+            return b.take(pa.array(order, pa.int64()))
+
+        partials = orders.map_batches(block_topk, batch_format="pyarrow")
+        merged = partials.to_pandas()  # ≤ k × n_blocks rows — tiny
+        return (merged.sort_values(["o_totalprice", "o_orderkey"],
+                                   ascending=[False, True])
+                .head(k).reset_index(drop=True))
 
     def q_segment_order_stats(sf_dir: str):
         import numpy as np
@@ -499,10 +525,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY text)"
         ),
         "corpus_stats": (
-            f"SELECT count(*) AS n_docs, "
-            f"max(octet_length(html)) AS max_html_bytes, "
-            f"sum(octet_length(html)) AS total_html_bytes, "
-            f"max(length(text)) AS max_text_chars "
+            # every aggregate CAST to BIGINT: DuckDB's sum() yields
+            # HUGEINT (→ float64 in pandas) while the engine emits
+            # int64 — identical values hash-mismatched in r1
+            f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(max(octet_length(html)) AS BIGINT) AS max_html_bytes, "
+            f"CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes, "
+            f"CAST(max(length(text)) AS BIGINT) AS max_text_chars "
             f"FROM read_parquet('{pages}')"
         ),
         "segment_stats": (

@@ -157,6 +157,30 @@ def test_knn_ivf_recall(emb_ds):
     assert recall >= 0.6, recall  # nprobe=4 of 8 cells
 
 
+def test_knn_ivf_recall_clustered(ray_session):
+    """IVF quality gate on CLUSTERED data (its design target): 16
+    gaussian blobs, probe 1/4 of the cells → recall ≥ 0.9."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(16, 64) * 4
+    E = np.concatenate([c + rng.randn(250, 64) for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(range(len(E)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    qids = [int(i) for i in rng.choice(len(E), 10, replace=False)]
+    exact = ann.knn_bruteforce(ds, qids, k=5).to_pandas()
+    approx = ann.knn_ivf(ds, qids, k=5, n_clusters=16, nprobe=4,
+                         sample_limit=4096).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
 # ---------------- multimodal ----------------------------------------------
 
 def test_multimodal_decode_stage(ray_session):

@@ -630,6 +630,37 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
         ),
+        "simhash_dup_pairs": (
+            # Full SQL replica of the engine's sketch: token hash =
+            # first 8 md5 bytes big-endian (bit b = bit b%4 of hex
+            # nibble (63-b)//4), per-bit ±1 fold with ties → 0, then
+            # ALL-pairs hamming ≤ 3.  The engine's 4×16-bit banding is
+            # EXACT for hamming ≤ 3 (pigeonhole), so engine == oracle
+            # deterministically — no LSH luck involved.
+            r"WITH tok AS ("
+            r" SELECT doc_id, md5(tok) AS h FROM ("
+            r"  SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            r" '\S+')) AS tok FROM documents)"
+            r"), bitsum AS ("
+            r" SELECT t.doc_id, r.b AS b,"
+            r" sum(CASE WHEN ((instr('0123456789abcdef',"
+            r" substr(t.h, (63 - r.b)//4 + 1, 1)) - 1) >> (r.b % 4))"
+            r" & 1 = 1 THEN 1 ELSE -1 END) AS s"
+            r" FROM tok t CROSS JOIN range(64) r(b)"
+            r" GROUP BY t.doc_id, r.b"
+            r"), bits AS ("
+            r" SELECT d.doc_id, r.b, coalesce(x.s, 0) > 0 AS bit"
+            r" FROM documents d CROSS JOIN range(64) r(b)"
+            r" LEFT JOIN bitsum x ON x.doc_id = d.doc_id AND x.b = r.b"
+            r") SELECT a.doc_id AS a, b.doc_id AS b,"
+            r" CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)"
+            r" AS BIGINT) AS hamming"
+            r" FROM bits a JOIN bits b ON a.b = b.b"
+            r" AND a.doc_id < b.doc_id"
+            r" GROUP BY a.doc_id, b.doc_id"
+            r" HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)"
+            r" <= 3"
+        ),
         "event_sessions": (
             "WITH d AS (SELECT user_id, ts, CASE WHEN "
             "lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) "
@@ -657,8 +688,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders ASOF LEFT JOIN (SELECT * FROM e WHERE rn = 1) e "
             "ON orders.o_custkey = e.user_id AND e.ts <= orders.o_orderdate"
         ),
-        # near_dup_pairs / simhash_dup_pairs / knn_ivf / doc_fingerprint /
-        # train_prototypes / mm_decode_meta: non-SQL-expressible
-        # (sketches, approximate search, custom hashes, model training) —
-        # rows-only checks by design.
+        # knn_ivf / train_prototypes: rows-only by design (approximate
+        # search tuned by a recall gate in pytest; model training is a
+        # custom fold) — documented in COVERAGE.md.
     }

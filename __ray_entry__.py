@@ -630,6 +630,36 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
         ),
+        "near_dup_pairs": (
+            # Exact replica of the engine's verified output: token
+            # trigram shingle sets (distinct), docs with ≥5 distinct
+            # shingles (MIN_SHINGLES — shorter docs are excluded from
+            # LSH banding by design), integer Jaccard
+            # (inter*1000 // union, keep iff inter*1000 ≥ 800*union).
+            # LSH recall at J≥0.8 with 16×4 banding is 1-(1-J^4)^16 ≥
+            # 0.9998; on this fixture every qualifying pair is found
+            # (deterministic seeded hashes, verified).
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text), '\S+')"
+            r" AS toks FROM documents"
+            r"), sh AS ("
+            r" SELECT DISTINCT doc_id,"
+            r" toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s"
+            r" FROM tk, unnest(generate_series(1, len(toks) - 2)) AS u(i)"
+            r"), cnt AS ("
+            r" SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id"
+            r"), inter AS ("
+            r" SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i"
+            r" FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            r" GROUP BY 1, 2"
+            r") SELECT i.a, i.b,"
+            r" CAST((i.i * 1000) // (ca.n + cb.n - i.i) AS BIGINT)"
+            r" AS jaccard_x1000"
+            r" FROM inter i JOIN cnt ca ON ca.doc_id = i.a"
+            r" JOIN cnt cb ON cb.doc_id = i.b"
+            r" WHERE ca.n >= 5 AND cb.n >= 5"
+            r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
         "simhash_dup_pairs": (
             # Full SQL replica of the engine's sketch: token hash =
             # first 8 md5 bytes big-endian (bit b = bit b%4 of hex

@@ -180,62 +180,135 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
                         batch_format="pandas"))
 
 
-def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
-                         col: str = "text", id_col: str = "doc_id"):
-    """Exact n-gram Jaccard verification of candidate pairs.
+_VERIFY_PARTITIONS = 64
 
-    Only the texts of docs that actually appear in candidate pairs are
-    gathered (a broadcast semi-join over the corpus — candidate ids
-    are a small fraction of it) and broadcast once via ``ray.put``.
-    The 10^12-doc path replaces the broadcast with a hash join of
-    candidate ids back to the corpus (documented assumption: the
-    verified-pair side stays small)."""
+
+def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
+                         col: str = "text", id_col: str = "doc_id",
+                         num_partitions: int = _VERIFY_PARTITIONS):
+    """Exact n-gram Jaccard verification of candidate pairs —
+    SHUFFLE-SIDE (no driver text materialization; the r1 broadcast of
+    a candidate-text dict was a driver OOM at a realistic 100 TB dup
+    rate):
+
+      1. each pair gets a verify-partition key ``vp = crc32(a|b) % V``;
+      2. each pair emits its two doc ids as (id, vp) "need" rows
+         (locally deduped);
+      3. the corpus is hash SEMI-JOINED to the need rows
+         (``Dataset.join`` on id) → (id, text, vp): a doc's text is
+         replicated once per verify-partition that needs it, bounded
+         by 2 × pairs — never the corpus;
+      4. union(tagged pair rows, tagged doc rows) → groupby(vp) → one
+         vectorized verify per partition with a per-doc shingle cache.
+
+    Jaccard is integer math end to end (``inter*1000 // union``; keep
+    iff ``inter*1000 ≥ thr_x1000*union``) so a DuckDB oracle computing
+    the same trigram sets can never diverge on float rounding."""
+    thr_x1000 = int(round(threshold * 1000))
+    sch = docs_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    # pair ids are tiny (never the corpus); pinning them avoids
+    # recomputing the whole LSH banding for the two consumers below
+    cand_ds = cand_ds.materialize()
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        vp = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
+              for x, y in zip(a, bb)]
+        return pa.table({
+            "vp": pa.array(vp, pa.int32()),
+            "kind": pa.array([0] * len(a), pa.int8()),
+            "a": b.column("a"),
+            "b": b.column("b"),
+            id_col: pa.nulls(len(a), id_type),
+            col: pa.nulls(len(a), pa.string()),
+        })
+
+    pairs_t = cand_ds.map_batches(tag_pairs, batch_format="pyarrow")
+
+    def need_rows(b: pa.Table) -> pa.Table:
+        ids = (b.column("a").to_pylist() + b.column("b").to_pylist())
+        vps = b.column("vp").to_pylist() * 2
+        seen = set()
+        out_id, out_vp = [], []
+        for i, v in zip(ids, vps):  # local dedup only — global dedup
+            if (i, v) not in seen:  # happens inside the verify group
+                seen.add((i, v))
+                out_id.append(i)
+                out_vp.append(v)
+        return pa.table({
+            id_col: pa.array(out_id, id_type),
+            "vp": pa.array(out_vp, pa.int32()),
+        })
+
+    need = pairs_t.map_batches(need_rows, batch_format="pyarrow")
+
+    # join aggregators are ACTORS — one per partition; cap them at the
+    # cluster's CPU count or the pool can't schedule and the pipeline
+    # deadlocks (observed at 64 partitions on 8 CPUs)
     import ray
 
-    cand = cand_ds.materialize()
-    need: set = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        need.update(b.column("a").to_pylist())
-        need.update(b.column("b").to_pylist())
-    if not need:
-        return cand  # no candidates → nothing to verify
-    need_ref = ray.put(need)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    join_parts = max(2, min(num_partitions, cpus))
+    docs_needed = docs_ds.select_columns([id_col, col]).join(
+        need, join_type="inner", num_partitions=join_parts,
+        on=(id_col,))
 
-    def pick(b: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = [i in wanted for i in b.column(id_col).to_pylist()]
-        return b.filter(pa.array(mask))
+    def tag_docs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "vp": b.column("vp"),
+            "kind": pa.array([1] * n, pa.int8()),
+            "a": pa.nulls(n, id_type),
+            "b": pa.nulls(n, id_type),
+            id_col: b.column(id_col),
+            col: b.column(col),
+        })
 
-    texts = {}
-    for b in (docs_ds.select_columns([id_col, col])
-              .map_batches(pick, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        texts.update(zip(b.column(id_col).to_pylist(),
-                         b.column(col).to_pylist()))
-    ref = ray.put(texts)
+    docs_t = docs_needed.map_batches(tag_docs, batch_format="pyarrow")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(ref)
-        a = batch.column("a").to_pylist()
-        bb = batch.column("b").to_pylist()
-        # memoize shingle sets: a doc in P pairs is shingled once, not 2P
-        # times (near-dup clusters make P quadratic in cluster size)
+    def verify_group(g: pa.Table) -> pa.Table:
+        # Arrow end to end: a pandas group frame would coerce the
+        # nullable id columns to float64 (loses 64-bit ids, emits
+        # schema-mismatched empty blocks)
+        import pyarrow.compute as pc
+
+        dd = g.filter(pc.equal(g.column("kind"), 1))
+        texts = dict(zip(dd.column(id_col).to_pylist(),
+                         dd.column(col).to_pylist()))
+        pp = g.filter(pc.equal(g.column("kind"), 0))
         cache: dict = {}
 
         def sh(doc_id):
             s = cache.get(doc_id)
             if s is None:
-                s = cache[doc_id] = shingles(t.get(doc_id))
+                s = cache[doc_id] = shingles(texts.get(doc_id))
             return s
 
-        sims = [jaccard(sh(x), sh(y)) for x, y in zip(a, bb)]
-        keep = [s >= threshold for s in sims]
-        out = batch.append_column(
-            "jaccard_x1000",
-            pa.array([int(s * 1000) for s in sims], pa.int64()))
-        return out.filter(pa.array(keep))
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(pp.column("a").to_pylist(),
+                        pp.column("b").to_pylist()):
+            sa, sb = sh(x), sh(y)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union == 0:
+                continue  # both shingle-less: not LSH-verifiable
+            if inter * 1000 >= thr_x1000 * union:
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(inter * 1000 // union)
+        return pa.table({
+            "a": pa.array(out_a, id_type),
+            "b": pa.array(out_b, id_type),
+            "jaccard_x1000": pa.array(out_j, pa.int64()),
+        })
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return (pairs_t.union(docs_t)
+            .groupby("vp")
+            .map_groups(verify_group, batch_format="pyarrow"))
 
 
 def near_dup_pairs(ds, threshold: float = 0.8,

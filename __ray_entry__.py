@@ -257,8 +257,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["vec_id", "embedding"])
 
     def q_emb_near_dup(sf_dir: str):
+        """Planted-truth harness: the driver's gaussian embeddings have
+        no ≥0.95-cosine pairs (max pairwise cosine 0.51 at sf0.01 — the
+        r1 oracle row was a vacuous 0-vs-0), so the query input is the
+        table UNION exact copies of every 50th vector under
+        vec_id+1_000_000, mirrored verbatim in the oracle SQL.  The
+        expected output is exactly the (original, copy) pairs."""
+        import numpy as np
+        import pyarrow as pa
+
+        emb = _emb(sf_dir)
+
+        def planted(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+            d = b.filter(pa.array(ids % 50 == 0))
+            return pa.table({
+                "vec_id": pa.array(
+                    np.asarray(d.column("vec_id"), dtype=np.int64)
+                    + 1_000_000, pa.int64()),
+                "embedding": d.column("embedding"),
+            })
+
+        aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
         return _typed(
-            dedup.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.95),
+            dedup.embedding_near_dup_pairs(aug, threshold=0.95),
             {"a": "int64", "b": "int64", "cos_x1000": "int64"})
 
     # ---------------- similarity search ---------------------------------
@@ -584,11 +606,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "embedding_near_dup": (
+            # mirrors q_emb_near_dup's planted-copy union (see its
+            # docstring): every 50th vector duplicated at id+1e6
+            "WITH allv AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 1000000, embedding "
+            "FROM embeddings WHERE vec_id % 50 = 0) "
             "SELECT a.vec_id AS a, b.vec_id AS b, "
             "CAST(round(list_cosine_similarity("
             "CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) * 1000) AS BIGINT) AS cos_x1000 "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "FROM allv a JOIN allv b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.95"
         ),

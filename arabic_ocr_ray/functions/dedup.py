@@ -512,30 +512,65 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
             buckets.extend(bk.tolist())
             tables.extend([t] * len(raw))
             vecs.extend(emb)
+        pk = ((np.asarray(buckets, dtype=np.int64) * n_tables
+               + np.asarray(tables, dtype=np.int64)) % _PAIR_PARTITIONS)
         return pa.table({
             id_col: pa.array(ids),
             "table": pa.array(tables, pa.int32()),
             "bucket": pa.array(buckets, pa.int64()),
             col: pa.array(vecs),
+            "pk": pa.array(pk, pa.int32()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        E = np.array(list(g[col]), dtype=np.float64)
-        ids = list(g[id_col])
-        norms = np.linalg.norm(E, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        En = E / norms
-        S = En @ En.T
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out.append((a, b, int(round(S[i, j] * 1000))))
-        return pd.DataFrame(out, columns=["a", "b", "cos_x1000"])
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One fixed hash partition of (table, bucket) rows — NOT one
+        python call per bucket.  Size-filter first (mostly singletons),
+        cap pathological buckets at MAX_BUCKET (a degenerate all-zero
+        bucket is otherwise O(bucket²)), then one vectorized
+        upper-triangle cosine per surviving bucket."""
+        key = ["table", "bucket"]
+        sizes = g.groupby(key)[id_col].transform("size")
+        g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET)]
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for _, gb in g2.groupby(key, sort=False):
+            E = np.array(list(gb[col]), dtype=np.float64)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            En = E / norms
+            S = En @ En.T
+            iu = np.triu_indices(len(gb), 1)
+            vals = S[iu]
+            m = vals >= threshold
+            if not m.any():
+                continue
+            ids = gb[id_col].to_numpy()
+            x, y = ids[iu[0][m]], ids[iu[1][m]]
+            out_a.extend(np.minimum(x, y).tolist())
+            out_b.extend(np.maximum(x, y).tolist())
+            out_c.extend(
+                np.round(vals[m] * 1000).astype(np.int64).tolist())
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype="int64"),
+            "b": pd.Series(out_b, dtype="int64"),
+            "cos_x1000": pd.Series(out_c, dtype="int64"),
+        })
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby(["table", "bucket"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .groupby(["a", "b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    cand = (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("pk").map_groups(pairs_part, batch_format="pandas"))
+
+    # a pair surfaces once per agreeing table → fixed-partition global
+    # distinct (same shape as minhash_candidates, no per-pair dispatch)
+    def add_ppk(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}".encode()) % 32 for x, y in zip(a, bb)]
+        return b.append_column("ppk", pa.array(pk, pa.int32()))
+
+    return (cand.map_batches(add_ppk, batch_format="pyarrow")
+            .groupby("ppk")
+            .map_groups(
+                lambda g: g.drop_duplicates(["a", "b"])[
+                    ["a", "b", "cos_x1000"]],
+                batch_format="pandas"))

@@ -472,6 +472,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_id="event_id",
         )
 
+    def q_events_asof_order(sf_dir: str):
+        """Reverse direction of orders_asof_event with REAL matches:
+        the driver's orders all predate its events, so that query's
+        right values are entirely null (vacuous on the value column);
+        here every event finds the user's latest order."""
+        from arabic_ocr_ray.functions.joins import asof_join
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        events = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"])
+        return asof_join(
+            events, orders,
+            key_left="user_id", key_right="o_custkey",
+            ts_left="ts", ts_right="o_orderdate",
+            left_cols=["event_id"], right_cols=["o_orderkey"],
+            right_id="o_orderkey",
+        )
+
     # ---------------- multimodal plumbing -------------------------------
     def q_mm_decode(sf_dir: str):
         import pyarrow.parquet as pq
@@ -507,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts": q_event_type_counts,
         "event_sessions": q_event_sessions,
         "orders_asof_event": q_orders_asof_event,
+        "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
     }
 
@@ -744,6 +766,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, e.value AS value "
             "FROM orders ASOF LEFT JOIN (SELECT * FROM e WHERE rn = 1) e "
             "ON orders.o_custkey = e.user_id AND e.ts <= orders.o_orderdate"
+        ),
+        "events_asof_order": (
+            # ties on (custkey, orderdate) deduplicated to the max
+            # o_orderkey (engine right_id rule) before the ASOF
+            "WITH o AS (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
+            "SELECT event_id, o.o_orderkey AS o_orderkey "
+            "FROM events ASOF LEFT JOIN o "
+            "ON events.user_id = o.o_custkey "
+            "AND o.o_orderdate <= events.ts"
         ),
         # knn_ivf / train_prototypes: rows-only by design (approximate
         # search tuned by a recall gate in pytest; model training is a

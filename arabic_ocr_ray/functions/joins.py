@@ -3,11 +3,18 @@
 - :func:`asof_join` — as-of (backward) join: for each left row, the
   latest right row with the same key and ``right_ts <= left_ts``.
   Ray Data has no ASOF join; the engine composes one from the
-  documented pattern (ray_guide): tag both sides, align schemas, union,
-  ``groupby(key).map_groups`` with ``pandas.merge_asof`` inside each
-  group.  Partitioning assumption: one key's rows fit in one group
-  task (salt hot keys into (key, ts-range) sub-buckets and stitch at
-  the boundary when they don't).  Deterministic under ts ties: the
+  FIXED-PARTITION shape: tag both sides, align schemas, union,
+  hash keys into ``num_partitions`` fixed partitions, and run ONE
+  ``pandas.merge_asof(..., by=key)`` per PARTITION (all of its keys at
+  once) — never a python call per key (the r1 per-key ``map_groups``
+  dispatch is the measured 3-orders-of-magnitude anti-pattern).
+  Partitioning assumption: one partition's rows fit in one group task
+  (many keys per partition).  A single hot key that alone overflows a
+  task is handled by ``salt_bucket_us``: rows are sub-partitioned into
+  (key, ts-bucket) groups; each left bucket additionally receives a
+  CARRY row — the latest right row from any earlier bucket — computed
+  by a bucket-level as-of over the tiny per-bucket summary table, so
+  no boundary information is lost.  Deterministic under ts ties: the
   right side is deduplicated to one row per (key, ts) keeping the
   highest ``right_id`` before the merge (pandas would keep an
   arbitrary-but-stable last; DuckDB's ASOF picks an unspecified one —
@@ -20,8 +27,16 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_PARTITIONS = 64
+
+
+def _key_pk(k: np.ndarray, n_parts: int) -> np.ndarray:
+    h = (k * np.int64(-7046029254386353131)) >> np.int64(32)
+    return (h % n_parts).astype(np.int32)
 
 
 def asof_join(
@@ -34,14 +49,23 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     right_id: str | None = None,
+    num_partitions: int = _PARTITIONS,
+    salt_bucket_us: int | None = None,
 ):
     """→ Dataset(left_cols..., right_cols... (nullable)) — backward
-    as-of join (exact matches allowed, ``<=``)."""
+    as-of join (exact matches allowed, ``<=``).  See module docstring
+    for the fixed-partition shape and ``salt_bucket_us`` salting."""
 
     # right-side column types discovered from the schema so nulls on
     # the left align
     right_schema = right_ds.schema()
     rtypes = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+
+    salted = salt_bucket_us is not None
+
+    def _bucket_of(ts_col) -> np.ndarray:
+        us = np.asarray(ts_col.cast(pa.int64()))
+        return us // salt_bucket_us
 
     def tag_left_typed(b: pa.Table) -> pa.Table:
         cols = {"_key": b.column(key_left).cast(pa.int64()),
@@ -53,6 +77,9 @@ def asof_join(
             cols[c] = pa.nulls(b.num_rows, rtypes[c])
         if right_id:
             cols["_rid"] = pa.nulls(b.num_rows, pa.int64())
+        if salted:
+            cols["_bucket"] = pa.array(_bucket_of(b.column(ts_left)),
+                                       pa.int64())
         return pa.table(cols)
 
     left_schema = left_ds.schema()
@@ -68,6 +95,9 @@ def asof_join(
             cols[c] = b.column(c)
         if right_id:
             cols["_rid"] = b.column(right_id).cast(pa.int64())
+        if salted:
+            cols["_bucket"] = pa.array(_bucket_of(b.column(ts_right)),
+                                       pa.int64())
         return pa.table(cols)
 
     l = left_ds.map_batches(tag_left_typed, batch_format="pyarrow")
@@ -87,26 +117,143 @@ def asof_join(
             df[c] = df[c].astype("Int64")
         return df
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    by_cols = ["_key"] + (["_bucket"] if salted else [])
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        """ONE merge_asof(by=key) over every key in the partition."""
         lf = g[g["_side"] == 0]
         rf = g[g["_side"] == 1]
         lf = lf.sort_values(["_ts"] + left_cols, kind="mergesort")
-        if rf.empty:
-            # left rows already carry correctly-typed null right cols
-            # from the union schema
+        if lf.empty or rf.empty:
             return _restore_ints(lf[left_cols + right_cols].copy())
         sort_cols = ["_ts"] + (["_rid"] if "_rid" in rf.columns else [])
         rf = rf.sort_values(sort_cols, kind="mergesort")
         if "_rid" in rf.columns:
-            rf = rf.drop_duplicates(subset=["_ts"], keep="last")
+            rf = rf.drop_duplicates(subset=by_cols + ["_ts"],
+                                    keep="last")
         merged = pd.merge_asof(
-            lf[["_ts"] + left_cols].reset_index(drop=True),
-            rf[["_ts"] + right_cols].reset_index(drop=True),
-            on="_ts", direction="backward", allow_exact_matches=True)
-        return _restore_ints(merged.drop(columns=["_ts"]))
+            lf[by_cols + ["_ts"] + left_cols].reset_index(drop=True),
+            rf[by_cols + ["_ts"] + right_cols].reset_index(drop=True),
+            on="_ts", by=by_cols,
+            direction="backward", allow_exact_matches=True)
+        return _restore_ints(merged.drop(columns=by_cols + ["_ts"]))
 
-    return l.union(r).groupby("_key").map_groups(
-        merge, batch_format="pandas")
+    if not salted:
+        def add_pk(b: pa.Table) -> pa.Table:
+            k = np.asarray(b.column("_key"), dtype=np.int64)
+            return b.append_column(
+                "pk", pa.array(_key_pk(k, num_partitions)))
+
+        return (l.union(r)
+                .map_batches(add_pk, batch_format="pyarrow")
+                .groupby("pk")
+                .map_groups(merge_part, batch_format="pandas"))
+
+    # ---- salted path -----------------------------------------------------
+    # Per-(key,bucket) right summaries → bucket-level as-of gives each
+    # left bucket ONE carry row = latest right row from earlier buckets.
+    def kb_pk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("_key"), dtype=np.int64)
+        bk = np.asarray(b.column("_bucket"), dtype=np.int64)
+        h = ((k * np.int64(-7046029254386353131))
+             ^ (bk * np.int64(-7046029254386353131 ^ -1))) >> np.int64(32)
+        return b.append_column(
+            "pk", pa.array((h % num_partitions).astype(np.int32)))
+
+    def right_summaries(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = (["_key", "_bucket", "_ts"]
+                     + (["_rid"] if "_rid" in g.columns else []))
+        g = g.sort_values(sort_cols, kind="mergesort")
+        return g.drop_duplicates(subset=["_key", "_bucket"], keep="last")
+
+    summ = (r.map_batches(kb_pk, batch_format="pyarrow")
+            .groupby("pk").map_groups(right_summaries,
+                                      batch_format="pandas")
+            .drop_columns(["pk"]))
+
+    def left_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        return (g[["_key", "_bucket"]]
+                .drop_duplicates(["_key", "_bucket"]))
+
+    lb = (l.map_batches(kb_pk, batch_format="pyarrow")
+          .groupby("pk").map_groups(left_buckets, batch_format="pandas"))
+
+    # bucket-level as-of (STRICT <: in-bucket rights are already local)
+    def carry_part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_cside"] == 0].sort_values("_bucket", kind="mergesort")
+        rf = g[g["_cside"] == 1].sort_values("_bucket", kind="mergesort")
+        if lf.empty or rf.empty:
+            return rf.head(0).drop(columns=["_cside"])
+        merged = pd.merge_asof(
+            lf[["_key", "_bucket"]].reset_index(drop=True),
+            rf.drop(columns=["_cside"]).rename(
+                columns={"_bucket": "_rbucket"}).reset_index(drop=True)
+            .rename(columns={"_rbucket": "_bucket"}),
+            on="_bucket", by="_key",
+            direction="backward", allow_exact_matches=False)
+        merged = merged[merged["_side"].notna()]  # buckets with a carry
+        return merged
+
+    def tag_cside(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = np.asarray(b.column("_key"), dtype=np.int64)
+            out = b.append_column(
+                "pk", pa.array(_key_pk(k, num_partitions)))
+            return out.append_column(
+                "_cside", pa.array([side] * b.num_rows, pa.int8()))
+        return f
+
+    lb_t = lb.map_batches(tag_cside(0), batch_format="pyarrow")
+    # align schemas for union: lb lacks the payload columns
+    payload_cols = (["_ts", "_side"] + left_cols + right_cols
+                    + (["_rid"] if right_id else []))
+
+    def widen_lb(b: pa.Table) -> pa.Table:
+        cols = {"_key": b.column("_key"), "_bucket": b.column("_bucket"),
+                "pk": b.column("pk"), "_cside": b.column("_cside")}
+        sch = {"_ts": ltypes[ts_left], "_side": pa.int8(),
+               "_rid": pa.int64()}
+        for c in payload_cols:
+            t = sch.get(c) or rtypes.get(c) or ltypes.get(c)
+            cols[c] = pa.nulls(b.num_rows, t)
+        return pa.table(cols)
+
+    lb_t = lb_t.map_batches(widen_lb, batch_format="pyarrow")
+    summ_t = summ.map_batches(tag_cside(1), batch_format="pyarrow")
+
+    # Restore the exact arrow schema of tag_right's output (pandas
+    # null-mixing upgraded ints to float64 inside the carry group) so
+    # the final union's blocks agree.
+    def fix_carry(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        cols = {"_key": pa.array(df["_key"].astype("int64")),
+                "_ts": pa.Array.from_pandas(
+                    df["_ts"]).cast(ltypes[ts_left]),
+                "_side": pa.array([1] * n, pa.int8())}
+        for c in left_cols:
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c in right_cols:
+            s = df[c]
+            if pa.types.is_integer(rtypes[c]):
+                s = s.astype("Int64")
+            cols[c] = pa.Array.from_pandas(s).cast(rtypes[c])
+        if right_id:
+            cols["_rid"] = pa.Array.from_pandas(
+                df["_rid"].astype("Int64")).cast(pa.int64())
+        cols["_bucket"] = pa.array(df["_bucket"].astype("int64"))
+        return pa.table(cols)
+
+    carries = (lb_t.union(summ_t)
+               .groupby("pk")
+               .map_groups(carry_part, batch_format="pandas")
+               .map_batches(fix_carry, batch_format="pandas",
+                            batch_size=None))
+
+    # final: left + in-bucket right + carry rows, merged per (key,bucket)
+    all_rows = (l.union(r).union(carries)
+                .map_batches(kb_pk, batch_format="pyarrow"))
+    return (all_rows.groupby("pk")
+            .map_groups(merge_part, batch_format="pandas"))
 
 
 def semi_join_broadcast(ds, key_col: str, keys_ref):

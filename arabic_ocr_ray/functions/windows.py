@@ -1,51 +1,235 @@
 """Stream-shaped windowed operators over an ordered, partitioned log.
 
-Ray Data has no event-time windows; the engine expresses them as
-``groupby(key).map_groups(fn)`` where ``fn`` orders the group by
-timestamp and folds the window logic (the documented pattern for
-stream-shaped workloads — partitioning assumption: one key's events
-fit in one group task; salt hot keys into (key, ts-bucket) sub-groups
-and merge when they don't).
+Ray Data has no event-time windows; the engine expresses them with the
+FIXED-PARTITION fold shape (the same shape that took MinHash-LSH from
+470 s to 28 s at 360k docs): rows are hash-partitioned on the key into
+``num_partitions`` groups and each partition runs ONE vectorized numpy
+fold over all of its keys at once — never a python call per key
+(measured 3 orders of magnitude slower on mostly-small groups, r1
+verdict).
+
+Partitioning assumption: one PARTITION's events fit in one group task
+(many keys per partition).  A single hot key that alone overflows a
+task is handled by :func:`session_stats` with ``salt_bucket_us`` set:
+events are sub-partitioned into (key, ts-bucket) groups, each bucket
+folds independently into a session PARTIAL (a monoid carrying first/
+last session lengths), and partials merge per key — the documented
+hot-key salting, now implemented and tested for equality with the
+unsalted fold.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 THIRTY_MIN_US = 30 * 60 * 1_000_000
+_PARTITIONS = 64
 
 
-def session_stats(events_ds, gap_us: int = THIRTY_MIN_US):
+def _ts_us(col) -> np.ndarray:
+    return col.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
+def _add_pk(b: pa.Table, key: str, n_parts: int) -> pa.Table:
+    k = np.asarray(b.column(key), dtype=np.int64)
+    # splitmix-style scramble: user ids are often sequential; raw % P
+    # would map contiguous ranges to contiguous partitions
+    h = (k * np.int64(-7046029254386353131)) >> np.int64(32)
+    return b.append_column("pk", pa.array(h % n_parts, pa.int32()))
+
+
+def session_stats(events_ds, gap_us: int = THIRTY_MIN_US,
+                  num_partitions: int = _PARTITIONS,
+                  salt_bucket_us: int | None = None):
     """Per-user session windows: a new session starts when the gap to
     the previous event exceeds ``gap_us``.
 
     → Dataset(user_id, n_sessions, n_events, max_session_events).
     Ties in ts are harmless (gap 0 never splits).  Shuffle key:
-    ``user_id``.
+    ``hash(user_id) % num_partitions`` (or (user, ts-bucket) when
+    ``salt_bucket_us`` is set — see module docstring).
     """
+    if salt_bucket_us is not None:
+        return _session_stats_salted(events_ds, gap_us, salt_bucket_us,
+                                     num_partitions)
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts)
-        new_session = np.concatenate([[True], gaps > gap_us])
-        sess_id = np.cumsum(new_session)
-        _, counts = np.unique(sess_id, return_counts=True)
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _fold_sessions(g["user_id"].to_numpy(),
+                              _ts_us(g["ts"]), gap_us)
+
+    return (events_ds
+            .map_batches(lambda b: _add_pk(b, "user_id", num_partitions),
+                         batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(fold_part, batch_format="pandas"))
+
+
+def _fold_sessions(u: np.ndarray, ts: np.ndarray,
+                   gap_us: int) -> pd.DataFrame:
+    """ONE vectorized sessionization over every key in the partition."""
+    if len(u) == 0:
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": np.array([int(new_session.sum())], dtype=np.int64),
-            "n_events": np.array([len(ts)], dtype=np.int64),
-            "max_session_events": np.array([int(counts.max())], dtype=np.int64),
+            "user_id": pd.Series(dtype="int64"),
+            "n_sessions": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "max_session_events": pd.Series(dtype="int64"),
+        })
+    order = np.lexsort((ts, u))
+    u, ts = u[order], ts[order]
+    new_user = np.empty(len(u), dtype=bool)
+    new_user[0] = True
+    np.not_equal(u[1:], u[:-1], out=new_user[1:])
+    gaps = np.empty(len(ts), dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(ts[1:], ts[:-1], out=gaps[1:])
+    new_session = new_user | (gaps > gap_us)
+
+    user_starts = np.flatnonzero(new_user)
+    sess_starts = np.flatnonzero(new_session)          # ⊇ user_starts
+    sess_len = np.diff(np.append(sess_starts, len(u)))
+    n_events = np.diff(np.append(user_starts, len(u)))
+    n_sessions = np.add.reduceat(new_session.astype(np.int64),
+                                 user_starts)
+    # sessions are contiguous per user; the first session of each user
+    # sits at searchsorted(sess_starts, user_starts) exactly
+    first_sess = np.searchsorted(sess_starts, user_starts)
+    max_sess = np.maximum.reduceat(sess_len, first_sess)
+    return pd.DataFrame({
+        "user_id": u[user_starts],
+        "n_sessions": n_sessions.astype(np.int64),
+        "n_events": n_events.astype(np.int64),
+        "max_session_events": max_sess.astype(np.int64),
+    })
+
+
+# --- salted (hot-key) sessionization ---------------------------------------
+#
+# Session partial per (key, ts-bucket) — an associative monoid:
+#   (n_sessions, n_events, max_len, first_ts, last_ts,
+#    first_len = events in the bucket's first session,
+#    last_len  = events in its last session)
+# combine(A, B) for time-adjacent partials of one key merges A's last
+# session with B's first when the boundary gap ≤ gap_us.
+
+_PARTIAL_COLS = ("n_sessions", "n_events", "max_len",
+                 "first_ts", "last_ts", "first_len", "last_len")
+
+
+def _session_stats_salted(events_ds, gap_us: int, bucket_us: int,
+                          num_partitions: int):
+    def add_salt_pk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("user_id"), dtype=np.int64)
+        ts = np.asarray(b.column("ts").cast(pa.int64()))
+        bucket = ts // bucket_us
+        h = ((k * np.int64(-7046029254386353131))
+             ^ (bucket * np.int64(-7046029254386353131 ^ -1))) >> np.int64(32)
+        out = b.append_column("bucket", pa.array(bucket, pa.int64()))
+        return out.append_column("pk",
+                                 pa.array(h % num_partitions, pa.int32()))
+
+    def fold_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        """Partial sessionization of every (key, bucket) group in the
+        partition, vectorized exactly like _fold_sessions but keyed by
+        (user, bucket)."""
+        u = g["user_id"].to_numpy()
+        bk = g["bucket"].to_numpy()
+        ts = _ts_us(g["ts"])
+        if len(u) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "bucket": pd.Series(dtype="int64"),
+                 **{c: pd.Series(dtype="int64") for c in _PARTIAL_COLS}})
+        order = np.lexsort((ts, bk, u))
+        u, bk, ts = u[order], bk[order], ts[order]
+        new_grp = np.empty(len(u), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (u[1:] != u[:-1]) | (bk[1:] != bk[:-1])
+        gaps = np.empty(len(ts), dtype=np.int64)
+        gaps[0] = 0
+        np.subtract(ts[1:], ts[:-1], out=gaps[1:])
+        new_session = new_grp | (gaps > gap_us)
+
+        grp_starts = np.flatnonzero(new_grp)
+        grp_end = np.append(grp_starts[1:], len(u))
+        sess_starts = np.flatnonzero(new_session)
+        sess_len = np.diff(np.append(sess_starts, len(u)))
+        first_sess = np.searchsorted(sess_starts, grp_starts)
+        next_first = np.append(first_sess[1:], len(sess_starts))
+        n_sessions = next_first - first_sess
+        return pd.DataFrame({
+            "user_id": u[grp_starts],
+            "bucket": bk[grp_starts],
+            "n_sessions": n_sessions.astype(np.int64),
+            "n_events": (grp_end - grp_starts).astype(np.int64),
+            "max_len": np.maximum.reduceat(sess_len, first_sess)
+            .astype(np.int64),
+            "first_ts": ts[grp_starts],
+            "last_ts": ts[grp_end - 1],
+            "first_len": sess_len[first_sess].astype(np.int64),
+            "last_len": sess_len[next_first - 1].astype(np.int64),
         })
 
-    return events_ds.groupby("user_id").map_groups(fold, batch_format="pandas")
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-key monoid merge of time-ordered bucket partials.
+        Partials per key = buckets touched — small by construction."""
+        g = g.sort_values(["user_id", "bucket"], kind="mergesort")
+        out_rows = []
+        for uid, gu in g.groupby("user_id", sort=False):
+            acc = None
+            for row in gu.itertuples(index=False):
+                cur = {c: int(getattr(row, c)) for c in _PARTIAL_COLS}
+                if acc is None:
+                    acc = cur
+                    continue
+                if cur["first_ts"] - acc["last_ts"] <= gap_us:
+                    joined = acc["last_len"] + cur["first_len"]
+                    n = acc["n_sessions"] + cur["n_sessions"] - 1
+                    acc = {
+                        "n_sessions": n,
+                        "n_events": acc["n_events"] + cur["n_events"],
+                        "max_len": max(acc["max_len"], cur["max_len"],
+                                       joined),
+                        "first_ts": acc["first_ts"],
+                        "last_ts": cur["last_ts"],
+                        "first_len": joined
+                        if acc["n_sessions"] == 1 else acc["first_len"],
+                        "last_len": joined
+                        if cur["n_sessions"] == 1 else cur["last_len"],
+                    }
+                else:
+                    acc = {
+                        "n_sessions":
+                            acc["n_sessions"] + cur["n_sessions"],
+                        "n_events": acc["n_events"] + cur["n_events"],
+                        "max_len": max(acc["max_len"], cur["max_len"]),
+                        "first_ts": acc["first_ts"],
+                        "last_ts": cur["last_ts"],
+                        "first_len": acc["first_len"],
+                        "last_len": cur["last_len"],
+                    }
+            out_rows.append((uid, acc["n_sessions"], acc["n_events"],
+                             acc["max_len"]))
+        return pd.DataFrame(
+            out_rows, columns=["user_id", "n_sessions", "n_events",
+                               "max_session_events"]).astype("int64")
+
+    partials = (events_ds
+                .map_batches(add_salt_pk, batch_format="pyarrow")
+                .groupby("pk")
+                .map_groups(fold_buckets, batch_format="pandas"))
+    return (partials
+            .map_batches(lambda b: _add_pk(b, "user_id", num_partitions),
+                         batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(merge_partials, batch_format="pandas"))
 
 
 def tumbling_window(events_ds, size_us: int, value_col: str = "value"):
     """Tumbling event-time windows: (user_id, window_id) → count/sum.
     Pure hash aggregation (no per-group ordering needed) — the cheap
     path; kept beside :func:`session_stats` to document the tradeoff."""
-    import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
     def bucket(b: pa.Table) -> pa.Table:

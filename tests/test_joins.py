@@ -57,3 +57,48 @@ def test_semi_anti_join_broadcast(ray_session):
     anti = sorted(r["k"] for r in anti_join_broadcast(ds, "k", ref).take_all())
     assert semi == [2, 4]
     assert anti == [1, 3]
+
+
+def test_asof_join_salted_equals_unsalted(ray_session):
+    """ts-bucket salting with carry rows must reproduce the unsalted
+    as-of exactly — including left buckets whose match lives several
+    buckets back and keys with no right rows at all."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    lrows, rrows = [], []
+    okey = eid = 0
+    for key in range(12):
+        for _ in range(rng.randint(1, 40)):
+            okey += 1
+            lrows.append((okey, key,
+                          base + np.timedelta64(int(rng.randint(0, 30 * 86400)), "s")))
+        for _ in range(rng.randint(0, 15)):   # some keys: no right rows
+            eid += 1
+            rrows.append((eid, key,
+                          base + np.timedelta64(int(rng.randint(0, 30 * 86400)), "s"),
+                          float(rng.randint(0, 1000))))
+    left = pa.table({
+        "okey": pa.array([r[0] for r in lrows], pa.int64()),
+        "key": pa.array([r[1] for r in lrows], pa.int64()),
+        "lts": pa.array([r[2] for r in lrows], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "eid": pa.array([r[0] for r in rrows], pa.int64()),
+        "key": pa.array([r[1] for r in rrows], pa.int64()),
+        "rts": pa.array([r[2] for r in rrows], pa.timestamp("us")),
+        "val": pa.array([r[3] for r in rrows], pa.float64()),
+    })
+    kw = dict(key_left="key", key_right="key", ts_left="lts",
+              ts_right="rts", left_cols=["okey"], right_cols=["val"],
+              right_id="eid")
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    plain = (asof_join(lds, rds, **kw).to_pandas()
+             .sort_values("okey").reset_index(drop=True))
+    salted = (asof_join(lds, rds, salt_bucket_us=2 * 86400 * 1_000_000,
+                        **kw).to_pandas()
+              .sort_values("okey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted[plain.columns],
+                                  check_dtype=False)

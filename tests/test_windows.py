@@ -46,3 +46,33 @@ def test_tumbling_window(ray_session):
            .to_pandas().sort_values("window_id"))
     assert list(out["n_events"]) == [2, 1]
     assert list(out["sum_value"]) == [5.0, 4.0]
+
+
+def test_session_stats_salted_equals_unsalted(ray_session):
+    """Hot-key salting: a randomized multi-user event log folded via
+    (user, ts-bucket) partials + monoid merge must equal the plain
+    fixed-partition fold, including sessions that SPAN bucket
+    boundaries."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    rows = []
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    for uid in range(25):
+        t = base
+        for _ in range(rng.randint(1, 120)):
+            # gaps straddle the 30-min session threshold AND the
+            # 2-hour salt bucket boundary
+            t = t + np.timedelta64(int(rng.randint(1, 5400)), "s")
+            rows.append((uid, t))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t)
+    plain = (session_stats(ds).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    salted = (session_stats(ds, salt_bucket_us=2 * 3600 * 1_000_000)
+              .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted[plain.columns],
+                                  check_dtype=False)

@@ -23,7 +23,13 @@ import time
 
 from ..model import DEFAULT_MODEL_PATH
 from ..stages.extract_stage import ExtractText
-from ..state.lineage import completed_urls, write_lineage
+from ..state.lineage import (
+    PartResumeFilter,
+    completed_urls,
+    has_done_sidecars,
+    read_lineage,
+    write_lineage,
+)
 
 DEFAULT_BATCH_SIZE = 256
 
@@ -46,13 +52,34 @@ def extract_pages(
     concurrency: int | None = None,
     num_partitions: int = 64,
     done_urls_ref=None,
+    resume_out_dir: str | None = None,
 ):
-    """Lazy Dataset of (url, extracted_text, html_bytes, n_*, part)."""
+    """Lazy Dataset of (url, extracted_text, html_bytes, n_*, part).
+
+    Resume anti-filters (at most one active):
+      - ``resume_out_dir``: PER-PARTITION filter — each task reads the
+        done-url sidecar of the row's own part (lineage.py contract);
+        the scalable default.
+      - ``done_urls_ref``: broadcast driver set (``ray.put`` once) —
+        fallback for outputs without sidecars.
+    """
     import pyarrow as pa
     import ray.data as rd
 
     ds = rd.read_parquet(input_path, columns=["url", "html", "lang"])
-    if done_urls_ref is not None:
+    if resume_out_dir is not None:
+        ds = ds.map_batches(
+            PartResumeFilter,
+            fn_constructor_kwargs={
+                "out_dir": resume_out_dir,
+                "num_partitions": num_partitions,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=2,
+            num_cpus=0.5,
+        )
+    elif done_urls_ref is not None:
         import ray
 
         def drop_done(batch: pa.Table, ref=done_urls_ref) -> pa.Table:
@@ -86,18 +113,33 @@ def run_extract(
 ) -> dict:
     """Materializing runner with resume + lineage (north_rule).
 
+    Resume mode is chosen by what the existing output provides:
+    per-partition sidecars → the scalable per-part anti-filter
+    (no driver set, ``resume_mode="partition"``); legacy output
+    without sidecars → broadcast done-set fallback.
+
     Returns run metrics (docs, bytes, wall_s, docs_per_s, skipped)."""
     import ray
     import ray.data as rd
 
     t0 = time.monotonic()
     done_ref = None
+    resume_out = None
+    resume_mode = "none"
     skipped = 0
-    if resume:
-        done = completed_urls(out_dir)
-        if done:
-            skipped = len(done)
-            done_ref = ray.put(done)
+    if resume and os.path.isdir(out_dir):
+        if has_done_sidecars(out_dir):
+            resume_out = out_dir
+            resume_mode = "partition"
+            lin = read_lineage(out_dir)
+            if lin is not None:
+                skipped = int(sum(lin.column("docs").to_pylist()))
+        else:
+            done = completed_urls(out_dir)
+            if done:
+                resume_mode = "broadcast"
+                skipped = len(done)
+                done_ref = ray.put(done)
 
     ds = extract_pages(
         input_path,
@@ -106,6 +148,7 @@ def run_extract(
         concurrency=concurrency,
         num_partitions=num_partitions,
         done_urls_ref=done_ref,
+        resume_out_dir=resume_out,
     )
     # Stream straight into the sink: one file per producer block, the
     # url-hash ``part`` kept as a COLUMN (not a hive directory — a
@@ -118,7 +161,7 @@ def run_extract(
     write_lineage(out_dir)
 
     stats = rd.read_parquet(
-        os.path.join(out_dir, "_lineage")
+        os.path.join(out_dir, "_lineage", "manifest.parquet")
     ).to_pandas()
     wall = time.monotonic() - t0
     docs = int(stats["docs"].sum())
@@ -127,6 +170,7 @@ def run_extract(
         "docs": docs,
         "html_bytes": nbytes,
         "skipped_resume": skipped,
+        "resume_mode": resume_mode,
         "wall_s": wall,
         "docs_per_s": docs / wall if wall > 0 else 0.0,
         "bytes_per_s": nbytes / wall if wall > 0 else 0.0,

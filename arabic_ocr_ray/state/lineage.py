@@ -1,38 +1,53 @@
-"""Per-partition lineage + doc-level resume support.
+"""Per-partition lineage + resume support.
 
 The reference's only checkpoint is rewriting the whole model JSON after
 every document in train mode (segment_words.py:192-201); predict mode
 re-runs everything.  The engine writes:
 
-  - the extracted corpus as partitioned Parquet
-    (``write_parquet(partition_cols=["part"])``, part = crc32(url) % P
-    — a deterministic layout, NOT arrival order, SURVEY.md §4);
-  - a lineage manifest ``<out>/_lineage/`` with per-partition
-    ``(part, docs, html_bytes, content_spans)`` — the
-    "(partition_id, urls, docs, bytes, …)" record of SURVEY.md §1.2.
+  - the extracted corpus as streaming Parquet with a deterministic
+    url-hash ``part`` column (part = crc32(url) % P — a stable layout,
+    NOT arrival order, SURVEY.md §4);
+  - a lineage manifest ``<out>/_lineage/manifest.parquet`` with
+    per-partition ``(part, docs, html_bytes, content_spans)``;
+  - per-partition done-url sidecars
+    ``<out>/_lineage/done_urls/part=K.parquet`` (url column only,
+    successful rows, deduplicated) — each written by the group task
+    that owns the part, never collected on the driver.
 
-Resume contract (doc-level anti-filter): a rerun reads ONLY the ``url``
-column of the existing output (column-pruned), broadcasts the done-set
-via ``ray.put``, and drops finished rows inside ``map_batches`` before
-any extraction work — a broadcast anti-semi-join, no shuffle.  At
-10^12-doc scale the same anti-filter runs per PARTITION (read one part
-dir's urls inside the task that extends it); the fixture-scale
-implementation materializes the set on the driver, documented here.
+Resume contract (per-partition anti-filter): a rerun maps each input
+row to its part and drops it iff its url appears in THAT part's
+done-url sidecar, which is read INSIDE the filter actor (LRU-cached
+per actor, ``cache_parts`` sidecars resident at a time).  No
+full-corpus url set ever exists in any single process — the r1
+driver-broadcast done-set (a driver OOM at 10^12 docs) survives only
+as the explicit ``resume_mode="broadcast"`` fallback for outputs that
+predate the sidecar layout.  At scale, input co-partitioned by the
+same url-hash key makes the cache hit rate ~1 (the engine's "one
+partitioning key reused across stages" rule).
+
+Superseded rows: a retried url leaves its old ``error:`` row behind in
+the output files.  The manifest aggregation prefers the non-error row
+per url (counts stay exact), and :func:`dedup_superseded` gives
+readers the same rule as a Dataset transform.
 """
 
 from __future__ import annotations
 
 import os
+import zlib
 
 LINEAGE_DIR = "_lineage"
+DONE_DIR = "done_urls"
+
+
+def _done_path(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, LINEAGE_DIR, DONE_DIR,
+                        f"part={part}.parquet")
 
 
 def completed_urls(out_dir: str):
-    """Set of urls already SUCCESSFULLY extracted into ``out_dir``
-    (or None).  Rows with an error status are excluded so a rerun
-    retries them; note a retried url leaves the superseded error row
-    behind in the old file — corpus readers should prefer non-error
-    rows per url (extraction is total, so this path is defensive)."""
+    """Driver-side done-set (or None) — the BROADCAST resume fallback.
+    Excludes rows with an error status so a rerun retries them."""
     if not os.path.isdir(out_dir):
         return None
     import pyarrow as pa
@@ -60,39 +75,103 @@ def completed_urls(out_dir: str):
     return set(urls)
 
 
-def write_lineage(out_dir: str) -> None:
-    """(Re)build the per-partition manifest from the written output.
+class PartResumeFilter:
+    """Per-partition resume anti-filter (actor-pool ``map_batches``
+    stage).  Holds an LRU of per-part done-url sets read from the
+    output's sidecars — memory bounded by ``cache_parts`` × part size,
+    never the corpus."""
 
-    Reads ONLY the three stat columns of the output with a PARALLEL
-    Ray scan (stat rows are ~24 bytes/doc — the groupby shuffle here
-    moves partial aggregates, not documents) and writes
-    ``_lineage/manifest.parquet`` with ``(part, docs, html_bytes,
-    content_spans)``.  Covers everything present on disk, so a resumed
-    run's manifest is complete by construction.  At 10^12-doc scale
-    the equivalent is incremental per-partition manifests emitted next
-    to each output shard."""
+    def __init__(self, out_dir: str, num_partitions: int,
+                 cache_parts: int = 64):
+        from collections import OrderedDict
+
+        self.out_dir = out_dir
+        self.num_partitions = num_partitions
+        self.cache_parts = cache_parts
+        self._cache: OrderedDict[int, set] = OrderedDict()
+
+    def _done(self, part: int) -> set:
+        s = self._cache.get(part)
+        if s is not None:
+            self._cache.move_to_end(part)
+            return s
+        import pyarrow.parquet as pq
+
+        path = _done_path(self.out_dir, part)
+        s = (set(pq.read_table(path, columns=["url"])
+                 .column("url").to_pylist())
+             if os.path.exists(path) else set())
+        self._cache[part] = s
+        while len(self._cache) > self.cache_parts:
+            self._cache.popitem(last=False)
+        return s
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        urls = batch.column("url").to_pylist()
+        keep = [
+            u not in self._done(zlib.crc32(u.encode())
+                                % self.num_partitions)
+            for u in urls
+        ]
+        return batch.filter(pa.array(keep))
+
+
+def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
+    """(Re)build the per-partition manifest AND done-url sidecars from
+    the written output — one distributed pass.
+
+    Reads ONLY the stat columns (~30 bytes/doc — the groupby shuffle
+    moves those, not documents), groups by ``part``, and inside each
+    group task: prefers the non-error row per url (superseded retries
+    are not double-counted), writes that part's done-url sidecar, and
+    returns the part's manifest row.  Covers everything on disk, so a
+    resumed run's manifest is complete by construction."""
     import shutil
 
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+
+    done_root = os.path.join(out_dir, LINEAGE_DIR, DONE_DIR)
+    shutil.rmtree(done_root, ignore_errors=True)
+    os.makedirs(done_root, exist_ok=True)
+
+    def finish_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        is_err = g["status"].str.startswith("error")
+        # prefer the non-error row per url (stable: error rows sort last)
+        g = (g.assign(_err=is_err)
+             .sort_values(["url", "_err"], kind="mergesort")
+             .drop_duplicates("url", keep="first"))
+        ok = g.loc[~g["_err"], "url"]
+        tmp = _done_path(out_dir, part) + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.table({"url": pa.array(ok.tolist(), pa.string())}), tmp)
+        os.replace(tmp, _done_path(out_dir, part))
+        return pd.DataFrame({
+            "part": [part],
+            "docs": [len(g)],
+            "html_bytes": [int(g["html_bytes"].sum())],
+            "content_spans": [int(g["n_content_spans"].sum())],
+        })
 
     manifest = (
         rd.read_parquet(out_dir,
-                        columns=["part", "html_bytes", "n_content_spans"])
+                        columns=["url", "part", "status",
+                                 "html_bytes", "n_content_spans"])
         .groupby("part")
-        .aggregate(Count(alias_name="docs"),
-                   Sum("html_bytes", alias_name="html_bytes"),
-                   Sum("n_content_spans", alias_name="content_spans"))
+        .map_groups(finish_part, batch_format="pandas")
         .to_pandas()
     )
     path = os.path.join(out_dir, LINEAGE_DIR)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"manifest.parquet.tmp{os.getpid()}")
     pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False),
-                   os.path.join(path, "manifest.parquet"))
+                   tmp)
+    os.replace(tmp, os.path.join(path, "manifest.parquet"))
 
 
 def read_lineage(out_dir: str):
@@ -101,4 +180,25 @@ def read_lineage(out_dir: str):
     path = os.path.join(out_dir, LINEAGE_DIR)
     if not os.path.isdir(path):
         return None
-    return pads.dataset(path, format="parquet").to_table()
+    return pads.dataset(path, format="parquet",
+                        ignore_prefixes=[".", DONE_DIR]).to_table()
+
+
+def has_done_sidecars(out_dir: str) -> bool:
+    return os.path.isdir(os.path.join(out_dir, LINEAGE_DIR, DONE_DIR))
+
+
+def dedup_superseded(ds, num_partitions: int = 64):
+    """Corpus-reader rule for resumed outputs: one row per url,
+    preferring the non-error row (the retry) over a stale ``error:``
+    row.  Shuffle key = ``part`` (rows of one url share it)."""
+    import pandas as pd
+
+    def fix(g: pd.DataFrame) -> pd.DataFrame:
+        is_err = g["status"].str.startswith("error")
+        return (g.assign(_err=is_err)
+                .sort_values(["url", "_err"], kind="mergesort")
+                .drop_duplicates("url", keep="first")
+                .drop(columns=["_err"]))
+
+    return ds.groupby("part").map_groups(fix, batch_format="pandas")

@@ -69,3 +69,80 @@ def test_completed_urls_excludes_errored_rows(tmp_path):
     }), str(out / "f.parquet"))
     done = completed_urls(str(out))
     assert done == {"a", "c"}  # errored row must be retried on resume
+
+
+def test_partition_resume_multi_part(ray_session, default_model, tmp_path):
+    """Per-partition resume: the rerun must use the sidecar anti-filter
+    (resume_mode == 'partition' — no full-corpus set on the driver),
+    skip every finished doc across ALL parts, and keep counts exact."""
+    full = pages_table(120, seed=13)
+    part_path = str(tmp_path / "pages_part.parquet")
+    full_path = str(tmp_path / "pages_full.parquet")
+    pq.write_table(full.slice(0, 50), part_path, row_group_size=10)
+    pq.write_table(full, full_path, row_group_size=10)
+    out = str(tmp_path / "out")
+
+    m1 = run_extract(part_path, out, batch_size=8, concurrency=2,
+                     num_partitions=16)
+    assert m1["docs"] == 50 and m1["resume_mode"] == "none"
+
+    # sidecars exist per part, and never a whole-corpus file
+    import os
+
+    done_dir = os.path.join(out, "_lineage", "done_urls")
+    sidecars = sorted(os.listdir(done_dir))
+    assert len(sidecars) > 1  # genuinely multi-part
+    per_part = [pq.read_table(os.path.join(done_dir, f)).num_rows
+                for f in sidecars]
+    assert sum(per_part) == 50 and max(per_part) < 50
+
+    m2 = run_extract(full_path, out, batch_size=8, concurrency=2,
+                     num_partitions=16)
+    assert m2["resume_mode"] == "partition"
+    assert m2["skipped_resume"] == 50
+    assert m2["docs"] == 120
+    tbl = _read_out(out)
+    assert len(set(tbl.column("url").to_pylist())) == 120
+
+
+def test_superseded_error_rows_compacted(ray_session, tmp_path):
+    """ADVICE r1: retried urls leave stale error rows behind — the
+    manifest must not double-count them and dedup_superseded must
+    drop them for readers."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arabic_ocr_ray.state.lineage import (
+        dedup_superseded,
+        read_lineage,
+        write_lineage,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    # two files: the first run's error row + the retry's ok row
+    pq.write_table(pa.table({
+        "url": ["a", "b"], "status": ["error: boom", "ok"],
+        "extracted_text": ["", "B"],
+        "html_bytes": [10, 20], "n_content_spans": [0, 2],
+        "part": [3, 3],
+    }), str(out / "f1.parquet"))
+    pq.write_table(pa.table({
+        "url": ["a"], "status": ["ok"], "extracted_text": ["A"],
+        "html_bytes": [10], "n_content_spans": [1],
+        "part": [3],
+    }), str(out / "f2.parquet"))
+
+    write_lineage(str(out))
+    lin = read_lineage(str(out))
+    assert sum(lin.column("docs").to_pylist()) == 2  # not 3
+
+    ds = rd.read_parquet(str(out))
+    fixed = dedup_superseded(ds).to_pandas().sort_values("url")
+    assert list(fixed["url"]) == ["a", "b"]
+    assert list(fixed["extracted_text"]) == ["A", "B"]
+
+    # sidecar for part 3 holds both urls exactly once
+    side = pq.read_table(str(out / "_lineage" / "done_urls"
+                             / "part=3.parquet"))
+    assert sorted(side.column("url").to_pylist()) == ["a", "b"]

@@ -48,12 +48,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from .html.tokenizer import TEXT, TokenStream
+from .html.tokenizer import COMPOSITE_SENTINEL, TEXT, TokenStream
 from .kernels import max_window_sum
 
 WINDOW = 8
 SENTENCE_END = set(".!?…:;؟؛،")
 ARABIC_LO, ARABIC_HI = 0x0600, 0x06FF
+
+
+def _initial_upper(c0: str) -> bool:
+    """Corner bit 4: first char is upper/Arabic.  The composite
+    sentinel REPRESENTS the Arabic لا, so it keeps the bit (feature
+    vectors are unchanged from the old 'L' sentinel, whose isupper()
+    set it)."""
+    return (c0.isupper() or ARABIC_LO <= ord(c0) <= ARABIC_HI
+            or c0 == COMPOSITE_SENTINEL)
 
 SCORE_WEIGHTS = (1, 4, 16, 64, 256)  # HOLE, L, R, U, D — 4**i (code semantics)
 
@@ -79,7 +88,7 @@ def _single_token_fv(ts: TokenStream, i: int, baseline: int) -> list[int]:
     char_form = 1 if total < 8 else (2 if total < 48 else 3)
     c0, c1 = t[0], t[-1]
     corvar = (
-        (4 if (c0.isupper() or ARABIC_LO <= ord(c0) <= ARABIC_HI) else 0)
+        (4 if _initial_upper(c0) else 0)
         + (8 if c1 in SENTENCE_END else 0)
     )
     if ts.in_link[i]:
@@ -137,7 +146,7 @@ def _general_fv(ts: TokenStream, start: int, end: int, baseline: int) -> list[in
     corvar = (
         (1 if k[0] != TEXT else 0)
         + (2 if k[-1] != TEXT else 0)
-        + (4 if (c0.isupper() or ARABIC_LO <= ord(c0) <= ARABIC_HI) else 0)
+        + (4 if _initial_upper(c0) else 0)
         + (8 if c1 in SENTENCE_END else 0)
     )
 

@@ -74,7 +74,14 @@ _CHARSET_ALIASES = {
 }
 
 COMPOSITE = "لا"  # لا
-COMPOSITE_SENTINEL = "L"
+#: Private Use Area codepoint — can never collide with genuine page
+#: text.  r1 used the ASCII letter 'L' (the reference's Arabic-only
+#: alphabet made that safe there, integrator.py:26-29); on mixed-script
+#: Arabic pages the outbound rewrite corrupted every real Latin 'L'
+#: ('London' → 'لاondon', ADVICE r1).  A page that already contains
+#: U+E000 (undefined, font-private) would round-trip to لا — accepted
+#: and documented; PUA glyphs carry no standardized text semantics.
+COMPOSITE_SENTINEL = ""
 
 #: Memoized tag-body parse for the high-frequency attribute-free tags
 #: (``p``, ``/p``, ``li``, ``b`` …) — (closing, name, self_closing).
@@ -89,7 +96,19 @@ def _tag_info(body: str) -> tuple[bool, str, bool]:
         closing = body.startswith("/")
         stripped = body.lstrip("/")
         name = stripped.split()[0].split(">")[0].lower() if stripped else ""
-        info = (closing, name.rstrip("/"), body.endswith("/"))
+        # A trailing '/' marks self-closing only in a bare "name/" body
+        # or when preceded by whitespace/quote.  An UNQUOTED attribute
+        # value ending in '/' (common in crawls: <a href=/about/>) is
+        # part of the value per the HTML5 unquoted-value state — r1
+        # treated it as self-closing, skewing depth/in_link for the
+        # whole subtree (ADVICE r1).
+        self_closing = False
+        if body.endswith("/") and not closing:
+            has_attrs = any(c in body for c in " \t\n\r")
+            self_closing = (not has_attrs
+                            or body[-2:-1] in (" ", "\t", "\n", "\r",
+                                               '"', "'"))
+        info = (closing, name.rstrip("/"), self_closing)
         if " " not in body and len(body) < 16 and len(_TAG_INFO) < 8192:
             _TAG_INFO[body] = info
     return info

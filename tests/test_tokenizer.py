@@ -93,3 +93,35 @@ def test_composite_round_trip_flag():
     raw = f"<p>{COMPOSITE}عب</p>".encode()
     assert _texts(tokenize(raw, lang="ar")) == [f"{COMPOSITE_SENTINEL}عب"]
     assert _texts(tokenize(raw, lang="en")) == [f"{COMPOSITE}عب"]
+
+
+def test_latin_L_survives_arabic_page():
+    """ADVICE r1: the sentinel is a PUA codepoint now — a genuine
+    Latin 'L' in a mixed-script Arabic page must NOT round-trip to
+    لا."""
+    from arabic_ocr_ray.functions.text import replace_composites
+
+    raw = "<html><body><p>London لاحظ</p></body></html>".encode()
+    ts = tokenize(raw, lang="ar")
+    texts = [t for t in ts.texts if t]
+    assert len(texts) == 1
+    assert "London" in texts[0]
+    assert COMPOSITE_SENTINEL in texts[0]          # لا was normalized
+    restored = replace_composites(texts[0])
+    assert restored == "London لاحظ"               # byte-exact round trip
+    assert "لاondon" not in restored
+
+
+def test_unquoted_attr_trailing_slash_not_self_closing():
+    """ADVICE r1: <a href=/about/> ends an UNQUOTED attribute value
+    with '/' — the element must still push the stack (its text is
+    in_link), while genuine self-closing forms must not."""
+    raw = b'<div><a href=/about/>about us</a> <br/> <img src="x"/> tail</div>'
+    ts = tokenize(raw)
+    by_text = {t: i for i, t in enumerate(ts.texts) if t}
+    assert ts.in_link[by_text["about us"]]          # <a ...> pushed
+    assert not ts.in_link[by_text["tail"]]          # and was closed
+    # the <a> open found its </a> partner
+    a_idx = [i for i, tag in enumerate(ts.tags)
+             if tag == "a" and ts.is_open[i]]
+    assert len(a_idx) == 1 and ts.match[a_idx[0]] != -1

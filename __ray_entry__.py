@@ -495,13 +495,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---------------- multimodal plumbing -------------------------------
     def q_mm_decode(sf_dir: str):
-        import pyarrow.parquet as pq
-
-        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
-        payloads = multimodal.payload_table_from_documents(docs)
-        ds = rd.from_arrow(payloads)
-        return multimodal.decode_metadata(ds, concurrency=2, batch_size=16)
+        """Synthesize real container headers (PNG/WAV/AVI) from the
+        documents table INSIDE map_batches (no driver materialization),
+        then parse them back with the actor-pool HeaderDecoder — a
+        full synthesize→probe round trip the SQL twin reproduces from
+        the same integer formulas."""
+        payloads = _docs(sf_dir).map_batches(
+            multimodal.payload_table_from_documents,
+            batch_format="pyarrow")
+        return multimodal.decode_metadata(payloads, concurrency=2,
+                                          batch_size=64)
 
     return {
         "extract_pages": q_extract,
@@ -776,6 +779,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM events ASOF LEFT JOIN o "
             "ON events.user_id = o.o_custkey "
             "AND o.o_orderdate <= events.ts"
+        ),
+        "mm_decode_meta": (
+            # SQL twin of payload_table_from_documents' integer field
+            # formulas (multimodal.py): the engine row is only green if
+            # header SYNTHESIS and header PARSING round-trip exactly.
+            "SELECT doc_id AS item_id, "
+            "CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "CAST(CASE WHEN bad THEN 0 WHEN k = 0 THEN 16 + nb % 241 "
+            "WHEN k = 1 THEN 0 ELSE 320 + nb % 321 END AS BIGINT) "
+            "AS width, "
+            "CAST(CASE WHEN bad THEN 0 WHEN k = 0 THEN "
+            "16 + (nb * 7) % 199 WHEN k = 1 THEN 0 "
+            "ELSE 240 + nb % 241 END AS BIGINT) AS height, "
+            "CAST(CASE WHEN bad THEN 0 WHEN k = 1 THEN 1 + nb % 2 "
+            "ELSE 3 END AS BIGINT) AS channels, "
+            "CAST(CASE WHEN bad THEN 0 WHEN k = 0 THEN 1 "
+            "WHEN k = 1 THEN 1000 + nb % 9000 "
+            "ELSE 1 + nb % 120 END AS BIGINT) AS frames, "
+            "CAST(CASE WHEN bad THEN 0 WHEN k = 1 THEN 16000 "
+            "ELSE 0 END AS BIGINT) AS sample_rate, "
+            "CAST(CASE WHEN bad THEN 0 WHEN k = 0 THEN 33 + nb "
+            "WHEN k = 1 THEN 44 + nb ELSE 88 + nb END AS BIGINT) "
+            "AS payload_bytes, "
+            "CASE WHEN bad THEN 'error: empty payload' ELSE 'ok' END "
+            "AS status "
+            "FROM (SELECT doc_id, octet_length(encode(text)) AS nb, "
+            "doc_id % 3 AS k, doc_id % 97 = 0 AS bad FROM documents)"
         ),
         # knn_ivf / train_prototypes: rows-only by design (approximate
         # search tuned by a recall gate in pytest; model training is a

@@ -1,37 +1,200 @@
 """Multimodal column plumbing — opaque binary payloads with typed
 metadata, processed by actor-pool stages.
 
-The image/audio decode libraries are NOT in this environment, so the
-decode kernel is stubbed (clearly marked); everything Ray-side —
-schema, batch sizing for large binary rows, actor signature, output
-layout — is real and tested.  Swap :class:`StubDecoder` for a real
-decoder (PIL/torchaudio/ffmpeg) without touching the pipeline shape.
+Two decode layers:
+
+- :class:`HeaderDecoder` — a REAL pure-python container prober
+  (ffprobe-lite): parses PNG IHDR, canonical WAV headers and RIFF-AVI
+  ``avih`` main headers with struct reads, no external libraries.
+  This is the metadata path a 100 TB ingest actually runs per object
+  before any pixel work, and it is oracle-checkable: the synthetic
+  corpus writes genuine format headers whose fields derive from the
+  source text by integer formulas a SQL twin reproduces, so
+  ``mm_decode_meta`` verifies a full synthesize→parse round trip.
+
+- :class:`StubDecoder` — STUB for full pixel/sample decode+resize
+  (PIL / soundfile / ffmpeg are not in this environment).  Clearly
+  marked; the Ray-side shape (actor pool, small batches for large
+  binary rows, per-row status) is real and tested.
 
 Payload rows are ``(item_id, kind, payload:binary, meta:string)``;
-``payload_table_from_documents`` manufactures a deterministic corpus
-from any text table for tests/benches.
+``payload_table_from_documents`` manufactures the deterministic
+corpus from any text table for tests/benches.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 KINDS = ("image", "audio", "video")
 
+_META_KEYS = ("width", "height", "channels", "frames", "sample_rate")
+
+#: every 97th item ships an empty payload — the truncated-file hazard
+CORRUPT_EVERY = 97
+
+
+# --- deterministic synthetic payloads --------------------------------------
+#
+# Field formulas (integer, SQL-twinned in __ray_entry__.oracle_sql):
+# nb = octet_length(utf-8 text)
+#   image (PNG):  w = 16+nb%241   h = 16+(nb*7)%199  ch=3 fr=1  sr=0
+#   audio (WAV):  ch = 1+nb%2     fr = 1000+nb%9000  sr=16000
+#   video (AVI):  w = 320+nb%321  h = 240+nb%241     fr = 1+nb%120 ch=3
+
+def make_png(width: int, height: int, body: bytes = b"") -> bytes:
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    import zlib
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)) + body)
+
+
+def make_wav(channels: int, sample_rate: int, frames: int,
+             body: bytes = b"") -> bytes:
+    data_size = frames * channels * 2          # 16-bit samples
+    byte_rate = sample_rate * channels * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                   sample_rate, byte_rate,
+                                   channels * 2, 16)
+           + b"data" + struct.pack("<I", data_size))
+    return hdr + body
+
+
+def make_avi(width: int, height: int, frames: int,
+             body: bytes = b"") -> bytes:
+    avih = struct.pack("<10I", 33333, 0, 0, 0, frames, 0, 1, 0,
+                       width, height) + b"\x00" * 16      # 56 bytes
+    inner = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(inner)) + inner
+    return (b"RIFF" + struct.pack("<I", 4 + len(lst) + len(body))
+            + b"AVI " + lst + body)
+
+
+def payload_table_from_documents(docs: pa.Table) -> pa.Table:
+    """Deterministic fake corpus with REAL container headers: metadata
+    fields derive from the text length by the integer formulas above;
+    the utf-8 text bytes ride along as the opaque body.  Every
+    ``CORRUPT_EVERY``-th item is an empty payload (truncated-file
+    hazard → per-row error status)."""
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    kinds, payloads = [], []
+    for i, t in zip(ids, texts):
+        kind = KINDS[i % len(KINDS)]
+        kinds.append(kind)
+        if i % CORRUPT_EVERY == 0:
+            payloads.append(b"")
+            continue
+        body = (t or "").encode()
+        nb = len(body)
+        if kind == "image":
+            payloads.append(
+                make_png(16 + nb % 241, 16 + (nb * 7) % 199, body))
+        elif kind == "audio":
+            payloads.append(
+                make_wav(1 + nb % 2, 16000, 1000 + nb % 9000, body))
+        else:
+            payloads.append(
+                make_avi(320 + nb % 321, 240 + nb % 241,
+                         1 + nb % 120, body))
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array([json.dumps({"src": "documents"})] * len(ids),
+                         pa.string()),
+    })
+
+
+# --- real header probing ---------------------------------------------------
+
+def probe_png(p: bytes) -> dict:
+    if len(p) < 33 or not p.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("bad png header")
+    w, h = struct.unpack_from(">II", p, 16)
+    color_type = p[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 0)
+    return {"width": w, "height": h, "channels": channels,
+            "frames": 1, "sample_rate": 0}
+
+
+def probe_wav(p: bytes) -> dict:
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("bad wav header")
+    channels, sample_rate = struct.unpack_from("<HI", p, 22)
+    bits = struct.unpack_from("<H", p, 34)[0]
+    data_size = struct.unpack_from("<I", p, 40)[0]
+    bpf = max(1, channels * bits // 8)
+    return {"width": 0, "height": 0, "channels": channels,
+            "frames": data_size // bpf, "sample_rate": sample_rate}
+
+
+def probe_avi(p: bytes) -> dict:
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        raise ValueError("bad avi header")
+    pos = p.find(b"avih")
+    if pos < 0 or len(p) < pos + 8 + 40:
+        raise ValueError("truncated avi header")
+    payload = pos + 8
+    frames = struct.unpack_from("<I", p, payload + 16)[0]
+    w, h = struct.unpack_from("<II", p, payload + 32)
+    return {"width": w, "height": h, "channels": 3,
+            "frames": frames, "sample_rate": 0}
+
+
+_PROBES = {"image": probe_png, "audio": probe_wav, "video": probe_avi}
+
+
+class HeaderDecoder:
+    """Actor-pool metadata decoder: real struct-level header parsing
+    per row, per-row status instead of the reference's silent
+    bare-except swallow (train_recognition.py:364-367)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rows: dict = {k: [] for k in
+                      (*_META_KEYS, "payload_bytes", "status")}
+        for p, kd in zip(payloads, kinds):
+            p = p or b""
+            try:
+                if not p:
+                    raise ValueError("empty payload")
+                meta = _PROBES[kd](p)
+                rows["status"].append("ok")
+            except (ValueError, KeyError) as e:
+                meta = dict.fromkeys(_META_KEYS, 0)
+                rows["status"].append(f"error: {e}")
+            for k in _META_KEYS:
+                rows[k].append(meta[k])
+            rows["payload_bytes"].append(len(p))
+        cols = {"item_id": batch.column("item_id"),
+                "kind": batch.column("kind")}
+        for k in (*_META_KEYS, "payload_bytes"):
+            cols[k] = pa.array(rows[k], pa.int64())
+        cols["status"] = pa.array(rows["status"], pa.string())
+        return pa.table(cols)
+
 
 class StubDecoder:
-    """STUB: deterministic fake decode.
+    """STUB: full pixel/sample decode placeholder.
 
-    A real deployment replaces ``_decode`` with e.g. PIL.Image.open /
-    soundfile.read.  The fake derives "decoded" dimensions from a
-    blake2b digest of the payload — stable, content-dependent, and
-    cheap — and raises on empty payloads the way a real decoder raises
-    on truncated files.
-    """
+    A real deployment replaces ``_decode`` with PIL.Image.open /
+    soundfile.read / ffmpeg; none are installed in this sandbox.  The
+    fake derives "decoded" dimensions from a blake2b digest of the
+    payload — stable, content-dependent, cheap — and raises on empty
+    payloads the way a real decoder raises on truncated files.  Header
+    METADATA is real (see :class:`HeaderDecoder`); only bulk decode is
+    stubbed."""
 
     def __init__(self, target_size: int = 224):
         self.target_size = target_size  # resize target (plumbed, unused)
@@ -54,57 +217,36 @@ class StubDecoder:
         ids = batch.column("item_id").to_pylist()
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        rows = {k: [] for k in ("width", "height", "channels", "frames",
-                                "sample_rate", "payload_bytes", "status")}
+        rows = {k: [] for k in (*_META_KEYS, "payload_bytes", "status")}
         for p, kd in zip(payloads, kinds):
             try:
                 meta = self._decode(p or b"", kd)
                 rows["status"].append("ok")
             except ValueError as e:
-                # per-row status instead of the reference's silent
-                # bare-except swallow (train_recognition.py:364-367)
-                meta = dict.fromkeys(
-                    ("width", "height", "channels", "frames",
-                     "sample_rate"), 0)
+                meta = dict.fromkeys(_META_KEYS, 0)
                 rows["status"].append(f"error: {e}")
-            for k in ("width", "height", "channels", "frames",
-                      "sample_rate"):
+            for k in _META_KEYS:
                 rows[k].append(meta[k])
             rows["payload_bytes"].append(len(p or b""))
         cols = {"item_id": batch.column("item_id"),
                 "kind": batch.column("kind")}
-        for k in ("width", "height", "channels", "frames", "sample_rate",
-                  "payload_bytes"):
+        for k in (*_META_KEYS, "payload_bytes"):
             cols[k] = pa.array(rows[k], pa.int64())
         cols["status"] = pa.array(rows["status"], pa.string())
         return pa.table(cols)
 
 
-def decode_metadata(ds, concurrency: int = 4, batch_size: int = 16):
+def decode_metadata(ds, concurrency: int = 4, batch_size: int = 16,
+                    decoder=HeaderDecoder):
     """The multimodal stage: actor pool, SMALL batch size (large binary
     rows × batch_size bounds worker heap), Arrow end to end."""
     return ds.map_batches(
-        StubDecoder,
+        decoder,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
-
-
-def payload_table_from_documents(docs: pa.Table) -> pa.Table:
-    """Deterministic fake payload corpus from a documents table: the
-    utf-8 text bytes become the opaque payload; kind round-robins."""
-    ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    return pa.table({
-        "item_id": pa.array(ids, pa.int64()),
-        "kind": pa.array([KINDS[i % len(KINDS)] for i in ids], pa.string()),
-        "payload": pa.array([(t or "").encode() for t in texts],
-                            pa.binary()),
-        "meta": pa.array([json.dumps({"src": "documents"})] * len(ids),
-                         pa.string()),
-    })
 
 
 def frame_sample_indices(n_frames: int, every: int = 10) -> np.ndarray:

@@ -186,18 +186,48 @@ def test_knn_ivf_recall_clustered(ray_session):
 def test_multimodal_decode_stage(ray_session):
     import ray.data as rd
 
-    docs = _docs_table(["payload one", "payload two", ""])
+    # item 0 hits the CORRUPT_EVERY empty-payload hazard; 1 (audio/WAV)
+    # and 2 (video/AVI) carry real headers the prober must round-trip
+    docs = _docs_table(["payload one", "payload two", "third text"])
     payloads = multimodal.payload_table_from_documents(docs)
     out = multimodal.decode_metadata(
         rd.from_arrow(payloads), concurrency=2, batch_size=2).to_pandas()
-    out = out.sort_values("item_id")
-    assert list(out["status"])[:2] == ["ok", "ok"]
-    assert list(out["status"])[2].startswith("error")  # empty payload
+    out = out.sort_values("item_id").reset_index(drop=True)
+    assert out.loc[0, "status"].startswith("error")   # corrupt slot
+    assert list(out["status"])[1:] == ["ok", "ok"]
+    nb1 = len(b"payload two")
+    assert out.loc[1, "channels"] == 1 + nb1 % 2      # WAV header parse
+    assert out.loc[1, "frames"] == 1000 + nb1 % 9000
+    assert out.loc[1, "sample_rate"] == 16000
+    nb2 = len(b"third text")
+    assert out.loc[2, "width"] == 320 + nb2 % 321     # AVI avih parse
+    assert out.loc[2, "height"] == 240 + nb2 % 241
     assert (out["payload_bytes"] >= 0).all()
-    # deterministic fake decode
     out2 = multimodal.decode_metadata(
         rd.from_arrow(payloads), concurrency=2, batch_size=2).to_pandas()
-    assert out.reset_index(drop=True).equals(out2.sort_values("item_id").reset_index(drop=True))
+    assert out.equals(out2.sort_values("item_id").reset_index(drop=True))
+
+
+def test_header_probes_roundtrip():
+    png = multimodal.make_png(123, 45, b"x" * 10)
+    assert multimodal.probe_png(png) == {
+        "width": 123, "height": 45, "channels": 3, "frames": 1,
+        "sample_rate": 0}
+    wav = multimodal.make_wav(2, 44100, 555)
+    assert multimodal.probe_wav(wav) == {
+        "width": 0, "height": 0, "channels": 2, "frames": 555,
+        "sample_rate": 44100}
+    avi = multimodal.make_avi(640, 480, 99)
+    assert multimodal.probe_avi(avi) == {
+        "width": 640, "height": 480, "channels": 3, "frames": 99,
+        "sample_rate": 0}
+    for probe in (multimodal.probe_png, multimodal.probe_wav,
+                  multimodal.probe_avi):
+        try:
+            probe(b"garbage")
+            raise AssertionError("should have raised")
+        except ValueError:
+            pass
 
 
 def test_frame_sample_indices():

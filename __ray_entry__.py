@@ -626,6 +626,15 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_replace(text, '\\s', '', 'g')) AS tok_chars "
             "FROM documents)"
         ),
+        "doc_fingerprint": (
+            # exact Horner fold twin of functions.text.fingerprint
+            "SELECT doc_id, CAST(list_reduce("
+            "list_prepend(CAST(0 AS HUGEINT), "
+            "list_transform(range(1, length(text)+1), "
+            "i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))), "
+            "(acc, b) -> (acc * 1000003 + b) % 2305843009213693951"
+            ") AS BIGINT) AS fingerprint FROM documents"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"

@@ -98,11 +98,14 @@ FP_BASE = 1_000_003
 
 
 def fingerprint(text: str) -> int:
-    """Karp-Rabin style rolling hash over the utf-8 byte stream,
-    mod 2^61−1 (Horner fold; python-int arithmetic stays exact)."""
+    """Karp-Rabin style rolling hash over the Unicode CODE-POINT
+    stream, mod 2^61−1 (Horner fold; python-int arithmetic stays
+    exact).  Code points rather than utf-8 bytes so a SQL twin can
+    reproduce it exactly (DuckDB ``unicode(substr(..))`` +
+    ``list_reduce`` over HUGEINT — blobs have no byte indexing)."""
     h = 0
-    for b in (text or "").encode("utf-8"):
-        h = (h * FP_BASE + b) % FP_MOD
+    for cp in map(ord, text or ""):
+        h = (h * FP_BASE + cp) % FP_MOD
     return h
 
 

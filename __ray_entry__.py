@@ -186,11 +186,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         groups = dedup_exact(ds.select_columns(["url", "extracted_text"]),
                              col="extracted_text", id_col="url")
-        df = groups.to_pandas()
-        return pd.DataFrame({
-            "n_groups": [len(df)],
-            "dup_docs": [int(df.loc[df["n_copies"] > 1, "n_copies"].sum())],
-        })
+
+        # distributive finish: per-block partials → one Sum aggregate —
+        # the r1 groups.to_pandas() was unbounded at corpus scale
+        import numpy as np
+        import pyarrow as pa
+
+        def partial_counts(b: pa.Table) -> pa.Table:
+            nc = np.asarray(b.column("n_copies"), dtype=np.int64)
+            return pa.table({
+                "n_groups": pa.array([b.num_rows], pa.int64()),
+                "dup_docs": pa.array([int(nc[nc > 1].sum())], pa.int64()),
+            })
+
+        row = groups.map_batches(
+            partial_counts, batch_format="pyarrow").aggregate(
+            Sum("n_groups", alias_name="n_groups"),
+            Sum("dup_docs", alias_name="dup_docs"))
+        return pd.DataFrame([row]).astype("int64")[
+            ["n_groups", "dup_docs"]]
 
     def q_train_prototypes(sf_dir: str):
         import pandas as pd

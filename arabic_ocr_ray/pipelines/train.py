@@ -51,30 +51,38 @@ class _ExamplesBatch:
         self.templates = Templates()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         langs = batch.column("lang").to_pylist()
         labels_j = batch.column("labels_json").to_pylist()
         texts_j = batch.column("texts_json").to_pylist()
 
+        out_url: list[str] = []
         out_label: list[str] = []
         out_fv: list[str] = []
         out_rej: list[int] = []
         out_tot: list[int] = []
-        for h, lg, lj, tj in zip(htmls, langs, labels_j, texts_j):
+        for u, h, lg, lj, tj in zip(urls, htmls, langs, labels_j,
+                                    texts_j):
             golden = list(zip(json.loads(lj), json.loads(tj)))
             ex, rej, tot = doc_training_examples(h, lg or "", golden,
                                                  self.templates)
             for label, fv in ex:
+                out_url.append("")
                 out_label.append(label)
                 out_fv.append(json.dumps(fv))
                 out_rej.append(0)
                 out_tot.append(0)
-            # one stat row per doc (label "" rows are counters only)
+            # one stat row per doc, carrying its url (label "" rows are
+            # counters only) — the per-doc rejection report analog of
+            # the reference's per-image print (segment_words.py:229-230)
+            out_url.append(u)
             out_label.append("")
             out_fv.append("")
             out_rej.append(rej)
             out_tot.append(tot)
         return pa.table({
+            "url": pa.array(out_url, pa.string()),
             "label": pa.array(out_label, pa.string()),
             "fv_key": pa.array(out_fv, pa.string()),
             "rejected": pa.array(out_rej, pa.int64()),
@@ -87,7 +95,13 @@ def train_model(
     spans_path: str,
     num_partitions: int = 8,
     concurrency: int | None = None,
-) -> tuple[PrototypeModel, dict]:
+    per_doc_report: bool = False,
+):
+    """→ (model, stats) — or (model, stats, per_doc) with
+    ``per_doc_report=True``, where per_doc is a DataFrame of
+    (url, rejected, total) for every doc with ≥1 rejected span (the
+    reference's per-image rejection print, segment_words.py:229-230,
+    as a queryable table)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -124,4 +138,12 @@ def train_model(
         "prototypes": model.n_prototypes,
         "buckets": len(model.mapping),
     }
+    if per_doc_report:
+        import pyarrow.compute as pc
+
+        rep = (ex.map_batches(
+            lambda b: b.filter(pc.greater(b.column("rejected"), 0))
+            .select(["url", "rejected", "total"]),
+            batch_format="pyarrow").to_pandas())
+        return model, stats, rep
     return model, stats

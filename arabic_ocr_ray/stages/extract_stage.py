@@ -101,6 +101,10 @@ class ExtractText:
             cols[k] = pa.array(v)
         if self.num_partitions:
             cols["part"] = pa.array(url_partition(urls, self.num_partitions))
+        from ..debug import debug_log
+        debug_log("extract batch: %d docs, %d bytes, %d errors",
+                  len(urls), int(html_bytes.sum()),
+                  sum(1 for s in status if s.startswith("error")))
         return pa.table(cols)
 
 

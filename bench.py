@@ -104,11 +104,40 @@ def main() -> None:
                for a, b in zip(pairs["a"], pairs["b"])), \
         "near-dup false positives"
 
+    # SimHash near-dup over the full extracted corpus (r1: 89 s with
+    # the per-token python hash; the vectorized md5 fold is the fix)
+    t0 = time.monotonic()
+    dedup.simhash_dup_pairs(ext, max_hamming=3,
+                            col="extracted_text",
+                            id_col="url").to_pandas()
+    queries["simhash"] = round(time.monotonic() - t0, 3)
+
     emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     t0 = time.monotonic()
     ann.knn_bruteforce(emb, list(range(10)), k=5).to_pandas()
     queries["knn"] = round(time.monotonic() - t0, 3)
+
+    # windowed/stream-shaped operators over the driver's event log
+    from arabic_ocr_ray.functions.joins import asof_join
+    from arabic_ocr_ray.functions.windows import session_stats
+
+    ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    t0 = time.monotonic()
+    n_users = session_stats(ev.select_columns(["user_id", "ts"])) \
+        .count()
+    queries["sessions"] = round(time.monotonic() - t0, 3)
+
+    orders = rd.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    t0 = time.monotonic()
+    asof_join(orders, ev, key_left="o_custkey", key_right="user_id",
+              ts_left="o_orderdate", ts_right="ts",
+              left_cols=["o_orderkey"], right_cols=["value"],
+              right_id="event_id").count()
+    queries["asof"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -77,9 +77,16 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as rd
 
             from .pipelines.evaluate import evaluate_extraction
+            from .state.lineage import dedup_superseded
 
-            ext = rd.read_parquet(args.extracted,
-                                  columns=["url", "extracted_text"])
+            # resumed outputs can hold a stale error row next to its
+            # retried ok row — dedup per url (prefer non-error) so the
+            # eval join never double-counts (ADVICE r1)
+            ext = dedup_superseded(
+                rd.read_parquet(args.extracted,
+                                columns=["url", "extracted_text",
+                                         "status", "part"])
+            ).select_columns(["url", "extracted_text"])
             print(json.dumps(evaluate_extraction(ext, args.input)))
         elif args.mode == "gen":
             from .sources.pages import ensure_bench_corpus

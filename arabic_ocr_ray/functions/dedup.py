@@ -128,8 +128,21 @@ def _band_rows_batch(batch: pa.Table, col: str, id_col: str) -> pa.Table:
     })
 
 
-MAX_BUCKET = 200  # cap pathological LSH buckets (reported, not scanned)
+MAX_BUCKET = 200  # cap pathological LSH buckets (logged, not scanned)
 _PAIR_PARTITIONS = 64
+
+
+def _log_capped(g, sizes, cap: int, op: str) -> None:
+    """No silent caps: a bucket over the cap is dropped from pair
+    generation (exact dedup covers identical docs) but LOGGED so a
+    truncated sweep never reads as full coverage."""
+    over = sizes[sizes > cap]
+    if len(over):
+        import logging
+
+        logging.getLogger("arabic_ocr_ray").warning(
+            "%s: %d row(s) in buckets over MAX_BUCKET=%d skipped "
+            "(largest=%d)", op, int(len(over)), cap, int(sizes.max()))
 
 
 def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
@@ -153,6 +166,7 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         key = ["band", "band_hash"]
         sizes = g.groupby(key)[id_col].transform("size")
+        _log_capped(g, sizes, MAX_BUCKET, "minhash_candidates")
         g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET),
                    key + [id_col]]
         if g2.empty:
@@ -444,6 +458,7 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         key = ["band_idx", "band_val"]
         sizes = g.groupby(key)[id_col].transform("size")
+        _log_capped(g, sizes, MAX_BUCKET, "simhash_dup_pairs")
         g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET)]
         if g2.empty:
             return pd.DataFrame({
@@ -485,7 +500,8 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
                              n_planes: int = 8, n_tables: int = 4,
                              id_col: str = "vec_id",
-                             col: str = "embedding"):
+                             col: str = "embedding",
+                             max_bucket: int = 4096):
     """Sign-LSH buckets + in-bucket cosine verify → Dataset(a, b,
     cos_x1000).
 
@@ -525,12 +541,25 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         """One fixed hash partition of (table, bucket) rows — NOT one
         python call per bucket.  Size-filter first (mostly singletons),
-        cap pathological buckets at MAX_BUCKET (a degenerate all-zero
-        bucket is otherwise O(bucket²)), then one vectorized
-        upper-triangle cosine per surviving bucket."""
+        cap pathological buckets at ``max_bucket`` (a degenerate
+        all-equal-sign bucket is otherwise O(n²) in the table size),
+        then one vectorized upper-triangle cosine per surviving bucket.
+
+        ``max_bucket`` must stay ≫ n_vectors / 2^n_planes (the MEAN
+        bucket): a cap at the text-LSH level (200) silently skipped
+        every bucket of a 100k-vector table and cut recall to ~10% —
+        capped buckets are LOGGED, never silently dropped."""
         key = ["table", "bucket"]
         sizes = g.groupby(key)[id_col].transform("size")
-        g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET)]
+        over = g.loc[sizes > max_bucket, key].drop_duplicates()
+        if len(over):
+            import logging
+
+            logging.getLogger("arabic_ocr_ray").warning(
+                "embedding_near_dup: %d bucket(s) over max_bucket=%d "
+                "skipped (largest=%d) — raise max_bucket or n_planes",
+                len(over), max_bucket, int(sizes.max()))
+        g2 = g.loc[(sizes >= 2) & (sizes <= max_bucket)]
         out_a: list = []
         out_b: list = []
         out_c: list = []

@@ -104,27 +104,102 @@ def jaccard(a: set[int], b: set[int]) -> float:
 MIN_SHINGLES = 5
 
 
+#: process-level token → crc32 cache for the shingle fast path (same
+#: Zipf argument as the simhash token cache)
+_TOKEN_CRC: dict[str, int] = {}
+_TOKEN_CRC_CAP = 1 << 20
+
+#: odd mixing constants for combining 3 token hashes into one shingle
+#: hash (wraparound int64 arithmetic — vectorized, collision odds ~
+#: crc32's).  Distinct trigram strings map to distinct hashes w.h.p.;
+#: identical trigrams always agree, which is all LSH needs — the FINAL
+#: pair set is exact-Jaccard verified either way.
+_SH_C1 = np.int64(-8663945395140668459)
+_SH_C2 = np.int64(5871781006564002453)
+
+
+def _token_crc_array(toks: list[str]) -> np.ndarray:
+    out = np.empty(len(toks), dtype=np.int64)
+    cache = _TOKEN_CRC
+    grow = len(cache) < _TOKEN_CRC_CAP
+    for j, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = zlib.crc32(t.encode())
+            if grow:
+                cache[t] = h
+        out[j] = h
+    return out
+
+
+def shingle_hashes_fast(text: str, k: int = 3) -> np.ndarray:
+    """Distinct shingle hashes for one doc, vectorized: cached per-token
+    crc32 → arithmetic trigram combine → np.unique.  The semantic twin
+    of :func:`shingles` (distinct token k-grams), under a different —
+    equally collision-resistant — hash of each k-gram."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if len(toks) < k:
+        if not toks:
+            return np.empty(0, dtype=np.int64)
+        return np.array([zlib.crc32(" ".join(toks).encode())],
+                        dtype=np.int64)
+    h = _token_crc_array(toks)
+    with np.errstate(over="ignore"):
+        combo = (h[:-2] * _SH_C1) ^ (h[1:-1] * _SH_C2) ^ h[2:]
+    return np.unique(combo)
+
+
 def _band_rows_batch(batch: pa.Table, col: str, id_col: str) -> pa.Table:
-    """doc → N_BANDS (band, band_hash, id) rows."""
+    """doc → N_BANDS (band, band_hash, id) rows — batch-vectorized:
+    shingle arrays are concatenated and ALL docs' 64 minhashes come
+    from N_HASHES `np.minimum.reduceat` passes (no per-doc python
+    signature loop); band hashes are an FNV-style vectorized fold over
+    each band's rows."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(col).to_pylist()
-    out_id, out_band, out_hash = [], [], []
-    for i, t in zip(ids, texts):
-        sh = shingles(t)
+    sh_arrays: list[np.ndarray] = []
+    keep_rows: list[int] = []
+    bounds = [0]
+    for row, t in enumerate(texts):
+        sh = shingle_hashes_fast(t)
         if len(sh) < MIN_SHINGLES:
             continue
-        sig = minhash_signature(sh)
-        for band in range(N_BANDS):
-            chunk = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
-            out_id.append(i)
-            out_band.append(band)
-            out_hash.append(zlib.crc32(chunk.tobytes()))
+        sh_arrays.append(sh)
+        keep_rows.append(row)
+        bounds.append(bounds[-1] + len(sh))
+    id_type = batch.schema.field(id_col).type
+    if not keep_rows:
+        return pa.table({
+            # typed empty — an all-skipped batch must not emit a
+            # null-typed column (block schema mismatch)
+            id_col: pa.array([], type=id_type),
+            "band": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+        })
+    x = np.concatenate(sh_arrays) % _M31
+    starts = np.asarray(bounds[:-1])
+    n = len(keep_rows)
+    sigs = np.empty((n, N_HASHES), dtype=np.int64)
+    for hi in range(N_HASHES):
+        vals = (x * _A[hi] + _B[hi]) % _M31   # int64-exact (M31 modulus)
+        sigs[:, hi] = np.minimum.reduceat(vals, starts)
+    # vectorized FNV-ish band hash over each band's ROWS_PER_BAND sigs
+    band_hash = np.empty((n, N_BANDS), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b in range(N_BANDS):
+            chunk = sigs[:, b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            acc = np.full(n, np.int64(-3750763034362895579))
+            for j in range(ROWS_PER_BAND):
+                acc = (acc ^ chunk[:, j]) * np.int64(1099511628211)
+            band_hash[:, b] = acc
+    # band-major layout: ids repeated per band, band_hash.T flattened
+    kept = (batch.take(pa.array(keep_rows, pa.int64()))
+            .column(id_col).combine_chunks())
     return pa.table({
-        # id array typed from the input column — an all-skipped batch
-        # must not emit a null-typed column (block schema mismatch)
-        id_col: pa.array(out_id, type=batch.schema.field(id_col).type),
-        "band": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array(out_hash, pa.int64()),
+        id_col: pa.concat_arrays([kept] * N_BANDS),
+        "band": pa.array(
+            np.repeat(np.arange(N_BANDS, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hash.T.reshape(-1), pa.int64()),
     })
 
 

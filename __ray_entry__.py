@@ -462,6 +462,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type"])
         return ev.groupby("event_type").aggregate(Count(alias_name="n"))
 
+    def q_top_orders_by_segment(sf_dir: str, k: int = 3):
+        """Grouped top-k: highest-value k orders per market segment —
+        per-block per-group partials, fixed-partition merge, no global
+        sort (functions/topk.py)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from arabic_ocr_ray.functions.topk import grouped_topk
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"]).to_pandas()
+        lookup_ref = ray.put(
+            dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+        def add_seg(b: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            seg = [lk.get(c, "") for c in b.column("o_custkey").to_pylist()]
+            return pa.table({
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_totalprice": b.column("o_totalprice"),
+            })
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        tagged = orders.map_batches(add_seg, batch_format="pyarrow")
+        return grouped_topk(tagged, ["c_mktsegment"], "o_totalprice",
+                            k=k, descending=True,
+                            tie_cols=("o_orderkey",))
+
+    def q_events_preceding_count(sf_dir: str):
+        from arabic_ocr_ray.functions.windows import preceding_count
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts"])
+        return preceding_count(ev, window_us=3600 * 1_000_000)
+
     def q_event_sessions(sf_dir: str):
         from arabic_ocr_ray.functions.windows import session_stats
 
@@ -544,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "event_type_counts": q_event_type_counts,
         "event_sessions": q_event_sessions,
+        "top_orders_by_segment": q_top_orders_by_segment,
+        "events_preceding_count": q_events_preceding_count,
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
@@ -792,6 +834,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, e.value AS value "
             "FROM orders ASOF LEFT JOIN (SELECT * FROM e WHERE rn = 1) e "
             "ON orders.o_custkey = e.user_id AND e.ts <= orders.o_orderdate"
+        ),
+        "top_orders_by_segment": (
+            "SELECT c_mktsegment, o_orderkey, o_totalprice, rank "
+            "FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
+            "FROM orders JOIN customer ON o_custkey = c_custkey) "
+            "WHERE rank <= 3"
+        ),
+        "events_preceding_count": (
+            # strictly-earlier ts within [ts − 1h, ts): tie-free on
+            # both sides (engine rule, windows.py:preceding_count)
+            "SELECT e1.event_id, "
+            "CAST(count(e2.event_id) AS BIGINT) AS n_preceding "
+            "FROM events e1 LEFT JOIN events e2 "
+            "ON e1.user_id = e2.user_id "
+            "AND e2.ts >= e1.ts - INTERVAL 1 HOUR AND e2.ts < e1.ts "
+            "GROUP BY e1.event_id"
         ),
         "events_asof_order": (
             # ties on (custkey, orderdate) deduplicated to the max

@@ -226,6 +226,50 @@ def _session_stats_salted(events_ds, gap_us: int, bucket_us: int,
             .map_groups(merge_partials, batch_format="pandas"))
 
 
+def preceding_count(events_ds, window_us: int,
+                    id_col: str = "event_id",
+                    num_partitions: int = _PARTITIONS):
+    """Sliding preceding-window RANGE aggregate: for every event, the
+    number of same-user events with ``ts ∈ [ts − window_us, ts)``
+    (strictly earlier; ties at the exact same ts are excluded on both
+    sides, so the rule is order-free and SQL-twinnable).
+
+    The range join a naive plan would express as an O(n²)-per-user
+    self-join runs here as: fixed hash partitions on user →
+    per-partition sort by (user, ts) → two ``np.searchsorted`` calls
+    per user SEGMENT (binary searches over contiguous slices — numpy
+    per segment, one python iteration per user in the partition, not
+    per event).  → Dataset(id_col, n_preceding).
+    """
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "n_preceding": pd.Series(dtype="int64")})
+        u = g["user_id"].to_numpy()
+        ts = _ts_us(g["ts"])
+        ev = g[id_col].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts, ev = u[order], ts[order], ev[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.append(starts[1:], len(u))
+        n_prec = np.empty(len(u), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg, side="left")
+            lo = np.searchsorted(seg, seg - window_us, side="left")
+            n_prec[s:e] = hi - lo
+        return pd.DataFrame({id_col: ev,
+                             "n_preceding": n_prec})
+
+    return (events_ds
+            .map_batches(lambda b: _add_pk(b, "user_id", num_partitions),
+                         batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(fold_part, batch_format="pandas"))
+
+
 def tumbling_window(events_ds, size_us: int, value_col: str = "value"):
     """Tumbling event-time windows: (user_id, window_id) → count/sum.
     Pure hash aggregation (no per-group ordering needed) — the cheap

@@ -76,3 +76,27 @@ def test_session_stats_salted_equals_unsalted(ray_session):
               .to_pandas().sort_values("user_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(plain, salted[plain.columns],
                                   check_dtype=False)
+
+
+def test_preceding_count(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.windows import preceding_count
+
+    rows = [
+        (7, 1, "2024-01-01T00:00:00"),
+        (7, 2, "2024-01-01T00:20:00"),   # 1 in preceding hour
+        (7, 3, "2024-01-01T00:50:00"),   # 2
+        (7, 4, "2024-01-01T02:00:00"),   # 0 (gap > 1h)
+        (9, 5, "2024-01-01T00:30:00"),   # other user: independent
+        (9, 6, "2024-01-01T00:30:00"),   # exact tie: excluded both ways
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[2], "us") for r in rows],
+                       pa.timestamp("us")),
+    })
+    out = (preceding_count(rd.from_arrow(t), window_us=3600 * 1_000_000)
+           .to_pandas().set_index("event_id").sort_index())
+    assert list(out["n_preceding"]) == [0, 1, 2, 0, 0, 0]

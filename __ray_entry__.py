@@ -509,6 +509,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return session_stats(ev)
 
+    def q_events_hopping(sf_dir: str):
+        """Hopping windows (size 1 h, hop 30 min → 2 windows/event)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from arabic_ocr_ray.functions.windows import hopping_window
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+        g = hopping_window(ev, size_us=3600 * 1_000_000,
+                           hop_us=1800 * 1_000_000)
+
+        def r2(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": b.column("user_id"),
+                "window_id": b.column("window_id"),
+                "n_events": b.column("n_events"),
+                "sum_value": pa.array(
+                    np.round(np.asarray(b.column("sum_value"),
+                                        dtype=np.float64), 2),
+                    pa.float64()),
+            })
+
+        return g.map_batches(r2, batch_format="pyarrow")
+
+    def q_user_value_median(sf_dir: str):
+        from arabic_ocr_ray.functions.windows import grouped_median
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "value"])
+        return grouped_median(ev, "user_id", "value")
+
     def q_orders_asof_event(sf_dir: str):
         from arabic_ocr_ray.functions.joins import asof_join
 
@@ -586,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": q_event_sessions,
         "top_orders_by_segment": q_top_orders_by_segment,
         "events_preceding_count": q_events_preceding_count,
+        "events_hopping": q_events_hopping,
+        "user_value_median": q_user_value_median,
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
@@ -852,6 +886,21 @@ def oracle_sql() -> dict[str, str]:
             "ON e1.user_id = e2.user_id "
             "AND e2.ts >= e1.ts - INTERVAL 1 HOUR AND e2.ts < e1.ts "
             "GROUP BY e1.event_id"
+        ),
+        "events_hopping": (
+            "SELECT user_id, w AS window_id, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value "
+            "FROM (SELECT user_id, value, unnest(generate_series("
+            "CAST(floor((epoch_us(ts) - 3600000000) / 1800000000.0) "
+            "+ 1 AS BIGINT), "
+            "CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT))) AS w "
+            "FROM events) GROUP BY 1, 2"
+        ),
+        "user_value_median": (
+            # DuckDB median == the engine's (lo+hi)/2 continuous rule
+            # (verified bit-equal on this data)
+            "SELECT user_id, median(value) AS median "
+            "FROM events GROUP BY user_id"
         ),
         "events_asof_order": (
             # ties on (custkey, orderdate) deduplicated to the max

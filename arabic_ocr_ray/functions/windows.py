@@ -270,6 +270,75 @@ def preceding_count(events_ds, window_us: int,
             .map_groups(fold_part, batch_format="pandas"))
 
 
+def hopping_window(events_ds, size_us: int, hop_us: int,
+                   value_col: str = "value"):
+    """Hopping (sliding) event-time windows: every event lands in all
+    windows ``[w·hop, w·hop + size)`` that contain it (``size/hop``
+    windows per event) → (user_id, window_id=w) count/sum.
+
+    flat-map expansion inside ``map_batches`` (vectorized repeat) then
+    the same hash aggregation as :func:`tumbling_window` — window_id is
+    the window's start/hop index, negative ids allowed near epoch 0.
+    """
+    if size_us % hop_us != 0:
+        raise ValueError("size_us must be a multiple of hop_us")
+    per_event = size_us // hop_us
+    from ray.data.aggregate import Count, Sum
+
+    def expand(b: pa.Table) -> pa.Table:
+        us = np.asarray(b.column("ts").cast(pa.int64()))
+        hi = us // hop_us                      # last window start idx
+        lo = (us - size_us) // hop_us + 1      # first window start idx
+        n = b.num_rows
+        # per_event consecutive window ids per row (floor div makes
+        # hi - lo + 1 == per_event exactly)
+        wid = (np.repeat(lo, per_event)
+               + np.tile(np.arange(per_event, dtype=np.int64), n))
+        idx = np.repeat(np.arange(n, dtype=np.int64), per_event)
+        return pa.table({
+            "user_id": b.column("user_id").take(pa.array(idx)),
+            "window_id": pa.array(wid, pa.int64()),
+            value_col: b.column(value_col).take(pa.array(idx)),
+        })
+
+    return (events_ds.map_batches(expand, batch_format="pyarrow")
+            .groupby(["user_id", "window_id"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum(value_col, alias_name="sum_value")))
+
+
+def grouped_median(ds, key_col: str, value_col: str,
+                   num_partitions: int = _PARTITIONS):
+    """Exact per-key median (DuckDB ``median``-compatible continuous
+    rule: middle element, or the mean of the two middle elements) —
+    fixed hash partitions on the key, one vectorized sort +
+    reduceat-style segment indexing per partition.  → Dataset(key,
+    median)."""
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                key_col: pd.Series(dtype="int64"),
+                "median": pd.Series(dtype="float64")})
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy().astype(np.float64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        ends = np.append(starts[1:], len(k))
+        n = ends - starts
+        mid_hi = starts + n // 2
+        mid_lo = starts + (n - 1) // 2
+        med = (v[mid_lo] + v[mid_hi]) / 2.0
+        return pd.DataFrame({key_col: k[starts], "median": med})
+
+    return (ds
+            .map_batches(lambda b: _add_pk(b, key_col, num_partitions),
+                         batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(fold_part, batch_format="pandas"))
+
+
 def tumbling_window(events_ds, size_us: int, value_col: str = "value"):
     """Tumbling event-time windows: (user_id, window_id) → count/sum.
     Pure hash aggregation (no per-group ordering needed) — the cheap

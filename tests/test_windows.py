@@ -100,3 +100,41 @@ def test_preceding_count(ray_session):
     out = (preceding_count(rd.from_arrow(t), window_us=3600 * 1_000_000)
            .to_pandas().set_index("event_id").sort_index())
     assert list(out["n_preceding"]) == [0, 1, 2, 0, 0, 0]
+
+
+def test_hopping_window(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.windows import hopping_window
+
+    rows = [
+        (1, "2024-01-01T00:05:00", 2.0),   # windows starting 23:40? no —
+        (1, "2024-01-01T00:40:00", 3.0),
+        (1, "2024-01-01T01:10:00", 4.0),
+    ]
+    out = (hopping_window(rd.from_arrow(_events(rows)),
+                          size_us=3600_000_000, hop_us=1800_000_000)
+           .to_pandas().sort_values("window_id").reset_index(drop=True))
+    # every event is in exactly 2 half-hour-hop windows
+    assert out["n_events"].sum() == 6
+    # window covering [00:00, 01:00) holds events 1 and 2
+    ids = dict(zip(out["window_id"],
+                   zip(out["n_events"], out["sum_value"])))
+    full_hours_since_epoch = int(np.datetime64("2024-01-01T00:00:00", "us")
+                                 .astype(np.int64) // 1800_000_000)
+    assert ids[full_hours_since_epoch] == (2, 5.0)
+
+
+def test_grouped_median(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.windows import grouped_median
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([3.0, 1.0, 2.0, 10.0, 20.0], pa.float64()),
+    })
+    out = (grouped_median(rd.from_arrow(t), "user_id", "value")
+           .to_pandas().set_index("user_id").sort_index())
+    assert out.loc[1, "median"] == 2.0     # odd count
+    assert out.loc[2, "median"] == 15.0    # even count: (10+20)/2

@@ -49,6 +49,18 @@ class Templates:
             (label, re.compile(pat, re.IGNORECASE), thr)
             for label, pat, thr in specs
         ]
+        # Literal pre-gate: every DEFAULT pattern requires one of these
+        # substrings, and C-level ``in`` over the lowered span is far
+        # cheaper than N regex scans (a union-alternation regex was
+        # tried and is SLOWER — python re has no Aho-Corasick).  The
+        # gate is sound only for the default set, so drop-in extras
+        # disable it.
+        self._gate_literals = (
+            "cookie", "©", "(c)", "copyright", "rights reserved",
+            "skip to", "privacy", "terms of", "subscribe", "sign up",
+            "advertis", "sponsor", "read more", "continue reading",
+            "learn more", "related", "popular", "recent", "trending",
+        ) if not extra else None
 
     def match(self, text: str) -> str:
         """Return the masking label for ``text`` or '' if no template
@@ -57,9 +69,13 @@ class Templates:
         (preprocess.py:259-261)."""
         if not text:
             return ""
+        if self._gate_literals is not None:
+            low = text.lower()
+            if not any(k in low for k in self._gate_literals):
+                return ""
         n = len(text)
         for label, rx, thr in self._compiled:
-            if rx.search(text) is None:  # cheap gate: most spans miss
+            if rx.search(text) is None:
                 continue
             covered = sum(m.end() - m.start() for m in rx.finditer(text))
             if covered >= thr * n:

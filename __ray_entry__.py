@@ -509,6 +509,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return session_stats(ev)
 
+    def q_hll_user_registers(sf_dir: str):
+        """Deterministic HyperLogLog registers for distinct users per
+        event type (functions/sketch.py) — the registers themselves
+        are exact/hash-verified; only the estimate is approximate
+        (error-bound-gated in pytest)."""
+        from arabic_ocr_ray.functions.sketch import hll_registers
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "user_id"])
+        return hll_registers(ev, "event_type", "user_id")
+
     def q_events_hopping(sf_dir: str):
         """Hopping windows (size 1 h, hop 30 min → 2 windows/event)."""
         import numpy as np
@@ -620,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_preceding_count": q_events_preceding_count,
         "events_hopping": q_events_hopping,
         "user_value_median": q_user_value_median,
+        "hll_user_registers": q_hll_user_registers,
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
@@ -886,6 +898,27 @@ def oracle_sql() -> dict[str, str]:
             "ON e1.user_id = e2.user_id "
             "AND e2.ts >= e1.ts - INTERVAL 1 HOUR AND e2.ts < e1.ts "
             "GROUP BY e1.event_id"
+        ),
+        "hll_user_registers": (
+            # exact SQL twin of sketch.py's register definition:
+            # md5(str(user)) → idx = first byte, rho = leading zero
+            # bits of the next 60 bits + 1 (string ops, no float)
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "md5(CAST(user_id AS VARCHAR)) AS x FROM events), "
+            "r AS (SELECT event_type, "
+            "CAST((instr('0123456789abcdef', substr(x, 1, 1)) - 1) * 16 "
+            "+ instr('0123456789abcdef', substr(x, 2, 1)) - 1 "
+            "AS BIGINT) AS reg_idx, substr(x, 3, 15) AS s FROM h), "
+            "rho AS (SELECT event_type, reg_idx, "
+            "CASE WHEN ltrim(s, '0') = '' THEN 61 ELSE "
+            "CAST(4 * (15 - length(ltrim(s, '0'))) + "
+            "CASE WHEN nib >= 8 THEN 1 WHEN nib >= 4 THEN 2 "
+            "WHEN nib >= 2 THEN 3 ELSE 4 END AS BIGINT) END AS rho "
+            "FROM (SELECT event_type, reg_idx, s, "
+            "instr('0123456789abcdef', substr(ltrim(s, '0'), 1, 1)) - 1 "
+            "AS nib FROM r)) "
+            "SELECT event_type, reg_idx, CAST(max(rho) AS BIGINT) "
+            "AS reg_val FROM rho GROUP BY 1, 2"
         ),
         "events_hopping": (
             "SELECT user_id, w AS window_id, count(*) AS n_events, "

@@ -1,0 +1,109 @@
+"""Distributed sketches — approximate distinct counting (HyperLogLog).
+
+The engine's sketches are DETERMINISTIC (md5-derived, no process
+seeds), which buys two things a classic random-seeded sketch lacks:
+
+  1. bit-identical registers across runs, cluster layouts and resume
+     boundaries (the merge is an elementwise max — a commutative,
+     idempotent monoid, so replays/retries can never corrupt it);
+  2. an exact SQL twin: the register table itself is hash-verified
+     against DuckDB (`hll_user_registers` query) — only the final
+     cardinality ESTIMATE is approximate, and that is gated by a
+     pytest error-bound test instead.
+
+Register definition (mirrored in the oracle SQL, `__ray_entry__`):
+  hex   = md5(str(value)).hexdigest()
+  idx   = int(hex[0:2], 16)                     # 256 registers
+  w     = hex[2:17]                             # 15 nibbles = 60 bits
+  rho   = #leading zero BITS of w + 1  (all-zero w → 61)
+  reg[idx] = max(reg[idx], rho) over DISTINCT values
+
+Shuffle shape: per-batch partial registers (local distinct + md5 over
+a process-level cache) → ``groupby(key, reg_idx).aggregate(Max)`` —
+the shuffle moves ≤ keys × 256 tiny rows, never values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+M_REGISTERS = 256
+_RHO_CAP = 61          # 60 payload bits, all-zero → 61
+
+_HLL_CACHE: dict = {}
+_HLL_CACHE_CAP = 1 << 20
+
+
+def _bucket_rho(value) -> tuple[int, int]:
+    """Deterministic (register index, rho) for one value."""
+    key = str(value)
+    hit = _HLL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    hx = hashlib.md5(key.encode()).hexdigest()
+    idx = int(hx[0:2], 16)
+    w = int(hx[2:17], 16)
+    rho = _RHO_CAP if w == 0 else 60 - w.bit_length() + 1
+    if len(_HLL_CACHE) < _HLL_CACHE_CAP:
+        _HLL_CACHE[key] = (idx, rho)
+    return idx, rho
+
+
+def hll_registers(ds, key_col: str, val_col: str):
+    """→ Dataset(key_col, reg_idx, reg_val) — nonzero HLL registers of
+    the DISTINCT ``val_col`` values per key (merged with Max)."""
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pylist()
+        vals = b.column(val_col).to_pylist()
+        regs: dict = {}        # (key, idx) → rho max
+        seen: set = set()
+        for k, v in zip(keys, vals):
+            if (k, v) in seen:     # local distinct
+                continue
+            seen.add((k, v))
+            idx, rho = _bucket_rho(v)
+            kk = (k, idx)
+            if rho > regs.get(kk, 0):
+                regs[kk] = rho
+        items = sorted(regs.items())
+        return pa.table({
+            key_col: pa.array([k for (k, _), _ in items],
+                              type=b.schema.field(key_col).type),
+            "reg_idx": pa.array([i for (_, i), _ in items], pa.int64()),
+            "reg_val": pa.array([r for _, r in items], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "reg_idx"])
+            .aggregate(Max("reg_val", alias_name="reg_val")))
+
+
+def hll_estimate(reg_vals: np.ndarray, m: int = M_REGISTERS) -> float:
+    """Standard bias-corrected HLL cardinality estimate from a DENSE
+    register array (zeros included)."""
+    reg_vals = np.asarray(reg_vals, dtype=np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -reg_vals))
+    zeros = int((reg_vals == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)       # linear counting
+    return raw
+
+
+def hll_distinct_counts(ds, key_col: str, val_col: str) -> pd.DataFrame:
+    """Convenience finish: registers → per-key estimated distinct
+    count (small driver frame; the registers Dataset is the scalable
+    surface)."""
+    df = hll_registers(ds, key_col, val_col).to_pandas()
+    out = []
+    for k, g in df.groupby(key_col):
+        dense = np.zeros(M_REGISTERS, dtype=np.int64)
+        dense[g["reg_idx"].to_numpy()] = g["reg_val"].to_numpy()
+        out.append((k, float(hll_estimate(dense))))
+    return pd.DataFrame(out, columns=[key_col, "approx_distinct"])

@@ -250,7 +250,9 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                     if name == "a":
                         link_depth += 1
         else:
-            t = _WS_RE.sub(" ", _htmlmod.unescape(text)).strip()
+            if "&" in text:  # entity fast path: unescape is a no-op
+                text = _htmlmod.unescape(text)  # without an ampersand
+            t = _WS_RE.sub(" ", text).strip()
             if not t:
                 continue  # whitespace-only: background, no token
             if normalize_ar:

@@ -139,6 +139,21 @@ def main() -> None:
               right_id="event_id").count()
     queries["asof"] = round(time.monotonic() - t0, 3)
 
+    from arabic_ocr_ray.functions.sketch import hll_registers
+    from arabic_ocr_ray.functions.windows import preceding_count
+
+    t0 = time.monotonic()
+    hll_registers(
+        rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "user_id"]),
+        "event_type", "user_id").count()
+    queries["hll"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    preceding_count(ev.select_columns(["event_id", "user_id", "ts"]),
+                    window_us=3600 * 1_000_000).count()
+    queries["preceding"] = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod

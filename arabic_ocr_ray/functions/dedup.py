@@ -511,23 +511,19 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
 
     def explode(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        ids, bidx, bval, hashes = [], [], [], []
-        raw_ids = b.column(id_col).to_pylist()
-        raw_h = b.column("simhash").to_pylist()
-        for band in range(4):
-            vals = b.column(f"sh_band{band}").to_pylist()
-            ids.extend(raw_ids)
-            bidx.extend([band] * n)
-            bval.extend(vals)
-            hashes.extend(raw_h)
-        pk = (np.asarray(bval, dtype=np.int64) * 4
-              + np.asarray(bidx, dtype=np.int64)) % _PAIR_PARTITIONS
+        ids = b.column(id_col).combine_chunks()
+        hashes = b.column("simhash").combine_chunks()
+        bval = np.concatenate([
+            np.asarray(b.column(f"sh_band{band}"), dtype=np.int64)
+            for band in range(4)])
+        bidx = np.repeat(np.arange(4, dtype=np.int64), n)
+        pk = (bval * 4 + bidx) % _PAIR_PARTITIONS
         return pa.table({
-            id_col: pa.array(ids, type=b.schema.field(id_col).type),
-            "band_idx": pa.array(bidx, pa.int32()),
-            "band_val": pa.array(bval, pa.int32()),
-            "simhash": pa.array(hashes, pa.int64()),
-            "pk": pa.array(pk, pa.int32()),
+            id_col: pa.concat_arrays([ids] * 4),
+            "band_idx": pa.array(bidx.astype(np.int32)),
+            "band_val": pa.array(bval.astype(np.int32)),
+            "simhash": pa.concat_arrays([hashes] * 4),
+            "pk": pa.array(pk.astype(np.int32)),
         })
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:

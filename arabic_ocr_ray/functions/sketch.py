@@ -59,14 +59,13 @@ def hll_registers(ds, key_col: str, val_col: str):
     from ray.data.aggregate import Max
 
     def partial(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pylist()
-        vals = b.column(val_col).to_pylist()
+        # local distinct via one vectorized drop_duplicates (C-speed),
+        # python only over the distinct (key, value) pairs — md5 is
+        # cached process-wide on top
+        df = (b.select([key_col, val_col]).to_pandas()
+              .drop_duplicates([key_col, val_col]))
         regs: dict = {}        # (key, idx) → rho max
-        seen: set = set()
-        for k, v in zip(keys, vals):
-            if (k, v) in seen:     # local distinct
-                continue
-            seen.add((k, v))
+        for k, v in zip(df[key_col], df[val_col]):
             idx, rho = _bucket_rho(v)
             kk = (k, idx)
             if rho > regs.get(kk, 0):

@@ -603,6 +603,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return multimodal.decode_metadata(payloads, concurrency=2,
                                           batch_size=64)
 
+    def q_mm_frame_plan(sf_dir: str):
+        """Chained multimodal pipeline: synthesize → probe headers →
+        frame-sampling plan for every ok video (every 10th frame)."""
+        payloads = _docs(sf_dir).map_batches(
+            multimodal.payload_table_from_documents,
+            batch_format="pyarrow")
+        meta = multimodal.decode_metadata(payloads, concurrency=2,
+                                          batch_size=64)
+        return multimodal.frame_sample_plan(meta, every=10)
+
     return {
         "extract_pages": q_extract,
         "extract_eval": q_extract_eval,
@@ -635,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
+        "mm_frame_plan": q_mm_frame_plan,
     }
 
 
@@ -972,6 +983,15 @@ def oracle_sql() -> dict[str, str]:
             "AS status "
             "FROM (SELECT doc_id, octet_length(encode(text)) AS nb, "
             "doc_id % 3 AS k, doc_id % 97 = 0 AS bad FROM documents)"
+        ),
+        "mm_frame_plan": (
+            # video rows = doc_id % 3 == 2, non-corrupt; frames =
+            # 1 + nb % 120 (multimodal synthesis formulas); every 10th
+            "SELECT doc_id AS item_id, "
+            "unnest(generate_series(0, frames - 1, 10)) AS frame_idx "
+            "FROM (SELECT doc_id, "
+            "1 + octet_length(encode(text)) % 120 AS frames "
+            "FROM documents WHERE doc_id % 3 = 2 AND doc_id % 97 != 0)"
         ),
         # knn_ivf / train_prototypes: rows-only by design (approximate
         # search tuned by a recall gate in pytest; model training is a

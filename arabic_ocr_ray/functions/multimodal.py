@@ -254,3 +254,30 @@ def frame_sample_indices(n_frames: int, every: int = 10) -> np.ndarray:
     if n_frames <= 0:
         return np.zeros(0, dtype=np.int64)
     return np.arange(0, n_frames, every, dtype=np.int64)
+
+
+def frame_sample_plan(meta_ds, every: int = 10):
+    """Video decode metadata → flat frame-sampling plan: one row per
+    sampled frame index (every ``every``-th frame of every ok video).
+    → Dataset(item_id, frame_idx).  Vectorized repeat/concat inside
+    ``map_batches`` — the flat-map shape a video frame-extract stage
+    consumes (each plan row = one decode task downstream)."""
+    def explode(b: pa.Table) -> pa.Table:
+        kinds = b.column("kind").to_pylist()
+        status = b.column("status").to_pylist()
+        frames = np.asarray(b.column("frames"), dtype=np.int64)
+        ids = np.asarray(b.column("item_id"), dtype=np.int64)
+        keep = np.array([k == "video" and s == "ok"
+                         for k, s in zip(kinds, status)], dtype=bool)
+        ids, frames = ids[keep], frames[keep]
+        counts = (frames + every - 1) // every       # ceil(frames/every)
+        out_ids = np.repeat(ids, counts)
+        out_idx = np.concatenate(
+            [np.arange(0, f, every, dtype=np.int64) for f in frames]
+        ) if len(frames) else np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "item_id": pa.array(out_ids, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+        })
+
+    return meta_ds.map_batches(explode, batch_format="pyarrow")

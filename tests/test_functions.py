@@ -233,3 +233,17 @@ def test_header_probes_roundtrip():
 def test_frame_sample_indices():
     assert multimodal.frame_sample_indices(25, 10).tolist() == [0, 10, 20]
     assert multimodal.frame_sample_indices(0).tolist() == []
+
+
+def test_frame_sample_plan(ray_session):
+    import ray.data as rd
+
+    docs = _docs_table(["a", "bb", "x" * 25])  # id 2 = video, 25 bytes
+    payloads = multimodal.payload_table_from_documents(docs)
+    meta = multimodal.decode_metadata(rd.from_arrow(payloads),
+                                      concurrency=2, batch_size=2)
+    plan = (multimodal.frame_sample_plan(meta, every=10).to_pandas()
+            .sort_values("frame_idx"))
+    # video frames = 1 + 25 % 120 = 26 → sampled frames 0, 10, 20
+    assert list(plan["item_id"].unique()) == [2]
+    assert list(plan["frame_idx"]) == [0, 10, 20]

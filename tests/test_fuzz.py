@@ -50,3 +50,33 @@ def test_fuzz_tokenizer_invariants(raw):
         m = int(ts.match[i])
         if m != -1 and ts.is_open[i]:
             assert int(ts.match[m]) == i
+
+
+# ---- windowed-operator properties (pure folds, no Ray per example) ----
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 10_000)),
+                min_size=1, max_size=60))
+def test_fold_sessions_matches_bruteforce(rows):
+    import numpy as np
+
+    from arabic_ocr_ray.functions.windows import _fold_sessions
+
+    gap = 500
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    out = (_fold_sessions(u.copy(), ts.copy(), gap)
+           .set_index("user_id").sort_index())
+    for uid in sorted(set(u.tolist())):
+        t = np.sort(ts[u == uid])
+        sess_lens, cur = [], 1
+        for a, b in zip(t, t[1:]):
+            if b - a > gap:
+                sess_lens.append(cur)
+                cur = 1
+            else:
+                cur += 1
+        sess_lens.append(cur)
+        assert out.loc[uid, "n_events"] == len(t)
+        assert out.loc[uid, "n_sessions"] == len(sess_lens)
+        assert out.loc[uid, "max_session_events"] == max(sess_lens)

@@ -102,3 +102,43 @@ def test_asof_join_salted_equals_unsalted(ray_session):
               .sort_values("okey").reset_index(drop=True))
     pd.testing.assert_frame_equal(plain, salted[plain.columns],
                                   check_dtype=False)
+
+
+def test_asof_join_matches_bruteforce_random(ray_session):
+    """5 random small tables: the distributed as-of must equal a
+    per-row nested-loop reference (latest right with ts <= left ts,
+    ties → max right id)."""
+    import numpy as np
+    import ray.data as rd
+
+    for seed in range(5):
+        rng = np.random.RandomState(100 + seed)
+        nl, nr = rng.randint(1, 30), rng.randint(0, 30)
+        base = np.datetime64("2024-01-01", "us")
+        lkey = rng.randint(0, 4, nl)
+        lts = base + rng.randint(0, 1000, nl).astype("timedelta64[s]")
+        rkey = rng.randint(0, 4, nr)
+        rts = base + rng.randint(0, 1000, nr).astype("timedelta64[s]")
+        rval = rng.rand(nr).round(3)
+        left = pa.table({
+            "okey": pa.array(range(nl), pa.int64()),
+            "k": pa.array(lkey, pa.int64()),
+            "lts": pa.array(lts, pa.timestamp("us"))})
+        right = pa.table({
+            "eid": pa.array(range(nr), pa.int64()),
+            "k": pa.array(rkey, pa.int64()),
+            "rts": pa.array(rts, pa.timestamp("us")),
+            "val": pa.array(rval, pa.float64())})
+        out = asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            key_left="k", key_right="k", ts_left="lts", ts_right="rts",
+            left_cols=["okey"], right_cols=["val"], right_id="eid",
+        ).to_pandas().set_index("okey").sort_index()
+        for i in range(nl):
+            cand = [(rts[j], j) for j in range(nr)
+                    if rkey[j] == lkey[i] and rts[j] <= lts[i]]
+            if not cand:
+                assert pd.isna(out.loc[i, "val"]), (seed, i)
+            else:
+                _, j = max(cand)
+                assert out.loc[i, "val"] == rval[j], (seed, i)

@@ -424,6 +424,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return g.map_batches(r2, batch_format="pyarrow")
 
+    def q_order_customer_join(sf_dir: str):
+        """Native Ray `Dataset.join` (hash-partitioned shuffle join) —
+        the non-broadcast counterpart of segment_order_stats' lookup:
+        appropriate when BOTH sides are large."""
+        import ray
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"])
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"])
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        return orders.join(
+            cust, join_type="inner",
+            num_partitions=max(2, min(8, cpus)),
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "c_name"])
+
     def q_events_hourly(sf_dir: str):
         import numpy as np
         import pyarrow as pa
@@ -634,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": q_q1_pricing,
         "top_orders": q_top_orders,
         "segment_order_stats": q_segment_order_stats,
+        "order_customer_join": q_order_customer_join,
         "events_hourly": q_events_hourly,
         "event_type_counts": q_event_type_counts,
         "event_sessions": q_event_sessions,
@@ -794,6 +815,10 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(o_totalprice), 2) AS sum_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "order_customer_join": (
+            "SELECT o_orderkey, c_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
         ),
         "events_hourly": (
             "SELECT user_id, "

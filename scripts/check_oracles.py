@@ -84,6 +84,12 @@ def main():
             except AssertionError as e:
                 msg = str(e).splitlines()[0]
                 print(f"{name:24s} VALUE-DIFF {msg}")
+            # dtype drift is a driver hash-mismatch even when values
+            # agree (r1 corpus_stats) — surface it loudly
+            dt_g = [str(t) for t in got.dtypes]
+            dt_e = [str(t) for t in exp.dtypes]
+            if ok_vals and dt_g != dt_e:
+                print(f"{name:24s} DTYPE-DIFF got={dt_g} exp={dt_e}")
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":
             failures.append(name)

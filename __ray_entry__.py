@@ -572,6 +572,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "value"])
         return grouped_median(ev, "user_id", "value")
 
+    def q_user_value_p90(sf_dir: str):
+        from arabic_ocr_ray.functions.windows import grouped_quantile
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "value"])
+        return grouped_quantile(ev, "user_id", "value", q=0.9)
+
+    def q_doc_normalize(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.normalize_batch,
+                                         batch_format="pyarrow")
+
+    def q_top_tokens(sf_dir: str):
+        return text.top_tokens(_docs(sf_dir), k=20)
+
     def q_orders_asof_event(sf_dir: str):
         from arabic_ocr_ray.functions.joins import asof_join
 
@@ -663,6 +677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "user_value_median": q_user_value_median,
         "hll_user_registers": q_hll_user_registers,
+        "user_value_p90": q_user_value_p90,
+        "doc_normalize": q_doc_normalize,
+        "top_tokens": q_top_tokens,
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
@@ -970,6 +987,22 @@ def oracle_sql() -> dict[str, str]:
             # (verified bit-equal on this data)
             "SELECT user_id, median(value) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "user_value_p90": (
+            # engine uses the exact v[lo]*(1-frac)+v[hi]*frac lerp —
+            # DuckDB-bit-equal (numpy's own quantile formula is NOT)
+            "SELECT user_id, quantile_cont(value, 0.9) AS quantile "
+            "FROM events GROUP BY user_id"
+        ),
+        "doc_normalize": (
+            r"SELECT doc_id, trim(regexp_replace(lower(text), '\s+', "
+            r"' ', 'g')) AS norm_text FROM documents"
+        ),
+        "top_tokens": (
+            r"SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+            r"SELECT unnest(regexp_extract_all(lower(text), '\S+')) "
+            r"AS token FROM documents) GROUP BY token "
+            r"ORDER BY n DESC, token LIMIT 20"
         ),
         "events_asof_order": (
             # ties on (custkey, orderdate) deduplicated to the max

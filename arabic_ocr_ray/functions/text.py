@@ -141,6 +141,53 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+_WS_RUN = re.compile(r"\s+")
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Canonical text normalization: lowercase, collapse every
+    whitespace run to one space, strip.  The X1 whitespace-collapse
+    analog (integrator.py:8-9) as a corpus-wide operator; SQL twin:
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    texts = batch.column("text").to_pylist()
+    out = [_WS_RUN.sub(" ", (t or "").lower()).strip() for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "norm_text": pa.array(out, pa.string()),
+    })
+
+
+def token_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch token frequency partials (map-side combine for the
+    distributed word count): → (token, n) rows, one per distinct
+    token per batch."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        c.update(_WS_SPLIT.findall((t or "").lower()))
+    items = sorted(c.items())
+    return pa.table({
+        "token": pa.array([k for k, _ in items], pa.string()),
+        "n": pa.array([v for _, v in items], pa.int64()),
+    })
+
+
+def top_tokens(ds, k: int = 20):
+    """Distributed word count → top-k tokens (ties → token asc):
+    map-side partial Counters → one Sum shuffle keyed by token →
+    map-side top-k partials → tiny driver merge (no global sort)."""
+    from ray.data.aggregate import Sum
+
+    from .topk import topk
+
+    counts = (ds.map_batches(token_count_partials,
+                             batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("n", alias_name="n")))
+    return topk(counts, "n", k, descending=True, tie_cols=("token",))
+
+
 def replace_composites(text: str) -> str:
     """X2 analog surface (integrator.py:39-43): sentinel → composite."""
     from ..html.tokenizer import COMPOSITE, COMPOSITE_SENTINEL

@@ -247,3 +247,14 @@ def test_frame_sample_plan(ray_session):
     # video frames = 1 + 25 % 120 = 26 → sampled frames 0, 10, 20
     assert list(plan["item_id"].unique()) == [2]
     assert list(plan["frame_idx"]) == [0, 10, 20]
+
+
+def test_normalize_and_top_tokens(ray_session):
+    import ray.data as rd
+
+    docs = _docs_table(["Foo  BAR\tfoo", "bar foo", ""])
+    norm = (text.normalize_batch(docs).column("norm_text").to_pylist())
+    assert norm == ["foo bar foo", "bar foo", ""]
+    out = text.top_tokens(rd.from_arrow(docs), k=2)
+    assert list(out["token"]) == ["foo", "bar"]
+    assert list(out["n"]) == [3, 2]

@@ -138,3 +138,21 @@ def test_grouped_median(ray_session):
            .to_pandas().set_index("user_id").sort_index())
     assert out.loc[1, "median"] == 2.0     # odd count
     assert out.loc[2, "median"] == 15.0    # even count: (10+20)/2
+
+
+def test_grouped_quantile_duckdb_formula(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.windows import grouped_quantile
+
+    t = pa.table({
+        "user_id": pa.array([1] * 5 + [2] * 2, pa.int64()),
+        "value": pa.array([5.0, 1.0, 3.0, 2.0, 4.0, 10.0, 20.0],
+                          pa.float64()),
+    })
+    out = (grouped_quantile(rd.from_arrow(t), "user_id", "value", 0.25)
+           .to_pandas().set_index("user_id").sort_index())
+    # user 1 sorted [1..5]: pos=1.0 → exactly v[1]=2.0
+    assert out.loc[1, "quantile"] == 2.0
+    # user 2: pos=0.25 → 10*(1-.25) + 20*.25 = 12.5
+    assert out.loc[2, "quantile"] == 12.5

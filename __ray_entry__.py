@@ -586,6 +586,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_tokens(sf_dir: str):
         return text.top_tokens(_docs(sf_dir), k=20)
 
+    def q_doc_sample(sf_dir: str):
+        """Deterministic hash sample (12.5%): keep iff the first md5
+        hex digit of str(doc_id) is < '2' — reproducible across runs,
+        cluster layouts and resume boundaries (a seeded
+        random_shuffle sample is none of those), and exactly
+        twinnable in SQL (DuckDB has md5 but no crc32)."""
+        import hashlib
+
+        import pyarrow as pa
+
+        def pick(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            keep = [hashlib.md5(str(i).encode()).hexdigest()[0] < "2"
+                    for i in ids]
+            return b.filter(pa.array(keep))
+
+        return _docs(sf_dir, cols=("doc_id",)).map_batches(
+            pick, batch_format="pyarrow")
+
+    def q_customers_without_events(sf_dir: str):
+        """Broadcast ANTI join: customers with no events, counted per
+        market segment (the functions/joins.py anti_join_broadcast
+        surface under oracle).  The small side (distinct event user
+        ids) is gathered distributively and shipped once via
+        ray.put."""
+        import ray
+
+        ev_users = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id"]).unique("user_id")  # list of values
+        keys_ref = ray.put(set(ev_users))
+
+        from arabic_ocr_ray.functions.joins import anti_join_broadcast
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"])
+        anti = anti_join_broadcast(cust, "c_custkey", keys_ref)
+        return anti.groupby("c_mktsegment").aggregate(
+            Count(alias_name="n_customers"))
+
     def q_orders_asof_event(sf_dir: str):
         from arabic_ocr_ray.functions.joins import asof_join
 
@@ -680,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_p90": q_user_value_p90,
         "doc_normalize": q_doc_normalize,
         "top_tokens": q_top_tokens,
+        "doc_sample": q_doc_sample,
+        "customers_without_events": q_customers_without_events,
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
@@ -1003,6 +1046,15 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT unnest(regexp_extract_all(lower(text), '\S+')) "
             r"AS token FROM documents) GROUP BY token "
             r"ORDER BY n DESC, token LIMIT 20"
+        ),
+        "doc_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'"
+        ),
+        "customers_without_events": (
+            "SELECT c_mktsegment, count(*) AS n_customers "
+            "FROM customer WHERE c_custkey NOT IN "
+            "(SELECT user_id FROM events) GROUP BY c_mktsegment"
         ),
         "events_asof_order": (
             # ties on (custkey, orderdate) deduplicated to the max

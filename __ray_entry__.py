@@ -529,6 +529,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return session_stats(ev)
 
+    def q_event_type_distinct_users(sf_dir: str):
+        """EXACT distinct count per key (the contrast partner of the
+        HLL sketch): two-level groupby — distinct (type, user) pairs
+        first (shuffle on the pair), then a count per type (tiny)."""
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "user_id"])
+        pairs = (ev.groupby(["event_type", "user_id"])
+                 .aggregate(Count(alias_name="_n")))
+        return (pairs.groupby("event_type")
+                .aggregate(Count(alias_name="n_users")))
+
     def q_hll_user_registers(sf_dir: str):
         """Deterministic HyperLogLog registers for distinct users per
         event type (functions/sketch.py) — the registers themselves
@@ -718,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "user_value_median": q_user_value_median,
         "hll_user_registers": q_hll_user_registers,
+        "event_type_distinct_users": q_event_type_distinct_users,
         "user_value_p90": q_user_value_p90,
         "doc_normalize": q_doc_normalize,
         "top_tokens": q_top_tokens,
@@ -994,6 +1006,11 @@ def oracle_sql() -> dict[str, str]:
             "ON e1.user_id = e2.user_id "
             "AND e2.ts >= e1.ts - INTERVAL 1 HOUR AND e2.ts < e1.ts "
             "GROUP BY e1.event_id"
+        ),
+        "event_type_distinct_users": (
+            "SELECT event_type, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         "hll_user_registers": (
             # exact SQL twin of sketch.py's register definition:

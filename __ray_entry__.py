@@ -870,6 +870,22 @@ def oracle_sql() -> dict[str, str]:
             " AS rank FROM s) "
             f"SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {KNN_K}"
         ),
+        "knn_ivf": (
+            # the fixture table fits the IVF centroid sample, so the
+            # adaptive default probes every cell → IVF is EXACT here
+            # (partitioned brute force; ann.py docstring) and shares
+            # the exact-kNN oracle; at scale nprobe drops to C/2 and
+            # quality is gated by the clustered recall ≥ 0.9 pytest
+            "WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])), 9) AS sim "
+            f"FROM embeddings q, embeddings e "
+            f"WHERE q.vec_id < {len(KNN_QUERIES)} AND e.vec_id != q.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)"
+            " AS rank FROM s) "
+            f"SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {KNN_K}"
+        ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "

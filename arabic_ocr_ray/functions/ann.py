@@ -157,14 +157,21 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, n_clusters: int = 16,
     vectors partitioned by nearest centroid (groupby key = ivf_cell);
     each query scans only its ``nprobe`` closest cells.
 
-    ``nprobe`` defaults to half the cells — the measured recall/cost
-    knob (tests gate recall ≥ 0.9 on clustered data at nprobe = C/4)."""
+    ``nprobe`` defaults adaptively (the FAISS-style rule): when the
+    whole table fits inside the centroid sample there is nothing to
+    prune — probing every cell costs the same as one scan and makes
+    the answer EXACT (partitioned brute force; asserted equal to
+    :func:`knn_bruteforce` in tests and against the driver's exact-kNN
+    SQL oracle).  At scale the default is half the cells — the
+    measured recall/cost knob (tests gate recall ≥ 0.9 on clustered
+    data at nprobe = C/4)."""
     import ray
 
-    if nprobe is None:
-        nprobe = max(1, n_clusters // 2)
     sample = ds.select_columns([id_col, col]).limit(sample_limit)
     rows = sample.take_all()
+    if nprobe is None:
+        nprobe = (n_clusters if len(rows) < sample_limit
+                  else max(1, n_clusters // 2))
     ids_s = [r[id_col] for r in rows]
     E_s = _normalize(np.array([r[col] for r in rows], dtype=np.float64))
     C = kmeans_lite(E_s, n_clusters)

@@ -258,3 +258,24 @@ def test_normalize_and_top_tokens(ray_session):
     out = text.top_tokens(rd.from_arrow(docs), k=2)
     assert list(out["token"]) == ["foo", "bar"]
     assert list(out["n"]) == [3, 2]
+
+
+def test_knn_ivf_exact_at_small_scale(ray_session):
+    """Adaptive nprobe: a table that fits the centroid sample probes
+    every cell → IVF result is EXACTLY brute force (same tie rules)."""
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.RandomState(21)
+    E = rng.randn(300, 32)
+    t = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    exact = (ann.knn_bruteforce(ds, list(range(8)), k=5).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    ivf = (ann.knn_ivf(ds, list(range(8)), k=5).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, ivf[exact.columns])

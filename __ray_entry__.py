@@ -262,6 +262,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _typed(dedup.near_dup_pairs(_docs(sf_dir), threshold=0.8),
                       {"a": "int64", "b": "int64", "jaccard_x1000": "int64"})
 
+    def q_near_dup_clusters(sf_dir: str):
+        """Chained pipeline: MinHash-LSH pairs → exact verify →
+        connected components = duplicate clusters (dedup's final
+        step; the sf0.01 graph contains a 3-doc triangle)."""
+        pairs = dedup.near_dup_pairs(_docs(sf_dir), threshold=0.8)
+        return _typed(dedup.dedup_connected_components(pairs),
+                      {"doc_id": "int64", "cluster_id": "int64"})
+
     def q_simhash_dup(sf_dir: str):
         return _typed(dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3),
                       {"a": "int64", "b": "int64", "hamming": "int64"})
@@ -713,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "near_dup_pairs": q_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_dup_pairs": q_simhash_dup,
         "embedding_near_dup": q_emb_near_dup,
         "knn_cosine": q_knn,
@@ -946,6 +955,34 @@ def oracle_sql() -> dict[str, str]:
             r" JOIN cnt cb ON cb.doc_id = i.b"
             r" WHERE ca.n >= 5 AND cb.n >= 5"
             r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
+        "near_dup_clusters": (
+            # recursive-CTE transitive closure over the SAME verified
+            # pair set as near_dup_pairs: component id = min reachable
+            # doc id (the engine's min-label-propagation fixed point)
+            r"WITH RECURSIVE "
+            r"tk AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            r"'\S+') AS toks FROM documents), "
+            r"sh AS (SELECT DISTINCT doc_id, "
+            r"toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s "
+            r"FROM tk, unnest(generate_series(1, len(toks) - 2)) AS u(i)), "
+            r"cnt AS (SELECT doc_id, count(*) AS n FROM sh "
+            r"GROUP BY doc_id), "
+            r"inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) "
+            r"AS i FROM sh a JOIN sh b ON a.s = b.s "
+            r"AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            r"pairs AS (SELECT i.a, i.b FROM inter i "
+            r"JOIN cnt ca ON ca.doc_id = i.a "
+            r"JOIN cnt cb ON cb.doc_id = i.b "
+            r"WHERE ca.n >= 5 AND cb.n >= 5 "
+            r"AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)), "
+            r"edges AS (SELECT a AS s, b AS t FROM pairs "
+            r"UNION ALL SELECT b, a FROM pairs), "
+            r"reach AS (SELECT DISTINCT s AS id, s AS lab FROM edges "
+            r"UNION SELECT e.s AS id, r.lab FROM edges e "
+            r"JOIN reach r ON r.id = e.t) "
+            r"SELECT id AS doc_id, CAST(min(lab) AS BIGINT) "
+            r"AS cluster_id FROM reach GROUP BY id"
         ),
         "simhash_dup_pairs": (
             # Full SQL replica of the engine's sketch: token hash =

@@ -407,6 +407,67 @@ def near_dup_pairs(ds, threshold: float = 0.8,
                                 ds, threshold, col, id_col)
 
 
+def dedup_connected_components(pairs_ds, num_partitions: int = 8,
+                               max_iters: int = 50):
+    """Near-dup PAIRS → duplicate CLUSTERS — the step a real corpus
+    dedup ends with (keep ``min(cluster)``, drop the rest).
+
+    Distributed min-label propagation (the connected-components shape
+    of GraphX/Pregel, expressed in Ray Data): every round shuffles
+    only the pair GRAPH (bounded by the dup rate, never the corpus) —
+    messages = edges ⋈ labels (hash join on the edge target) →
+    ``groupby(node).min``.  Labels only decrease, so the label sum is
+    a monotone fixed-point detector; rounds needed = graph diameter
+    (near-dup clusters are shallow).  → Dataset(doc_id, cluster_id =
+    min doc id in the component); singleton docs don't appear (no
+    pairs → no cluster), matching the SQL twin.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    nparts = max(2, min(num_partitions, cpus))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b.column("a").combine_chunks()
+        bb = b.column("b").combine_chunks()
+        return pa.table({"s": pa.concat_arrays([a, bb]),
+                         "t": pa.concat_arrays([bb, a])})
+
+    edges = (pairs_ds.select_columns(["a", "b"])
+             .map_batches(to_edges, batch_format="pyarrow")
+             .materialize())
+
+    nodes = (edges.groupby("s")
+             .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
+    labels = nodes.map_batches(
+        lambda b: pa.table({"id": b.column("s"), "lab": b.column("s")}),
+        batch_format="pyarrow").materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = edges.join(labels, join_type="inner",
+                          num_partitions=nparts,
+                          on=("t",), right_on=("id",))
+        cand = msgs.map_batches(
+            lambda b: pa.table({"id": b.column("s"),
+                                "lab": b.column("lab")}),
+            batch_format="pyarrow")
+        labels = (cand.union(labels).groupby("id")
+                  .aggregate(Min("lab", alias_name="lab"))
+                  .materialize())
+        cur = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("id"),
+                            "cluster_id": b.column("lab")}),
+        batch_format="pyarrow")
+
+
 # --- SimHash --------------------------------------------------------------
 #
 # Token hash = first 8 bytes (big-endian) of md5(token) — chosen over

@@ -279,3 +279,19 @@ def test_knn_ivf_exact_at_small_scale(ray_session):
     ivf = (ann.knn_ivf(ds, list(range(8)), k=5).to_pandas()
            .sort_values(["query_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(exact, ivf[exact.columns])
+
+
+def test_connected_components_triangle_and_chain(ray_session):
+    """Label propagation: a triangle, a 4-chain (needs >1 round), and
+    an isolated pair all resolve to min-id clusters."""
+    import ray.data as rd
+
+    pairs = pa.table({
+        "a": pa.array([1, 1, 2, 10, 11, 12, 50], pa.int64()),
+        "b": pa.array([2, 3, 3, 11, 12, 13, 51], pa.int64()),
+    })
+    out = (dedup.dedup_connected_components(rd.from_arrow(pairs))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[[1, 2, 3], "cluster_id"].tolist() == [1, 1, 1]
+    assert out.loc[[10, 11, 12, 13], "cluster_id"].tolist() == [10] * 4
+    assert out.loc[[50, 51], "cluster_id"].tolist() == [50, 50]

@@ -697,6 +697,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return multimodal.decode_metadata(payloads, concurrency=2,
                                           batch_size=64)
 
+    def q_mm_resize_plan(sf_dir: str):
+        """Chained: synthesize → probe → integer thumbnail plan for
+        every ok image (fit longer side to 224)."""
+        payloads = _docs(sf_dir).map_batches(
+            multimodal.payload_table_from_documents,
+            batch_format="pyarrow")
+        meta = multimodal.decode_metadata(payloads, concurrency=2,
+                                          batch_size=64)
+        return multimodal.resize_plan(meta, target=224)
+
     def q_mm_frame_plan(sf_dir: str):
         """Chained multimodal pipeline: synthesize → probe headers →
         frame-sampling plan for every ok video (every 10th frame)."""
@@ -748,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": q_events_asof_order,
         "mm_decode_meta": q_mm_decode,
         "mm_frame_plan": q_mm_frame_plan,
+        "mm_resize_plan": q_mm_resize_plan,
     }
 
 
@@ -1163,6 +1174,19 @@ def oracle_sql() -> dict[str, str]:
             "AS status "
             "FROM (SELECT doc_id, octet_length(encode(text)) AS nb, "
             "doc_id % 3 AS k, doc_id % 97 = 0 AS bad FROM documents)"
+        ),
+        "mm_resize_plan": (
+            # image rows: doc_id % 3 == 0, non-corrupt; dims from the
+            # synthesis formulas; fit-longer-side-to-224 integer math
+            "SELECT doc_id AS item_id, "
+            "CAST(greatest(1, (w * 224) // greatest(w, h, 1)) "
+            "AS BIGINT) AS thumb_w, "
+            "CAST(greatest(1, (h * 224) // greatest(w, h, 1)) "
+            "AS BIGINT) AS thumb_h "
+            "FROM (SELECT doc_id, "
+            "16 + octet_length(encode(text)) % 241 AS w, "
+            "16 + (octet_length(encode(text)) * 7) % 199 AS h "
+            "FROM documents WHERE doc_id % 3 = 0 AND doc_id % 97 != 0)"
         ),
         "mm_frame_plan": (
             # video rows = doc_id % 3 == 2, non-corrupt; frames =

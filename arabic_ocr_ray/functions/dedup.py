@@ -416,11 +416,14 @@ def dedup_connected_components(pairs_ds, num_partitions: int = 8,
     of GraphX/Pregel, expressed in Ray Data): every round shuffles
     only the pair GRAPH (bounded by the dup rate, never the corpus) —
     messages = edges ⋈ labels (hash join on the edge target) →
-    ``groupby(node).min``.  Labels only decrease, so the label sum is
-    a monotone fixed-point detector; rounds needed = graph diameter
-    (near-dup clusters are shallow).  → Dataset(doc_id, cluster_id =
-    min doc id in the component); singleton docs don't appear (no
-    pairs → no cluster), matching the SQL twin.
+    ``groupby(node).min``.  Works for int AND string ids (min = the
+    lexicographically smallest url); the fixed point is detected by a
+    type-agnostic crc32 checksum over (id, lab) assignments (labels
+    only decrease, so an unchanged checksum ⇒ converged).  Rounds
+    needed = graph diameter (near-dup clusters are shallow).
+    → Dataset(doc_id, cluster_id = min id in the component);
+    singleton docs don't appear (no pairs → no cluster), matching the
+    SQL twin.
     """
     import ray
     from ray.data.aggregate import Count, Min, Sum
@@ -445,6 +448,13 @@ def dedup_connected_components(pairs_ds, num_partitions: int = 8,
         lambda b: pa.table({"id": b.column("s"), "lab": b.column("s")}),
         batch_format="pyarrow").materialize()
 
+    def checksum_part(b: pa.Table) -> pa.Table:
+        s = 0
+        for i, l in zip(b.column("id").to_pylist(),
+                        b.column("lab").to_pylist()):
+            s += zlib.crc32(f"{i}|{l}".encode())
+        return pa.table({"s": pa.array([s], pa.int64())})
+
     prev_sum = None
     for _ in range(max_iters):
         msgs = edges.join(labels, join_type="inner",
@@ -457,7 +467,9 @@ def dedup_connected_components(pairs_ds, num_partitions: int = 8,
         labels = (cand.union(labels).groupby("id")
                   .aggregate(Min("lab", alias_name="lab"))
                   .materialize())
-        cur = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        cur = (labels.map_batches(checksum_part,
+                                  batch_format="pyarrow")
+               .aggregate(Sum("s", alias_name="s"))["s"])
         if cur == prev_sum:
             break
         prev_sum = cur

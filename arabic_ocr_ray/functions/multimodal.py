@@ -256,6 +256,34 @@ def frame_sample_indices(n_frames: int, every: int = 10) -> np.ndarray:
     return np.arange(0, n_frames, every, dtype=np.int64)
 
 
+def resize_plan(meta_ds, target: int = 224):
+    """Decoded image metadata → integer thumbnail dimensions (fit the
+    longer side to ``target``, preserve aspect, floor division, min 1)
+    — the resize stage's PLAN, all-integer so a SQL twin reproduces it
+    exactly; the pixel resample itself belongs to the stubbed decoder.
+    → Dataset(item_id, thumb_w, thumb_h)."""
+    def plan(b: pa.Table) -> pa.Table:
+        kinds = b.column("kind").to_pylist()
+        status = b.column("status").to_pylist()
+        w = np.asarray(b.column("width"), dtype=np.int64)
+        h = np.asarray(b.column("height"), dtype=np.int64)
+        ids = np.asarray(b.column("item_id"), dtype=np.int64)
+        keep = np.array([k == "image" and s == "ok"
+                         for k, s in zip(kinds, status)], dtype=bool)
+        w, h, ids = w[keep], h[keep], ids[keep]
+        long_side = np.maximum(w, h)
+        long_side[long_side == 0] = 1
+        tw = np.maximum(1, (w * target) // long_side)
+        th = np.maximum(1, (h * target) // long_side)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "thumb_w": pa.array(tw, pa.int64()),
+            "thumb_h": pa.array(th, pa.int64()),
+        })
+
+    return meta_ds.map_batches(plan, batch_format="pyarrow")
+
+
 def frame_sample_plan(meta_ds, every: int = 10):
     """Video decode metadata → flat frame-sampling plan: one row per
     sampled frame index (every ``every``-th frame of every ok video).

@@ -80,7 +80,38 @@ def _fixture(sf_dir: str) -> dict:
         tmp = f"{spans}.tmp{os.getpid()}"  # unique per writer
         pq.write_table(golden_spans_table(n, seed=FIXTURE_SEED), tmp)
         os.replace(tmp, spans)
-    return {"pages": pages, "spans": spans, "n": n}
+    triples = os.path.join(d, "triples.parquet")
+    if not os.path.exists(triples):
+        # golden-by-construction expected model triples: the SEQUENTIAL
+        # fold (A2 analog, same twin pytest asserts bit-identical to
+        # the distributed trainer) — turns train_prototypes from a
+        # rows-only row into a hash-verified oracle (r2 verdict #3)
+        import pyarrow as pa
+
+        from arabic_ocr_ray.model import PrototypeModel
+        from arabic_ocr_ray.sources.pages import build_page
+        from arabic_ocr_ray.templates import Templates
+        from arabic_ocr_ray.training import doc_training_examples
+
+        tpl = Templates()
+        tri: list = []
+        for i in range(n):
+            r = build_page(FIXTURE_SEED, i)
+            ex, _rej, _tot = doc_training_examples(
+                r["html"], r["lang"], r["spans"], tpl)
+            tri.extend(ex)
+        model = PrototypeModel.from_triples(tri)
+        rows = [(s, lab, ",".join(map(str, fv)))
+                for s, lab, fv in model.triples()]
+        tbl = pa.table({
+            "score": pa.array([r[0] for r in rows], pa.int64()),
+            "label": pa.array([r[1] for r in rows], pa.string()),
+            "fv": pa.array([r[2] for r in rows], pa.string()),
+        })
+        tmp = f"{triples}.tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, triples)
+    return {"pages": pages, "spans": spans, "triples": triples, "n": n}
 
 
 def _conc(cap: int = 8) -> int:
@@ -625,24 +656,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pick, batch_format="pyarrow")
 
     def q_customers_without_events(sf_dir: str):
-        """Broadcast ANTI join: customers with no events, counted per
-        market segment (the functions/joins.py anti_join_broadcast
-        surface under oracle).  The small side (distinct event user
-        ids) is gathered distributively and shipped once via
-        ray.put."""
-        import ray
+        """Shuffled ANTI join: customers with no events, counted per
+        market segment.  The r2 version materialized the distinct
+        event users on the driver (``unique() → set → ray.put``) —
+        that broadcast side is *distinct event users*, unbounded
+        unlike a dim table (driver OOM at 10^12 events).  Now a
+        hash-partitioned anti join (functions/joins.py:hash_join):
+        the event keys travel as a shuffled column, never a driver
+        set; no pre-distinct needed (left-anti tolerates dup keys)."""
+        from arabic_ocr_ray.functions.joins import hash_join
 
         ev_users = rd.read_parquet(
             os.path.join(sf_dir, "events.parquet"),
-            columns=["user_id"]).unique("user_id")  # list of values
-        keys_ref = ray.put(set(ev_users))
-
-        from arabic_ocr_ray.functions.joins import anti_join_broadcast
-
+            columns=["user_id"])
         cust = rd.read_parquet(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"])
-        anti = anti_join_broadcast(cust, "c_custkey", keys_ref)
+        anti = hash_join(cust, ev_users, on="c_custkey",
+                         right_on="user_id", how="anti",
+                         num_partitions=32)
         return anti.groupby("c_mktsegment").aggregate(
             Count(alias_name="n_customers"))
 
@@ -810,6 +842,12 @@ def oracle_sql() -> dict[str, str]:
         "segment_stats": (
             f"SELECT url, CAST(count(*) AS INT) AS n_spans "
             f"FROM read_parquet('{spans}') GROUP BY url"
+        ),
+        "train_prototypes": (
+            # expected canonical model triples, written golden-by-
+            # construction by the sequential fold in _fixture()
+            f"SELECT score, label, fv "
+            f"FROM read_parquet('{fx['triples']}')"
         ),
         "doc_token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

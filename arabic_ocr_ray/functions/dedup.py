@@ -283,10 +283,15 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
       1. each pair gets a verify-partition key ``vp = crc32(a|b) % V``;
       2. each pair emits its two doc ids as (id, vp) "need" rows
          (locally deduped);
-      3. the corpus is hash SEMI-JOINED to the need rows
-         (``Dataset.join`` on id) → (id, text, vp): a doc's text is
-         replicated once per verify-partition that needs it, bounded
-         by 2 × pairs — never the corpus;
+      3. the corpus is hash-joined to the need rows via
+         :func:`~arabic_ocr_ray.functions.joins.hash_join` (the
+         union+groupby shape — NOT ``Dataset.join``, whose pyarrow
+         aggregator dies on the schemaless empty blocks that the
+         candidate map_groups shuffle emits when pairs are sparse;
+         deterministic crash at num_cpus=32 / sf0.01 in r2) →
+         (id, text, vp): a doc's text is replicated once per
+         verify-partition that needs it, bounded by 2 × pairs — never
+         the corpus;
       4. union(tagged pair rows, tagged doc rows) → groupby(vp) → one
          vectorized verify per partition with a per-doc shingle cache.
 
@@ -334,17 +339,11 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
 
     need = pairs_t.map_batches(need_rows, batch_format="pyarrow")
 
-    # join aggregators are ACTORS — one per partition; cap them at the
-    # cluster's CPU count or the pool can't schedule and the pipeline
-    # deadlocks (observed at 64 partitions on 8 CPUs)
-    import ray
+    from .joins import hash_join
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    join_parts = max(2, min(num_partitions, cpus))
-    docs_needed = docs_ds.select_columns([id_col, col]).join(
-        need, join_type="inner", num_partitions=join_parts,
-        on=(id_col,))
+    docs_needed = hash_join(
+        docs_ds.select_columns([id_col, col]), need,
+        on=id_col, how="inner", num_partitions=num_partitions)
 
     def tag_docs(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -407,8 +406,56 @@ def near_dup_pairs(ds, threshold: float = 0.8,
                                 ds, threshold, col, id_col)
 
 
+#: Pair graphs at or below this many (directed) edges are solved with
+#: one driver-side union-find instead of the distributed loop: ONE
+#: Ray sort-shuffle round costs more wall-clock than scanning 2M edges
+#: locally (measured 21 s/round at 32 CPUs for a 50-edge graph), and
+#: 2M edges ≈ tens of MB — the same bounded-small-side contract as a
+#: broadcast join.  Above it, the distributed min-label loop runs.
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _local_union_find(edges_tbl: pa.Table):
+    """(s, t) edge table → (doc_id, cluster_id=min id in component),
+    driver-side.  Type-agnostic (int or string ids)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:   # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ss = edges_tbl.column("s").to_pylist()
+    ts = edges_tbl.column("t").to_pylist()
+    for a, b in zip(ss, ts):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = {x: find(x) for x in parent}
+    cluster_min: dict = {}
+    for x, r in roots.items():
+        m = cluster_min.get(r)
+        if m is None or x < m:
+            cluster_min[r] = x
+    ids = sorted(roots)
+    id_type = edges_tbl.schema.field("s").type
+    return pa.table({
+        "doc_id": pa.array(ids, id_type),
+        "cluster_id": pa.array([cluster_min[roots[i]] for i in ids],
+                               id_type),
+    })
+
+
 def dedup_connected_components(pairs_ds, num_partitions: int = 8,
-                               max_iters: int = 50):
+                               max_iters: int = 50,
+                               local_max_edges: int = LOCAL_CC_MAX_EDGES):
     """Near-dup PAIRS → duplicate CLUSTERS — the step a real corpus
     dedup ends with (keep ``min(cluster)``, drop the rest).
 
@@ -442,6 +489,20 @@ def dedup_connected_components(pairs_ds, num_partitions: int = 8,
              .map_batches(to_edges, batch_format="pyarrow")
              .materialize())
 
+    if edges.count() <= local_max_edges:
+        # small-graph fast path: see LOCAL_CC_MAX_EDGES
+        import ray.data as rd
+
+        tbls = [t for t in ray.get(edges.to_arrow_refs())
+                if t.num_rows]
+        if not tbls:
+            id_type = pa.int64()
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([], id_type),
+                "cluster_id": pa.array([], id_type)}))
+        return rd.from_arrow(
+            _local_union_find(pa.concat_tables(tbls)))
+
     nodes = (edges.groupby("s")
              .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
     labels = nodes.map_batches(
@@ -455,24 +516,43 @@ def dedup_connected_components(pairs_ds, num_partitions: int = 8,
             s += zlib.crc32(f"{i}|{l}".encode())
         return pa.table({"s": pa.array([s], pa.int64())})
 
+    from .joins import hash_join
+
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
-        msgs = edges.join(labels, join_type="inner",
-                          num_partitions=nparts,
-                          on=("t",), right_on=("id",))
+        # union+groupby hash join — NOT Dataset.join: the pair graph
+        # comes out of map_groups shuffles whose empty partitions are
+        # schemaless zero-column blocks, which break the pyarrow join
+        # aggregator (r2 crash at num_cpus=32 / sf0.01)
+        msgs = hash_join(edges, labels, on="t", right_on="id",
+                         how="inner", num_partitions=nparts)
         cand = msgs.map_batches(
             lambda b: pa.table({"id": b.column("s"),
                                 "lab": b.column("lab")}),
             batch_format="pyarrow")
-        labels = (cand.union(labels).groupby("id")
+        labels = (cand.union(labels)
+                  .groupby("id", num_partitions=nparts)
                   .aggregate(Min("lab", alias_name="lab"))
                   .materialize())
         cur = (labels.map_batches(checksum_part,
                                   batch_format="pyarrow")
                .aggregate(Sum("s", alias_name="s"))["s"])
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+
+    if not converged:
+        # no silent caps: a graph with diameter > max_iters (chained
+        # document revisions) would otherwise yield split clusters
+        # with no signal
+        import logging
+
+        logging.getLogger("arabic_ocr_ray").warning(
+            "dedup_connected_components: label propagation did not "
+            "reach a fixed point within max_iters=%d rounds — "
+            "clusters may be split; raise max_iters", max_iters)
 
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b.column("id"),

@@ -23,15 +23,142 @@
 - :func:`semi_join_broadcast` / :func:`anti_join_broadcast` — the
   broadcast-key-set filters (no shuffle; the resume anti-filter in
   pipelines/extract.py is the same shape).
+
+- :func:`hash_join` — distributed inner / semi / anti hash join built
+  from the fixed-partition union + groupby shape instead of
+  ``Dataset.join``.  Two reasons it exists:
+
+  1. **Robustness**: Ray's ``groupby().map_groups()`` hash shuffle
+     emits schemaless zero-column blocks for partitions that receive
+     no rows, later ``map_batches`` calls are skipped on them, and
+     ``Dataset.join``'s pyarrow aggregator then dies with
+     ``ArrowInvalid: No match … FieldRef.Name(...)`` when a join
+     partition is made only of such blocks (deterministic at
+     num_cpus=32 / sf0.01 where 25 pairs spread over 64 partitions).
+     A groupby shuffle tolerates them, so a join *expressed as* a
+     groupby cannot be broken this way.
+  2. **Scale**: the anti/semi forms replace driver-side distinct-key
+     broadcasts (``unique() → set → ray.put``) whose broadcast side is
+     unbounded (e.g. distinct event users at 10^12 events).
+
+  Shape: tag each side with ``__side`` and a partition key
+  ``__jk = hash(key) % P``, align schemas (other side's payload =
+  typed nulls), union, ``groupby(__jk)``, and run ONE in-memory
+  pyarrow ``Table.join`` per partition.  The per-partition tables are
+  constructed with explicit schemas, so Acero never sees a schemaless
+  block.  Partitioning assumption: both sides of one hash partition
+  fit in one task (the standard partitioned-hash-join contract).
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _PARTITIONS = 64
+
+
+def _pa_type(t) -> pa.DataType:
+    """Ray ``Dataset.schema().types`` yields numpy dtypes for
+    pandas-backed blocks; normalize to Arrow types (object → string)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
+def _jk_for(arr: pa.ChunkedArray, n_parts: int) -> pa.Array:
+    """Deterministic partition key for an id column, int or string.
+    Nulls hash to 0 (they never match in the join itself)."""
+    if pa.types.is_integer(arr.type):
+        v = np.asarray(pc.fill_null(arr, 0).combine_chunks()
+                       .cast(pa.int64()), dtype=np.int64)
+        h = (v * np.int64(-7046029254386353131)) >> np.int64(32)
+        return pa.array((h % n_parts).astype(np.int32))
+    vals = arr.to_pylist()
+    return pa.array(
+        [0 if x is None else zlib.crc32(str(x).encode()) % n_parts
+         for x in vals], pa.int32())
+
+
+def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              how: str = "inner", num_partitions: int = _PARTITIONS):
+    """→ Dataset joined on a single key.  ``how`` ∈ {"inner", "semi",
+    "anti"}; semi/anti keep the LEFT schema (right may hold duplicate
+    keys — no pre-distinct needed, Acero's left-semi/anti handle it).
+    Inner output columns: left columns then right non-key columns.
+    See module docstring for why this exists next to ``Dataset.join``."""
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how={how!r}")
+    right_on = right_on or on
+    ls, rs = left_ds.schema(), right_ds.schema()
+    ltypes = {n: _pa_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rs.names, rs.types)}
+    key_t = ltypes[on]
+    left_nonkey = [c for c in ls.names if c != on]
+    if how == "inner":
+        right_nonkey = [c for c in rs.names if c != right_on]
+        clash = set(right_nonkey) & set(ls.names)
+        if clash:
+            raise ValueError(f"column collision: {sorted(clash)}")
+    else:
+        right_nonkey = []
+        right_ds = right_ds.select_columns([right_on])
+    out_names = [on] + left_nonkey + right_nonkey
+    out_schema = pa.schema(
+        [(on, key_t)] + [(c, ltypes[c]) for c in left_nonkey]
+        + [(c, rtypes[c]) for c in right_nonkey])
+
+    def tag(side: int):
+        keycol = on if side == 0 else right_on
+
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {"__jk": _jk_for(b.column(keycol), num_partitions),
+                    "__side": pa.array(
+                        np.full(n, side, dtype=np.int8))}
+            cols[on] = (b.column(on) if side == 0
+                        else b.column(right_on).cast(key_t))
+            for c in left_nonkey:
+                cols[c] = (b.column(c) if side == 0
+                           else pa.nulls(n, ltypes[c]))
+            for c in right_nonkey:
+                cols[c] = (b.column(c) if side == 1
+                           else pa.nulls(n, rtypes[c]))
+            return pa.table(cols)
+        return f
+
+    tagged = (left_ds.map_batches(tag(0), batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(1),
+                                          batch_format="pyarrow")))
+
+    arrow_how = {"inner": "inner", "semi": "left semi",
+                 "anti": "left anti"}[how]
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lt = g.filter(pc.equal(side, 0)).select([on] + left_nonkey)
+        rt = (g.filter(pc.equal(side, 1))
+              .select([on] + right_nonkey))
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        if rt.num_rows == 0:
+            return (lt if how == "anti" else out_schema.empty_table())
+        out = lt.combine_chunks().join(
+            rt.combine_chunks(), keys=[on], join_type=arrow_how)
+        return out.select(out_names)
+
+    # cap the shuffle at the key-space size — __jk has exactly
+    # num_partitions distinct values, so more aggregators than that
+    # is pure actor-startup overhead (measured 6× on the CC loop)
+    return (tagged.groupby("__jk", num_partitions=num_partitions)
+            .map_groups(join_part, batch_format="pyarrow"))
 
 
 def _key_pk(k: np.ndarray, n_parts: int) -> np.ndarray:

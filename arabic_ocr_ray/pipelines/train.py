@@ -109,8 +109,14 @@ def train_model(
     spans = rd.read_parquet(spans_path)
     per_url = spans.groupby("url").map_groups(
         _collect_spans, batch_format="pandas")
-    joined = pages.join(per_url, join_type="inner",
-                        num_partitions=num_partitions, on=("url",))
+    # union+groupby hash join, not Dataset.join: per_url comes out of
+    # a map_groups shuffle whose empty partitions are schemaless
+    # blocks that break the pyarrow join aggregator (r2 near-dup
+    # crash class; see functions/joins.py:hash_join)
+    from ..functions.joins import hash_join
+
+    joined = hash_join(pages, per_url, on="url",
+                       num_partitions=num_partitions)
     ex = joined.map_batches(
         _ExamplesBatch,
         batch_format="pyarrow",

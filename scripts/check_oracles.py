@@ -38,8 +38,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             logging_level="ERROR")
+    import os
+
+    # default 32 = the driver's exact conditions (the r2 near-dup
+    # crash only reproduced at 32 CPUs — empty shuffle partitions)
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()

@@ -295,3 +295,32 @@ def test_connected_components_triangle_and_chain(ray_session):
     assert out.loc[[1, 2, 3], "cluster_id"].tolist() == [1, 1, 1]
     assert out.loc[[10, 11, 12, 13], "cluster_id"].tolist() == [10] * 4
     assert out.loc[[50, 51], "cluster_id"].tolist() == [50, 50]
+
+    # the distributed min-label loop (local_max_edges=0 forces it)
+    # must agree with the local union-find on the same graph
+    import pandas as pd
+
+    dist = (dedup.dedup_connected_components(
+                rd.from_arrow(pairs), local_max_edges=0)
+            .to_pandas().set_index("doc_id").sort_index())
+    pd.testing.assert_frame_equal(out, dist)
+
+
+def test_connected_components_distributed_string_ids(ray_session):
+    """Distributed path with STRING ids and a sparse graph that leaves
+    most shuffle partitions empty (the r2 schemaless-empty-block crash
+    class — Dataset.join died here; the union+groupby hash_join must
+    not)."""
+    import ray.data as rd
+
+    pairs = pa.table({
+        "a": pa.array(["u/a", "u/b", "u/x"], pa.string()),
+        "b": pa.array(["u/b", "u/c", "u/y"], pa.string()),
+    })
+    out = (dedup.dedup_connected_components(
+               rd.from_arrow(pairs), local_max_edges=0,
+               num_partitions=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[["u/a", "u/b", "u/c"], "cluster_id"].tolist() \
+        == ["u/a"] * 3
+    assert out.loc[["u/x", "u/y"], "cluster_id"].tolist() == ["u/x"] * 2

@@ -342,7 +342,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["query_id", "neighbor_id", "rank"])
 
     def q_knn_ivf(sf_dir: str):
-        out = ann.knn_ivf(_emb(sf_dir), KNN_QUERIES, k=KNN_K)
+        """Materialized-index IVF: build once per sf dir (cached cell-
+        partitioned parquet under /tmp), then a probe run that reads
+        only the probed cells.  Adaptive nprobe makes the fixture-
+        scale answer exact (matches the exact-kNN SQL oracle)."""
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        idx = os.path.join("/tmp/aor_ivf", f"{name}-c16")
+        out = ann.knn_ivf(_emb(sf_dir), KNN_QUERIES, k=KNN_K,
+                          index_dir=idx)
         return out.select_columns(["query_id", "neighbor_id", "rank"])
 
     # ---------------- relational primitives ------------------------------
@@ -433,14 +440,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = rd.read_parquet(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"]).to_pandas()
-        lookup_ref = ray.put(
-            dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+        lookup_ref = ray.put((
+            pa.array(cust["c_custkey"], pa.int64()),
+            pa.array(cust["c_mktsegment"], pa.string())))
 
         def add_seg(b: pa.Table) -> pa.Table:
-            lk = ray.get(lookup_ref)
-            seg = [lk.get(c, "") for c in b.column("o_custkey").to_pylist()]
+            import pyarrow.compute as pc
+
+            ks, vs = ray.get(lookup_ref)
+            idx = pc.index_in(b.column("o_custkey").combine_chunks()
+                              .cast(pa.int64()), value_set=ks)
+            seg = pc.fill_null(pc.take(vs, idx), "")
             return pa.table({
-                "c_mktsegment": pa.array(seg, pa.string()),
+                "c_mktsegment": seg,
                 "o_totalprice": b.column("o_totalprice"),
             })
 
@@ -534,14 +546,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = rd.read_parquet(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"]).to_pandas()
-        lookup_ref = ray.put(
-            dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+        lookup_ref = ray.put((
+            pa.array(cust["c_custkey"], pa.int64()),
+            pa.array(cust["c_mktsegment"], pa.string())))
 
         def add_seg(b: pa.Table) -> pa.Table:
-            lk = ray.get(lookup_ref)
-            seg = [lk.get(c, "") for c in b.column("o_custkey").to_pylist()]
+            import pyarrow.compute as pc
+
+            ks, vs = ray.get(lookup_ref)
+            idx = pc.index_in(b.column("o_custkey").combine_chunks()
+                              .cast(pa.int64()), value_set=ks)
+            seg = pc.fill_null(pc.take(vs, idx), "")
             return pa.table({
-                "c_mktsegment": pa.array(seg, pa.string()),
+                "c_mktsegment": seg,
                 "o_orderkey": b.column("o_orderkey"),
                 "o_totalprice": b.column("o_totalprice"),
             })

@@ -6,11 +6,16 @@ Two paths:
     against it, per-batch top-k partials are merged by a final
     per-query groupby (map-side combine → tiny shuffle).  The baseline
     and the oracle-checkable path.
-  - :func:`knn_ivf` — IVF-style approximate: coarse centroids from a
-    seeded sample (k-means-lite), every vector assigned to its nearest
-    centroid (one shuffle key = centroid id), queries probe the
-    ``nprobe`` nearest centroid partitions only.  The 100 TB path:
-    probing replaces the full scan.
+  - :func:`build_ivf_index` + :func:`knn_ivf` — IVF: coarse centroids
+    from a HASH-SAMPLED subset (deterministic ``hash(id) < frac``
+    sample — never ``limit()``, which takes the *first* rows and is
+    biased on sorted corpora), every vector assigned to its nearest
+    centroid and MATERIALIZED ONCE as cell-partitioned parquet
+    (``ivf_cell=<c>/`` directories).  A query run reads ONLY its
+    probed cell directories — IO pruning, not just compute pruning
+    (the r2 version scanned every batch and pruned scoring only).
+    The 100 TB contract: index build = one full pass + partitioned
+    write; each query batch then reads ≤ nprobe/C of the table.
 
 Determinism: similarities are computed in float64 and ROUNDED to 9
 decimals before ranking, ties broken by ascending neighbor id — so
@@ -21,15 +26,49 @@ the id tie-break decides identically on both sides).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(E: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(E, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return E / norms
+
+
+def vectors_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix WITHOUT a Python
+    list round-trip: flatten the Arrow child buffer (zero-copy) and
+    reshape.  The r2 ``to_pylist() → np.array`` idiom was the main
+    per-batch overhead in the vector ops.  Ragged lists fall back to
+    the slow path (never occurs for a real embedding column)."""
+    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+           else col)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        off = arr.offset * d
+        return flat[off:off + len(arr) * d].reshape(
+            len(arr), d).astype(np.float64, copy=False)
+    offs = arr.offsets.to_numpy()
+    lens = np.diff(offs)
+    if len(lens) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    d = int(lens[0])
+    if not (lens == d).all():
+        return np.array(arr.to_pylist(), dtype=np.float64)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    return (flat[offs[0]:offs[-1]].reshape(len(arr), d)
+            .astype(np.float64, copy=False))
+
+
+def _ids_array(batch: pa.Table, id_col: str) -> np.ndarray:
+    return np.asarray(batch.column(id_col).combine_chunks()
+                      .cast(pa.int64()), dtype=np.int64)
 
 
 def _merge_topk(k: int):
@@ -53,12 +92,12 @@ def gather_vectors(ds, ids, id_col: str = "vec_id",
     (`take_all` of the tiny filtered result)."""
     import ray
 
-    idset_ref = ray.put(set(ids))
+    idset_ref = ray.put(pa.array(sorted(ids), pa.int64()))
 
     def pick(b: pa.Table) -> pa.Table:
         wanted = ray.get(idset_ref)
-        mask = [i in wanted for i in b.column(id_col).to_pylist()]
-        return b.filter(pa.array(mask))
+        return b.filter(pc.is_in(
+            b.column(id_col).cast(pa.int64()), value_set=wanted))
 
     rows = (ds.select_columns([id_col, col])
             .map_batches(pick, batch_format="pyarrow").take_all())
@@ -79,9 +118,8 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_, Q_ = ray.get(qref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        E = _normalize(np.array(batch.column(col).to_pylist(),
-                                dtype=np.float64))
+        ids = _ids_array(batch, id_col)
+        E = _normalize(vectors_matrix(batch.column(col)))
         S = np.round(Q_ @ E.T, 9)  # (q, batch)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(qids_):
@@ -150,59 +188,170 @@ def kmeans_lite(E: np.ndarray, n_clusters: int, n_iter: int = 25,
     return C
 
 
-def knn_ivf(ds, query_ids: list[int], k: int = 5, n_clusters: int = 16,
-            nprobe: int | None = None, sample_limit: int = 4096,
-            id_col: str = "vec_id", col: str = "embedding"):
-    """IVF-bucketed approximate top-k: centroids ← seeded sample;
-    vectors partitioned by nearest centroid (groupby key = ivf_cell);
-    each query scans only its ``nprobe`` closest cells.
+#: deterministic 0..1 hash of an id for sampling (splitmix-ish mix;
+#: the signed-constant trick avoids np.int64 overflow at import)
+_SAMPLE_MIX = np.int64(-7046029254386353131)
 
-    ``nprobe`` defaults adaptively (the FAISS-style rule): when the
-    whole table fits inside the centroid sample there is nothing to
-    prune — probing every cell costs the same as one scan and makes
-    the answer EXACT (partitioned brute force; asserted equal to
-    :func:`knn_bruteforce` in tests and against the driver's exact-kNN
-    SQL oracle).  At scale the default is half the cells — the
-    measured recall/cost knob (tests gate recall ≥ 0.9 on clustered
-    data at nprobe = C/4)."""
+
+def _hash01(ids: np.ndarray) -> np.ndarray:
+    h = (ids * _SAMPLE_MIX) ^ (ids >> np.int64(17))
+    return ((h.astype(np.uint64) >> np.uint64(11)).astype(np.float64)
+            / float(1 << 53))
+
+
+def hash_sample_rows(ds, target: int, id_col: str, cols: list[str]):
+    """≈``target`` rows drawn by a DETERMINISTIC id-hash keep-rule —
+    layout/order-invariant, unbiased on sorted corpora (a ``limit()``
+    sample is the first rows).  One pruned-column pass; returns the
+    small materialized list of rows."""
+    n = max(1, ds.count())
+    frac = min(1.0, target / n)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = _ids_array(b, id_col)
+        return b.filter(pa.array(_hash01(ids) < frac))
+
+    return (ds.select_columns(cols)
+            .map_batches(keep, batch_format="pyarrow").take_all())
+
+
+def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
+                    sample_limit: int = 4096,
+                    id_col: str = "vec_id", col: str = "embedding"):
+    """Materialize the IVF index ONCE: hash-sampled centroids →
+    assign every vector to its nearest centroid → write
+    cell-partitioned parquet (``index_dir/ivf_cell=<c>/``) plus a
+    ``_centroids.npy`` sidecar.  Queries then read only probed cells
+    (:func:`knn_ivf_probe`).  Returns the (C, d) centroid matrix.
+
+    Scale shape: one full pruned-column pass + a partitioned write;
+    no shuffle (the partitioned write groups rows by cell at the file
+    level, and cell-local scoring never needs co-location beyond
+    that)."""
     import ray
 
-    sample = ds.select_columns([id_col, col]).limit(sample_limit)
-    rows = sample.take_all()
-    if nprobe is None:
-        nprobe = (n_clusters if len(rows) < sample_limit
-                  else max(1, n_clusters // 2))
-    ids_s = [r[id_col] for r in rows]
+    rows = hash_sample_rows(ds, sample_limit, id_col, [id_col, col])
     E_s = _normalize(np.array([r[col] for r in rows], dtype=np.float64))
     C = kmeans_lite(E_s, n_clusters)
+    cref = ray.put(C)
 
-    qset = set(query_ids)
-    qvecs = {i: v for i, v in zip(ids_s, E_s) if i in qset}
-    missing = qset - set(qvecs)
-    if missing:  # queries outside the sample: distributed filter fetch
-        fetched = gather_vectors(ds, missing, id_col, col)
-        for i, v in fetched.items():
-            qvecs[i] = _normalize(np.asarray([v], dtype=np.float64))[0]
+    def assign(b: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        E = _normalize(vectors_matrix(b.column(col)))
+        cell = np.argmax(np.round(E @ C_.T, 9), axis=1)
+        return pa.table({
+            id_col: b.column(id_col),
+            col: b.column(col),
+            "ivf_cell": pa.array(cell.astype(np.int32)),
+        })
+
+    os.makedirs(index_dir, exist_ok=True)
+    # overwrite: a rebuild after a partial/failed build must not
+    # append duplicate rows into surviving cell directories
+    (ds.select_columns([id_col, col])
+     .map_batches(assign, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["ivf_cell"],
+                    mode="overwrite"))
+    import json
+
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"n_rows": int(ds.count()),
+                   "sample_limit": int(sample_limit)}, f)
+    np.save(os.path.join(index_dir, "_centroids.npy"), C)
+    return C
+
+
+def _load_centroids(index_dir: str) -> np.ndarray:
+    return np.load(os.path.join(index_dir, "_centroids.npy"))
+
+
+def _gather_index_vectors(index_dir: str, ids: list[int],
+                          id_col: str, col: str) -> dict:
+    """Query-vector lookup from the materialized index: a pyarrow
+    dataset filter — parquet row-group statistics prune the read to
+    the groups containing the ids (a bounded small-side lookup, never
+    a full scan)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(index_dir, ignore_prefixes=[".", "_"])
+    t = dset.to_table(columns=[id_col, col],
+                      filter=pc.field(id_col).isin(list(ids)))
+    return dict(zip(t.column(id_col).to_pylist(),
+                    vectors_matrix(t.column(col))))
+
+
+def knn_ivf_probe(index_dir: str, query_ids: list[int], k: int = 5,
+                  nprobe: int | None = None,
+                  id_col: str = "vec_id", col: str = "embedding"):
+    """Approximate top-k over a materialized IVF index: each query
+    probes its ``nprobe`` nearest cells and ONLY those cell
+    directories are read — IO scales with nprobe/C of the table, not
+    the table.
+
+    ``nprobe`` defaults adaptively (FAISS-style): all cells when the
+    index is small enough that pruning buys nothing (the answer is
+    then EXACT partitioned brute force — asserted equal to
+    :func:`knn_bruteforce` in tests and by the driver's exact-kNN SQL
+    oracle), else half the cells (recall/cost knob; tests gate
+    recall ≥ 0.9 on clustered data at nprobe = C/4)."""
+    import ray
+    import ray.data as rd
+
+    C = _load_centroids(index_dir)
+    cells_on_disk = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(index_dir)
+        if d.startswith("ivf_cell="))
+    if nprobe is None:
+        # small index (fits the centroid sample) ⇒ nothing to prune
+        # ⇒ probe all cells ⇒ exact partitioned brute force
+        import json
+
+        with open(os.path.join(index_dir, "_meta.json")) as f:
+            meta = json.load(f)
+        nprobe = (len(C) if meta["n_rows"] <= meta["sample_limit"]
+                  else max(1, len(C) // 2))
+    qvecs = _gather_index_vectors(index_dir, query_ids, id_col, col)
     qids = sorted(qvecs)
-    Q = np.array([qvecs[i] for i in qids])
+    Q = _normalize(np.array([qvecs[i] for i in qids], dtype=np.float64))
     probe = np.argsort(-np.round(Q @ C.T, 9), axis=1)[:, :nprobe]
+    on_disk = set(cells_on_disk)
     cell_to_queries: dict[int, list[int]] = {}
     for qi, cells in enumerate(probe):
         for c in cells:
-            cell_to_queries.setdefault(int(c), []).append(qi)
-    ref = ray.put((qids, Q, C, cell_to_queries))
+            if int(c) in on_disk:
+                cell_to_queries.setdefault(int(c), []).append(qi)
+    qref = ray.put((qids, Q, cell_to_queries))
 
-    def assign_and_score(batch: pa.Table) -> pa.Table:
-        qids_, Q_, C_, c2q = ray.get(ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        E = _normalize(np.array(batch.column(col).to_pylist(),
-                                dtype=np.float64))
-        cell = np.argmax(E @ C_.T, axis=1)
+    # ONE read over exactly the probed cells' files (a chained union
+    # of per-cell datasets costs ~3 s of operator overhead per cell);
+    # the hive path `ivf_cell=<c>` is inferred back as a column, so a
+    # batch spanning cells still scores each cell against exactly its
+    # probing queries.
+    files = [
+        os.path.join(index_dir, f"ivf_cell={c}", f)
+        for c in sorted(cell_to_queries)
+        for f in sorted(os.listdir(
+            os.path.join(index_dir, f"ivf_cell={c}")))
+        if f.endswith(".parquet")]
+    if not files:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos_x1e9": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+
+    def score(b: pa.Table) -> pa.Table:
+        qids_, Q_, c2q = ray.get(qref)
+        ids = _ids_array(b, id_col)
+        E = _normalize(vectors_matrix(b.column(col)))
+        cell = np.asarray(b.column("ivf_cell").combine_chunks()
+                          .cast(pa.int64()), dtype=np.int64)
         out_q, out_n, out_s = [], [], []
-        for c, qlist in c2q.items():
-            m = cell == c
-            if not m.any():
+        for c in np.unique(cell):
+            qlist = c2q.get(int(c))
+            if not qlist:
                 continue
+            m = cell == c
             sub_ids = ids[m]
             S = np.round(Q_[qlist] @ E[m].T, 9)
             for row, qi in zip(S, qlist):
@@ -215,10 +364,32 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, n_clusters: int = 16,
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             "neighbor_id": pa.array(out_n, pa.int64()),
-            "cos_x1e9": pa.array([int(round(s * 1e9)) for s in out_s],
-                                 pa.int64()),
+            "cos_x1e9": pa.array(
+                [int(round(s * 1e9)) for s in out_s], pa.int64()),
         })
 
-    partials = ds.map_batches(assign_and_score, batch_format="pyarrow")
+    partials = (rd.read_parquet(files)
+                .map_batches(score, batch_format="pyarrow"))
     return partials.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pandas")
+
+
+def knn_ivf(ds, query_ids: list[int], k: int = 5, n_clusters: int = 16,
+            nprobe: int | None = None, sample_limit: int = 4096,
+            id_col: str = "vec_id", col: str = "embedding",
+            index_dir: str | None = None):
+    """Convenience wrapper: :func:`build_ivf_index` (if ``index_dir``
+    is missing or not yet built) then :func:`knn_ivf_probe`.  Pass a
+    persistent ``index_dir`` to amortize the build across query runs —
+    the 100 TB usage; the default builds a throwaway index under
+    /tmp (still pruned-IO at query time)."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="aor_ivf_")
+    if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+        build_ivf_index(ds, index_dir, n_clusters=n_clusters,
+                        sample_limit=sample_limit,
+                        id_col=id_col, col=col)
+    return knn_ivf_probe(index_dir, query_ids, k=k, nprobe=nprobe,
+                         id_col=id_col, col=col)

@@ -753,28 +753,30 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
               for t in range(n_tables)]
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        E = np.array(batch.column(col).to_pylist(), dtype=np.float64)
+        # zero-copy Arrow child buffer → matrix (no Python list
+        # round-trip; r2's main per-batch overhead in vector ops)
+        from .ann import vectors_matrix
+
+        E = vectors_matrix(batch.column(col))
         norms = np.linalg.norm(E, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         En = E / norms
-        ids, buckets, tables, vecs = [], [], [], []
-        raw = batch.column(id_col).to_pylist()
-        emb = batch.column(col).to_pylist()
+        n = batch.num_rows
+        id_arr = batch.column(id_col).combine_chunks()
+        emb_arr = batch.column(col).combine_chunks()
+        buckets = np.empty((n_tables, n), dtype=np.int64)
         for t, P in enumerate(planes):
             sig = (En @ P.T > 0).astype(np.int64)
-            bk = (sig * (1 << np.arange(n_planes))).sum(axis=1)
-            ids.extend(raw)
-            buckets.extend(bk.tolist())
-            tables.extend([t] * len(raw))
-            vecs.extend(emb)
-        pk = ((np.asarray(buckets, dtype=np.int64) * n_tables
-               + np.asarray(tables, dtype=np.int64)) % _PAIR_PARTITIONS)
+            buckets[t] = (sig * (1 << np.arange(n_planes))).sum(axis=1)
+        tables = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        flat_b = buckets.reshape(-1)
+        pk = (flat_b * n_tables + tables) % _PAIR_PARTITIONS
         return pa.table({
-            id_col: pa.array(ids),
-            "table": pa.array(tables, pa.int32()),
-            "bucket": pa.array(buckets, pa.int64()),
-            col: pa.array(vecs),
-            "pk": pa.array(pk, pa.int32()),
+            id_col: pa.concat_arrays([id_arr] * n_tables),
+            "table": pa.array(tables.astype(np.int32)),
+            "bucket": pa.array(flat_b, pa.int64()),
+            col: pa.concat_arrays([emb_arr] * n_tables),
+            "pk": pa.array(pk.astype(np.int32)),
         })
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:

@@ -383,14 +383,21 @@ def asof_join(
             .map_groups(merge_part, batch_format="pandas"))
 
 
+def _value_set(keys) -> pa.Array:
+    """Broadcast key collection → Arrow value set for ``pc.is_in``
+    (vectorized membership — never a per-row Python ``in`` loop)."""
+    if isinstance(keys, pa.Array):
+        return keys
+    return pa.array(sorted(keys))
+
+
 def semi_join_broadcast(ds, key_col: str, keys_ref):
     """Keep rows whose key is in the broadcast set (``ray.put`` once)."""
     import ray
 
     def f(b: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = [k in keys for k in b.column(key_col).to_pylist()]
-        return b.filter(pa.array(mask))
+        vs = _value_set(ray.get(keys_ref))
+        return b.filter(pc.is_in(b.column(key_col), value_set=vs))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -400,8 +407,8 @@ def anti_join_broadcast(ds, key_col: str, keys_ref):
     import ray
 
     def f(b: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = [k not in keys for k in b.column(key_col).to_pylist()]
-        return b.filter(pa.array(mask))
+        vs = _value_set(ray.get(keys_ref))
+        return b.filter(pc.invert(
+            pc.is_in(b.column(key_col), value_set=vs)))
 
     return ds.map_batches(f, batch_format="pyarrow")

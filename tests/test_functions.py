@@ -181,6 +181,49 @@ def test_knn_ivf_recall_clustered(ray_session):
     assert recall >= 0.9, recall
 
 
+def test_ivf_index_prunes_io(ray_session, tmp_path):
+    """The materialized IVF index must serve a probe run by reading
+    only the probed cell directories: rows scanned ≤ probed-cell
+    sizes ≪ table size (IO pruning, not just compute pruning)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(16, 32) * 4
+    E = np.concatenate([c + rng.randn(200, 32) for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(range(len(E)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    idx = str(tmp_path / "ivf")
+    C = ann.build_ivf_index(ds, idx, n_clusters=16, sample_limit=4096)
+    assert C.shape == (16, 32)
+    cell_rows = {
+        int(d.split("=")[1]): sum(
+            pq.read_metadata(os.path.join(idx, d, f)).num_rows
+            for f in os.listdir(os.path.join(idx, d))
+            if f.endswith(".parquet"))
+        for d in os.listdir(idx) if d.startswith("ivf_cell=")}
+    assert sum(cell_rows.values()) == len(E)  # index is complete
+    qids = [0, 500, 1600]
+    out = ann.knn_ivf_probe(idx, qids, k=5, nprobe=2).to_pandas()
+    assert set(out["query_id"]) == set(qids)
+    # rows READ = rows in the probed cells only: with nprobe=2 of 16,
+    # ≤ (3 queries × 2 cells) distinct cells ⇒ well under half the
+    # table even in the worst case
+    qvecs = {i: E[i] for i in qids}
+    Q = np.array([qvecs[i] for i in sorted(qvecs)], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-np.round(Qn @ C.T, 9), axis=1)[:, :2]
+    probed = {int(c) for row in probe for c in row}
+    rows_read = sum(cell_rows.get(c, 0) for c in probed)
+    assert rows_read < len(E) // 2, (rows_read, len(E))
+
+
 # ---------------- multimodal ----------------------------------------------
 
 def test_multimodal_decode_stage(ray_session):

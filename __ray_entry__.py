@@ -51,6 +51,8 @@ def _register_package_by_value() -> None:
 
 _register_package_by_value()
 
+from arabic_ocr_ray.sources.parquet import read_parquet_clean as _rp
+
 FIXTURE_ROOT = "/tmp/aor_fixtures"
 FIXTURE_SEED = 123
 FIXTURE_ROWS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 8000}
@@ -171,7 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
 
         fx = _fixture(sf_dir)
-        ds = rd.read_parquet(fx["pages"], columns=["html", "text"])
+        ds = _rp(fx["pages"], columns=["html", "text"])
 
         def sizes(b: pa.Table) -> pa.Table:
             return pa.table({
@@ -198,7 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_segment_stats(sf_dir: str):
         fx = _fixture(sf_dir)
-        ds = rd.read_parquet(fx["pages"], columns=["url", "html", "lang"])
+        ds = _rp(fx["pages"], columns=["url", "html", "lang"])
         out = ds.map_batches(SegmentStats, batch_format="pyarrow",
                              batch_size=32, concurrency=_conc())
         return out.select_columns(["url", "n_spans"])
@@ -249,7 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---------------- documents: text analysis --------------------------
     def _docs(sf_dir: str, cols=("doc_id", "text")):
-        return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        return _rp(os.path.join(sf_dir, "documents.parquet"),
                                columns=list(cols))
 
     def q_token_count(sf_dir: str):
@@ -306,7 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       {"a": "int64", "b": "int64", "hamming": "int64"})
 
     def _emb(sf_dir: str):
-        return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        return _rp(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
 
     def q_emb_near_dup(sf_dir: str):
@@ -358,7 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        li = rd.read_parquet(
+        li = _rp(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice", "l_discount"])
@@ -371,18 +373,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           "sum_qty": "float64", "sum_price": "float64",
                           "sum_disc": "float64", "n_rows": "int64"}
 
-        def partial(b: pa.Table) -> pd.DataFrame:
+        _PARTIAL_SCHEMA = pa.schema([
+            ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+            ("sum_qty", pa.float64()), ("sum_price", pa.float64()),
+            ("sum_disc", pa.float64()), ("n_rows", pa.int64())])
+
+        def partial(b: pa.Table) -> pa.Table:
             df = b.to_pandas()
             g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
             out = g.agg(sum_qty=("l_quantity", "sum"),
                         sum_price=("l_extendedprice", "sum"),
                         sum_disc=("l_discount", "sum"),
                         n_rows=("l_quantity", "size")).reset_index()
-            return out.astype(_PARTIAL_TYPES)
+            # Arrow out (typed even when empty): pandas partial blocks
+            # carry object dtypes that defeat Ray's schema dedup/
+            # hashing and flood logs with mismatch warnings (r2 bench)
+            return pa.Table.from_pandas(
+                out.astype(_PARTIAL_TYPES), schema=_PARTIAL_SCHEMA,
+                preserve_index=False).replace_schema_metadata(None)
 
         partials = li.map_batches(partial, batch_format="pyarrow",
                                   batch_size=65536)
-        final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        final = partials.groupby(["l_returnflag", "l_linestatus"],
+                                 num_partitions=8).aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_price", alias_name="sum_price"),
             Sum("sum_disc", alias_name="sum_disc"),
@@ -416,7 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
         import pyarrow as pa
 
-        orders = rd.read_parquet(
+        orders = _rp(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -437,7 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import ray
 
-        cust = rd.read_parquet(
+        cust = _rp(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"]).to_pandas()
         lookup_ref = ray.put((
@@ -456,7 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "o_totalprice": b.column("o_totalprice"),
             })
 
-        orders = rd.read_parquet(
+        orders = _rp(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_totalprice"])
         g = orders.map_batches(add_seg, batch_format="pyarrow").groupby(
@@ -481,10 +494,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         appropriate when BOTH sides are large."""
         import ray
 
-        orders = rd.read_parquet(
+        orders = _rp(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey"])
-        cust = rd.read_parquet(
+        cust = _rp(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_name"])
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
@@ -499,7 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
         import pyarrow as pa
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts", "value"])
 
         def hour_bucket(b: pa.Table) -> pa.Table:
@@ -529,7 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return g.map_batches(r2, batch_format="pyarrow")
 
     def q_event_type_counts(sf_dir: str):
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_type"])
         return ev.groupby("event_type").aggregate(Count(alias_name="n"))
 
@@ -543,7 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from arabic_ocr_ray.functions.topk import grouped_topk
 
-        cust = rd.read_parquet(
+        cust = _rp(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"]).to_pandas()
         lookup_ref = ray.put((
@@ -563,7 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "o_totalprice": b.column("o_totalprice"),
             })
 
-        orders = rd.read_parquet(
+        orders = _rp(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_totalprice"])
         tagged = orders.map_batches(add_seg, batch_format="pyarrow")
@@ -574,14 +587,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_events_preceding_count(sf_dir: str):
         from arabic_ocr_ray.functions.windows import preceding_count
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_id", "user_id", "ts"])
         return preceding_count(ev, window_us=3600 * 1_000_000)
 
     def q_event_sessions(sf_dir: str):
         from arabic_ocr_ray.functions.windows import session_stats
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts"])
         return session_stats(ev)
 
@@ -589,7 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """EXACT distinct count per key (the contrast partner of the
         HLL sketch): two-level groupby — distinct (type, user) pairs
         first (shuffle on the pair), then a count per type (tiny)."""
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_type", "user_id"])
         pairs = (ev.groupby(["event_type", "user_id"])
                  .aggregate(Count(alias_name="_n")))
@@ -603,7 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (error-bound-gated in pytest)."""
         from arabic_ocr_ray.functions.sketch import hll_registers
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_type", "user_id"])
         return hll_registers(ev, "event_type", "user_id")
 
@@ -614,7 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from arabic_ocr_ray.functions.windows import hopping_window
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts", "value"])
         g = hopping_window(ev, size_us=3600 * 1_000_000,
                            hop_us=1800 * 1_000_000)
@@ -635,14 +648,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_user_value_median(sf_dir: str):
         from arabic_ocr_ray.functions.windows import grouped_median
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "value"])
         return grouped_median(ev, "user_id", "value")
 
     def q_user_value_p90(sf_dir: str):
         from arabic_ocr_ray.functions.windows import grouped_quantile
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "value"])
         return grouped_quantile(ev, "user_id", "value", q=0.9)
 
@@ -683,10 +696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         set; no pre-distinct needed (left-anti tolerates dup keys)."""
         from arabic_ocr_ray.functions.joins import hash_join
 
-        ev_users = rd.read_parquet(
+        ev_users = _rp(
             os.path.join(sf_dir, "events.parquet"),
             columns=["user_id"])
-        cust = rd.read_parquet(
+        cust = _rp(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"])
         anti = hash_join(cust, ev_users, on="c_custkey",
@@ -698,10 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_orders_asof_event(sf_dir: str):
         from arabic_ocr_ray.functions.joins import asof_join
 
-        orders = rd.read_parquet(
+        orders = _rp(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        events = rd.read_parquet(
+        events = _rp(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts", "value"])
         return asof_join(
@@ -719,10 +732,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         here every event finds the user's latest order."""
         from arabic_ocr_ray.functions.joins import asof_join
 
-        orders = rd.read_parquet(
+        orders = _rp(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        events = rd.read_parquet(
+        events = _rp(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts"])
         return asof_join(

@@ -140,8 +140,10 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
         })
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    from .arrowout import arrow_clean
+
     return partials.groupby("query_id").map_groups(
-        _merge_topk(k), batch_format="pandas")
+        arrow_clean(_merge_topk(k)), batch_format="pandas")
 
 
 def kmeans_lite(E: np.ndarray, n_clusters: int, n_iter: int = 25,
@@ -370,8 +372,10 @@ def knn_ivf_probe(index_dir: str, query_ids: list[int], k: int = 5,
 
     partials = (rd.read_parquet(files)
                 .map_batches(score, batch_format="pyarrow"))
+    from .arrowout import arrow_clean
+
     return partials.groupby("query_id").map_groups(
-        _merge_topk(k), batch_format="pandas")
+        arrow_clean(_merge_topk(k)), batch_format="pandas")
 
 
 def knn_ivf(ds, query_ids: list[int], k: int = 5, n_clusters: int = 16,

@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .arrowout import arrow_clean
+
 _TOKEN_RE = re.compile(r"\S+")
 
 # --- exact dedup ----------------------------------------------------------
@@ -253,7 +255,8 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
         return out
 
     cand = (rows.map_batches(add_pk, batch_format="pyarrow")
-            .groupby("pk").map_groups(pairs_part, batch_format="pandas"))
+            .groupby("pk").map_groups(arrow_clean(pairs_part),
+                                      batch_format="pandas"))
 
     # a pair can surface from several bands/partitions → global distinct,
     # again via fixed hash partitions + vectorized drop_duplicates
@@ -265,7 +268,8 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
 
     return (cand.map_batches(add_ppk, batch_format="pyarrow")
             .groupby("ppk")
-            .map_groups(lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+            .map_groups(arrow_clean(
+                lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]]),
                         batch_format="pandas"))
 
 
@@ -717,7 +721,8 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
         }).drop_duplicates(["a", "b"])
 
     cand = (sh.map_batches(explode, batch_format="pyarrow")
-            .groupby("pk").map_groups(pairs_part, batch_format="pandas"))
+            .groupby("pk").map_groups(arrow_clean(pairs_part),
+                                      batch_format="pandas"))
 
     def add_ppk(b: pa.Table) -> pa.Table:
         a = b.column("a").to_pylist()
@@ -727,9 +732,9 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
 
     return (cand.map_batches(add_ppk, batch_format="pyarrow")
             .groupby("ppk")
-            .map_groups(
+            .map_groups(arrow_clean(
                 lambda g: g.drop_duplicates(["a", "b"])[
-                    ["a", "b", "hamming"]],
+                    ["a", "b", "hamming"]]),
                 batch_format="pandas"))
 
 
@@ -828,7 +833,8 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
         })
 
     cand = (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby("pk").map_groups(pairs_part, batch_format="pandas"))
+            .groupby("pk").map_groups(arrow_clean(pairs_part),
+                                      batch_format="pandas"))
 
     # a pair surfaces once per agreeing table → fixed-partition global
     # distinct (same shape as minhash_candidates, no per-pair dispatch)
@@ -840,7 +846,7 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
 
     return (cand.map_batches(add_ppk, batch_format="pyarrow")
             .groupby("ppk")
-            .map_groups(
+            .map_groups(arrow_clean(
                 lambda g: g.drop_duplicates(["a", "b"])[
-                    ["a", "b", "cos_x1000"]],
+                    ["a", "b", "cos_x1000"]]),
                 batch_format="pandas"))

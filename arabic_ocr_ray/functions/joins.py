@@ -59,6 +59,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .arrowout import arrow_clean
+
 _PARTITIONS = 64
 
 
@@ -274,7 +276,8 @@ def asof_join(
         return (l.union(r)
                 .map_batches(add_pk, batch_format="pyarrow")
                 .groupby("pk")
-                .map_groups(merge_part, batch_format="pandas"))
+                .map_groups(arrow_clean(merge_part),
+                        batch_format="pandas"))
 
     # ---- salted path -----------------------------------------------------
     # Per-(key,bucket) right summaries → bucket-level as-of gives each
@@ -294,7 +297,7 @@ def asof_join(
         return g.drop_duplicates(subset=["_key", "_bucket"], keep="last")
 
     summ = (r.map_batches(kb_pk, batch_format="pyarrow")
-            .groupby("pk").map_groups(right_summaries,
+            .groupby("pk").map_groups(arrow_clean(right_summaries),
                                       batch_format="pandas")
             .drop_columns(["pk"]))
 
@@ -303,7 +306,8 @@ def asof_join(
                 .drop_duplicates(["_key", "_bucket"]))
 
     lb = (l.map_batches(kb_pk, batch_format="pyarrow")
-          .groupby("pk").map_groups(left_buckets, batch_format="pandas"))
+          .groupby("pk").map_groups(arrow_clean(left_buckets),
+                                      batch_format="pandas"))
 
     # bucket-level as-of (STRICT <: in-bucket rights are already local)
     def carry_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -372,7 +376,7 @@ def asof_join(
 
     carries = (lb_t.union(summ_t)
                .groupby("pk")
-               .map_groups(carry_part, batch_format="pandas")
+               .map_groups(arrow_clean(carry_part), batch_format="pandas")
                .map_batches(fix_carry, batch_format="pandas",
                             batch_size=None))
 
@@ -380,7 +384,8 @@ def asof_join(
     all_rows = (l.union(r).union(carries)
                 .map_batches(kb_pk, batch_format="pyarrow"))
     return (all_rows.groupby("pk")
-            .map_groups(merge_part, batch_format="pandas"))
+            .map_groups(arrow_clean(merge_part),
+                        batch_format="pandas"))
 
 
 def _value_set(keys) -> pa.Array:

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .arrowout import arrow_clean
+
 _PARTITIONS = 32
 
 
@@ -40,7 +42,8 @@ def topk(ds, sort_col: str, k: int, descending: bool = True,
     def partial(b: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(
             _sorted_head(b.to_pandas(), (), sort_col, k, descending,
-                         tie_cols), preserve_index=False)
+                         tie_cols), preserve_index=False
+        ).replace_schema_metadata(None)
 
     merged = (ds.map_batches(partial, batch_format="pyarrow")
               .to_pandas())  # ≤ k × blocks rows
@@ -60,7 +63,8 @@ def grouped_topk(ds, group_cols, sort_col: str, k: int,
     def partial(b: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(
             _sorted_head(b.to_pandas(), group_cols, sort_col, k,
-                         descending, tie_cols), preserve_index=False)
+                         descending, tie_cols), preserve_index=False
+        ).replace_schema_metadata(None)
 
     def add_pk(b: pa.Table) -> pa.Table:
         key = b.column(group_cols[0]).to_pylist()
@@ -83,4 +87,4 @@ def grouped_topk(ds, group_cols, sort_col: str, k: int,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .map_batches(add_pk, batch_format="pyarrow")
             .groupby("pk")
-            .map_groups(final, batch_format="pandas"))
+            .map_groups(arrow_clean(final), batch_format="pandas"))

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .arrowout import arrow_clean
+
 THIRTY_MIN_US = 30 * 60 * 1_000_000
 _PARTITIONS = 64
 
@@ -63,7 +65,7 @@ def session_stats(events_ds, gap_us: int = THIRTY_MIN_US,
             .map_batches(lambda b: _add_pk(b, "user_id", num_partitions),
                          batch_format="pyarrow")
             .groupby("pk")
-            .map_groups(fold_part, batch_format="pandas"))
+            .map_groups(arrow_clean(fold_part), batch_format="pandas"))
 
 
 def _fold_sessions(u: np.ndarray, ts: np.ndarray,
@@ -218,12 +220,12 @@ def _session_stats_salted(events_ds, gap_us: int, bucket_us: int,
     partials = (events_ds
                 .map_batches(add_salt_pk, batch_format="pyarrow")
                 .groupby("pk")
-                .map_groups(fold_buckets, batch_format="pandas"))
+                .map_groups(arrow_clean(fold_buckets), batch_format="pandas"))
     return (partials
             .map_batches(lambda b: _add_pk(b, "user_id", num_partitions),
                          batch_format="pyarrow")
             .groupby("pk")
-            .map_groups(merge_partials, batch_format="pandas"))
+            .map_groups(arrow_clean(merge_partials), batch_format="pandas"))
 
 
 def preceding_count(events_ds, window_us: int,
@@ -267,7 +269,7 @@ def preceding_count(events_ds, window_us: int,
             .map_batches(lambda b: _add_pk(b, "user_id", num_partitions),
                          batch_format="pyarrow")
             .groupby("pk")
-            .map_groups(fold_part, batch_format="pandas"))
+            .map_groups(arrow_clean(fold_part), batch_format="pandas"))
 
 
 def hopping_window(events_ds, size_us: int, hop_us: int,
@@ -336,7 +338,7 @@ def grouped_median(ds, key_col: str, value_col: str,
             .map_batches(lambda b: _add_pk(b, key_col, num_partitions),
                          batch_format="pyarrow")
             .groupby("pk")
-            .map_groups(fold_part, batch_format="pandas"))
+            .map_groups(arrow_clean(fold_part), batch_format="pandas"))
 
 
 def grouped_quantile(ds, key_col: str, value_col: str, q: float,
@@ -371,7 +373,7 @@ def grouped_quantile(ds, key_col: str, value_col: str, q: float,
             .map_batches(lambda b: _add_pk(b, key_col, num_partitions),
                          batch_format="pyarrow")
             .groupby("pk")
-            .map_groups(fold_part, batch_format="pandas"))
+            .map_groups(arrow_clean(fold_part), batch_format="pandas"))
 
 
 def tumbling_window(events_ds, size_us: int, value_col: str = "value"):

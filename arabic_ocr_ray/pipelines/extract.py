@@ -23,7 +23,9 @@ import time
 
 from ..model import DEFAULT_MODEL_PATH
 from ..stages.extract_stage import ExtractText
-from ..state.lineage import (
+from ..state.lineage import (  # noqa: F401
+    done_url_count,
+    recorded_num_partitions,
     PartResumeFilter,
     completed_urls,
     has_done_sidecars,
@@ -128,12 +130,33 @@ def run_extract(
     resume_mode = "none"
     skipped = 0
     if resume and os.path.isdir(out_dir):
-        if has_done_sidecars(out_dir):
+        rec_parts = recorded_num_partitions(out_dir)
+        if has_done_sidecars(out_dir) and rec_parts is None:
+            # sidecars without a recorded modulus (legacy layout):
+            # guessing the modulus would read the WRONG sidecar for
+            # every url — fall through to the broadcast done-set,
+            # which is modulus-independent
+            import logging
+
+            logging.getLogger("arabic_ocr_ray").warning(
+                "resume: output at %s has done-url sidecars but no "
+                "recorded num_partitions; using broadcast resume",
+                out_dir)
+        if has_done_sidecars(out_dir) and rec_parts is not None:
+            if rec_parts != num_partitions:
+                import logging
+
+                logging.getLogger("arabic_ocr_ray").warning(
+                    "resume: output was written with num_partitions="
+                    "%d; overriding requested %d to keep the layout "
+                    "and sidecar lookups consistent",
+                    rec_parts, num_partitions)
+                num_partitions = rec_parts
             resume_out = out_dir
             resume_mode = "partition"
-            lin = read_lineage(out_dir)
-            if lin is not None:
-                skipped = int(sum(lin.column("docs").to_pylist()))
+            # skip count = ok rows in the sidecars (the manifest's
+            # docs include errored urls, which this rerun retries)
+            skipped = done_url_count(out_dir)
         else:
             done = completed_urls(out_dir)
             if done:
@@ -158,7 +181,7 @@ def run_extract(
     # Resume works at doc level (url anti-filter) and the per-partition
     # manifest is aggregated from the output's stat columns below.
     ds.write_parquet(out_dir)
-    write_lineage(out_dir)
+    write_lineage(out_dir, num_partitions=num_partitions)
 
     stats = rd.read_parquet(
         os.path.join(out_dir, "_lineage", "manifest.parquet")

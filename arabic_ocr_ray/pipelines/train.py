@@ -103,12 +103,14 @@ def train_model(
     reference's per-image rejection print, segment_words.py:229-230,
     as a queryable table)."""
     import ray.data as rd
+
+    from ..functions.arrowout import arrow_clean
     from ray.data.aggregate import Sum
 
     pages = rd.read_parquet(pages_path, columns=["url", "html", "lang"])
     spans = rd.read_parquet(spans_path)
     per_url = spans.groupby("url").map_groups(
-        _collect_spans, batch_format="pandas")
+        arrow_clean(_collect_spans), batch_format="pandas")
     # union+groupby hash join, not Dataset.join: per_url comes out of
     # a map_groups shuffle whose empty partitions are schemaless
     # blocks that break the pyarrow join aggregator (r2 near-dup
@@ -129,7 +131,8 @@ def train_model(
 
     distinct = (
         ex.groupby(["label", "fv_key"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_groups(arrow_clean(lambda g: g.head(1)),
+                    batch_format="pandas")
         .to_pandas()
     )
     triples = [

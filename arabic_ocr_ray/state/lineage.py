@@ -135,6 +135,8 @@ def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from ..functions.arrowout import arrow_clean
+
     done_root = os.path.join(out_dir, LINEAGE_DIR, DONE_DIR)
     shutil.rmtree(done_root, ignore_errors=True)
     os.makedirs(done_root, exist_ok=True)
@@ -163,9 +165,15 @@ def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
                         columns=["url", "part", "status",
                                  "html_bytes", "n_content_spans"])
         .groupby("part")
-        .map_groups(finish_part, batch_format="pandas")
+        .map_groups(arrow_clean(finish_part), batch_format="pandas")
         .to_pandas()
     )
+    # record the partition modulus the layout was written with: a
+    # resume MUST compute part = crc32(url) % THIS value — a rerun
+    # launched with a different num_partitions would otherwise read
+    # the wrong sidecar for every url and re-extract finished docs
+    # into a mixed-modulus layout
+    manifest["num_partitions"] = int(num_partitions or -1)
     path = os.path.join(out_dir, LINEAGE_DIR)
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f"manifest.parquet.tmp{os.getpid()}")
@@ -188,6 +196,35 @@ def has_done_sidecars(out_dir: str) -> bool:
     return os.path.isdir(os.path.join(out_dir, LINEAGE_DIR, DONE_DIR))
 
 
+def recorded_num_partitions(out_dir: str) -> int | None:
+    """The partition modulus the existing output's layout/sidecars
+    were written with (from the manifest), or None for layouts that
+    predate its recording."""
+    lin = read_lineage(out_dir)
+    if lin is None or "num_partitions" not in lin.schema.names \
+            or lin.num_rows == 0:
+        return None
+    v = int(lin.column("num_partitions")[0].as_py())
+    return v if v > 0 else None
+
+
+def done_url_count(out_dir: str) -> int:
+    """Exact count of completed (ok) urls = total sidecar rows, from
+    parquet METADATA only (the manifest's ``docs`` counts errored urls
+    too, which a resume deliberately retries — using it overstates
+    skips whenever prior runs had errors)."""
+    import pyarrow.parquet as pq
+
+    root = os.path.join(out_dir, LINEAGE_DIR, DONE_DIR)
+    if not os.path.isdir(root):
+        return 0
+    total = 0
+    for f in os.listdir(root):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
 def dedup_superseded(ds, num_partitions: int = 64):
     """Corpus-reader rule for resumed outputs: one row per url,
     preferring the non-error row (the retry) over a stale ``error:``
@@ -201,4 +238,7 @@ def dedup_superseded(ds, num_partitions: int = 64):
                 .drop_duplicates("url", keep="first")
                 .drop(columns=["_err"]))
 
-    return ds.groupby("part").map_groups(fix, batch_format="pandas")
+    from ..functions.arrowout import arrow_clean
+
+    return ds.groupby("part").map_groups(arrow_clean(fix),
+                                          batch_format="pandas")

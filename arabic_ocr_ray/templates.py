@@ -70,7 +70,12 @@ class Templates:
         if not text:
             return ""
         if self._gate_literals is not None:
-            low = text.lower()
+            # casefold(), not lower(): IGNORECASE matches under full
+            # case-folding (e.g. U+017F 'ſ' folds to 's' but lowers to
+            # itself), and the gate must be a strict SUPERSET of what
+            # the patterns can match or a span the ungated matcher
+            # would label slips through unlabeled
+            low = text.casefold()
             if not any(k in low for k in self._gate_literals):
                 return ""
         n = len(text)

@@ -45,7 +45,23 @@ def main() -> None:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    # Every engine-produced block is typed (arrowout.arrow_clean wraps
+    # all pandas finishers; reads strip unhashable pandas metadata).
+    # The one remaining "different schema: … new schema: ." warning
+    # class is Ray-INTERNAL: the shuffle emits schemaless zero-column
+    # blocks for EMPTY groupby partitions before any UDF runs — benign
+    # (groupby consumers tolerate them; the engine never feeds them to
+    # pyarrow joins, see joins.hash_join).  Silence that driver-side
+    # logger so real warnings stay visible in the bench tail.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
     import ray.data as rd
+
+    from arabic_ocr_ray.sources.parquet import read_parquet_clean as _rp
 
     from arabic_ocr_ray.functions import ann, dedup
     from arabic_ocr_ray.pipelines.evaluate import evaluate_extraction
@@ -60,7 +76,7 @@ def main() -> None:
     ensure_bench_corpus(corpus, n, seed=BENCH_SEED)
 
     # warm the page cache (untimed read)
-    rd.read_parquet(corpus, columns=["url"]).count()
+    _rp(corpus, columns=["url"]).count()
 
     queries: dict[str, float] = {}
     out_dir = os.path.join(BENCH_ROOT, f"out_{name}_{NUM_CPUS}")
@@ -82,7 +98,7 @@ def main() -> None:
     assert metrics["docs"] == n, (metrics["docs"], n)
     import pyarrow.compute as pc
 
-    out_ds = rd.read_parquet(out_dir,
+    out_ds = _rp(out_dir,
                              columns=["url", "extracted_text", "part"],
                              filter=pc.field("part") < 8)
     report = evaluate_extraction(
@@ -94,7 +110,7 @@ def main() -> None:
 
     # near-dup over the corpus just extracted (chained pipeline at
     # scale; capped slice keeps the 8-cpu run bounded)
-    ext = rd.read_parquet(out_dir, columns=["url", "extracted_text"])
+    ext = _rp(out_dir, columns=["url", "extracted_text"])
     t0 = time.monotonic()
     pairs = dedup.near_dup_pairs(ext.limit(120_000), threshold=0.8,
                                  col="extracted_text",
@@ -112,7 +128,7 @@ def main() -> None:
                             id_col="url").to_pandas()
     queries["simhash"] = round(time.monotonic() - t0, 3)
 
-    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+    emb = _rp(os.path.join(SF_DIR, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     t0 = time.monotonic()
     ann.knn_bruteforce(emb, list(range(10)), k=5).to_pandas()
@@ -122,14 +138,14 @@ def main() -> None:
     from arabic_ocr_ray.functions.joins import asof_join
     from arabic_ocr_ray.functions.windows import session_stats
 
-    ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+    ev = _rp(os.path.join(SF_DIR, "events.parquet"),
                          columns=["event_id", "user_id", "ts", "value"])
     t0 = time.monotonic()
     n_users = session_stats(ev.select_columns(["user_id", "ts"])) \
         .count()
     queries["sessions"] = round(time.monotonic() - t0, 3)
 
-    orders = rd.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
+    orders = _rp(os.path.join(SF_DIR, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"])
     t0 = time.monotonic()
@@ -144,7 +160,7 @@ def main() -> None:
 
     t0 = time.monotonic()
     hll_registers(
-        rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+        _rp(os.path.join(SF_DIR, "events.parquet"),
                         columns=["event_type", "user_id"]),
         "event_type", "user_id").count()
     queries["hll"] = round(time.monotonic() - t0, 3)

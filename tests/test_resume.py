@@ -105,6 +105,42 @@ def test_partition_resume_multi_part(ray_session, default_model, tmp_path):
     assert len(set(tbl.column("url").to_pylist())) == 120
 
 
+def test_partition_resume_modulus_recorded(ray_session, default_model,
+                                           tmp_path):
+    """ADVICE r2: the resume filter must use the partition modulus the
+    OUTPUT was written with, not the caller's argument — a rerun with
+    a different num_partitions would read the wrong sidecar for every
+    url, re-extract finished docs and mix layouts."""
+    from arabic_ocr_ray.state.lineage import recorded_num_partitions
+
+    full = pages_table(60, seed=12)
+    part_path = str(tmp_path / "pages_part.parquet")
+    full_path = str(tmp_path / "pages_full.parquet")
+    pq.write_table(full.slice(0, 25), part_path, row_group_size=10)
+    pq.write_table(full, full_path, row_group_size=10)
+    out = str(tmp_path / "out")
+
+    m1 = run_extract(part_path, out, batch_size=8, concurrency=2,
+                     num_partitions=16)
+    assert m1["docs"] == 25
+    assert recorded_num_partitions(out) == 16
+
+    # rerun asks for a DIFFERENT modulus: the recorded one must win —
+    # all 25 finished docs skipped, no mixed-modulus part values
+    m2 = run_extract(full_path, out, batch_size=8, concurrency=2,
+                     num_partitions=64)
+    assert m2["resume_mode"] == "partition"
+    assert m2["skipped_resume"] == 25
+    tbl = _read_out(out)
+    assert len(set(tbl.column("url").to_pylist())) == 60
+    assert tbl.num_rows == 60  # no duplicate re-extracted rows
+    import zlib
+
+    for u, p in zip(tbl.column("url").to_pylist(),
+                    tbl.column("part").to_pylist()):
+        assert p == zlib.crc32(u.encode()) % 16  # single modulus
+
+
 def test_superseded_error_rows_compacted(ray_session, tmp_path):
     """ADVICE r1: retried urls leave stale error rows behind — the
     manifest must not double-count them and dedup_superseded must

@@ -31,6 +31,14 @@ import numpy as np
 MARKUP = 0
 TEXT = 1
 
+# packed per-token flag bits (one list append in the scan loop; the
+# bool columns are unpacked vectorized afterwards)
+_F_OPEN = 1
+_F_CLOSE = 2
+_F_BLOCK = 4
+_F_LINK = 8
+_F_INLINK = 16
+
 # Tags that terminate an inline run: each such token is its own
 # zero-weight "row" in the density profile, the analog of the blank
 # pixel rows separating lines (segment_words.py:51-72).
@@ -63,7 +71,6 @@ _STRAY_LT_RE = re.compile(r"<(?![a-zA-Z/!?])")
 _TAG_OR_TEXT_RE = re.compile(
     r"""<([a-zA-Z/!?](?:[^<>"']|"[^"]*"|'[^']*')*)>|([^<]+)"""
 )
-_WS_RE = re.compile(r"\s+")
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
 
 _CHARSET_ALIASES = {
@@ -116,7 +123,16 @@ def _tag_info(body: str) -> tuple[bool, str, bool]:
 
 @dataclass
 class TokenStream:
-    """Columnar per-document token stream (arrays, not row objects)."""
+    """Columnar per-document token stream (arrays, not row objects).
+
+    ``wlist``/``dlist`` are plain-list mirrors of ``weights``/``depths``
+    and ``cumw`` the length-(n+1) cumulative weight sum: the
+    segmentation kernels index tokens one at a time from Python, and a
+    list element access is ~5× cheaper than a numpy scalar extraction
+    (measured on the bench corpus); ``cumw`` turns every "does this
+    range hold text" / "range text mass" question into O(1).
+    ``weight > 0 ⇔ kind == TEXT`` by construction (text tokens are
+    non-empty after whitespace collapse)."""
 
     kinds: np.ndarray      # int8: MARKUP / TEXT
     weights: np.ndarray    # int32: text char count (0 for markup)
@@ -129,6 +145,18 @@ class TokenStream:
     is_link: np.ndarray    # bool: opening <a> token
     in_link: np.ndarray    # bool: token lies inside an <a> element
     match: np.ndarray      # int32: open<->close partner index, -1 if none
+    wlist: list = None     # list[int] mirror of weights
+    dlist: list = None     # list[int] mirror of (deskewed) depths
+    cumw: np.ndarray = None  # int64 (n+1,) cumulative weights
+
+    def __post_init__(self):
+        if self.wlist is None:
+            self.wlist = self.weights.tolist()
+        if self.dlist is None:
+            self.dlist = self.depths.tolist()
+        if self.cumw is None:
+            self.cumw = np.concatenate(
+                [[0], np.cumsum(self.weights, dtype=np.int64)])
 
     def __len__(self) -> int:
         return len(self.kinds)
@@ -180,21 +208,33 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
     """
     doc = strip_invisible(decode_html(raw))
 
-    kinds: list[int] = []
+    # Hot loop layout: ONE packed-int flags list instead of five bool
+    # lists (the r2 version's 11 parallel appends per token were the
+    # single-core frontier); the bool columns are unpacked with
+    # vectorized bit tests after the scan, and ``kinds`` is derived
+    # from ``weights`` (text ⇔ weight > 0).
     weights: list[int] = []
     depths: list[int] = []
     texts: list[str] = []
     tags: list[str] = []
-    is_block: list[bool] = []
-    is_open: list[bool] = []
-    is_close: list[bool] = []
-    is_link: list[bool] = []
-    in_link: list[bool] = []
+    flags: list[int] = []
     match: list[int] = []
 
     stack: list[tuple[str, int]] = []  # (tag, token index of the open)
     normalize_ar = lang == "ar"
     link_depth = 0  # number of open <a> elements (O(1) containment test)
+
+    # bound-method locals: ~300k tokens/batch make attribute lookups a
+    # measurable slice of the scan
+    w_app = weights.append
+    d_app = depths.append
+    t_app = texts.append
+    g_app = tags.append
+    f_app = flags.append
+    m_app = match.append
+    tag_info = _tag_info
+    block_tags = BLOCK_TAGS
+    void_tags = VOID_TAGS
 
     for m in _TAG_OR_TEXT_RE.finditer(doc):
         tag_body, text = m.group(1, 2)
@@ -202,10 +242,10 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
             body = tag_body.strip()
             if body.startswith(("!", "?")):
                 continue  # doctype / processing instruction: no token
-            closing, name, self_closing = _tag_info(body)
+            closing, name, self_closing = tag_info(body)
             if not name:
                 continue
-            idx = len(kinds)
+            idx = len(weights)
             # Depth convention: an element's open and close tokens carry
             # its *inside* depth (same depth as its text content), so a
             # nested element is one contiguous deeper excursion —
@@ -227,62 +267,69 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                     if len(stack) == found:  # the matching open
                         match[open_idx] = idx
                         partner = open_idx
-                kinds.append(MARKUP); weights.append(0)
-                depths.append(found + 1)
-                texts.append(""); tags.append(name)
-                is_block.append(name in BLOCK_TAGS)
-                is_open.append(False); is_close.append(True)
-                is_link.append(False)
-                in_link.append(name == "a" or link_depth > 0)
-                match.append(partner)
+                w_app(0)
+                d_app(found + 1)
+                t_app(""); g_app(name)
+                f_app(
+                    _F_CLOSE
+                    | (_F_BLOCK if name in block_tags else 0)
+                    | (_F_INLINK if (name == "a" or link_depth > 0)
+                       else 0))
+                m_app(partner)
             else:
-                opens = name not in VOID_TAGS and not self_closing
-                kinds.append(MARKUP); weights.append(0)
-                depths.append(len(stack) + 1 if opens else len(stack))
-                texts.append(""); tags.append(name)
-                is_block.append(name in BLOCK_TAGS)
-                is_open.append(opens); is_close.append(False)
-                is_link.append(name == "a" and opens)
-                in_link.append((name == "a" and opens) or link_depth > 0)
-                match.append(-1)
+                opens = name not in void_tags and not self_closing
+                is_a = name == "a"
+                w_app(0)
+                d_app(len(stack) + 1 if opens else len(stack))
+                t_app(""); g_app(name)
+                f_app(
+                    (_F_OPEN if opens else 0)
+                    | (_F_BLOCK if name in block_tags else 0)
+                    | (_F_LINK if (is_a and opens) else 0)
+                    | (_F_INLINK if ((is_a and opens) or link_depth > 0)
+                       else 0))
+                m_app(-1)
                 if opens:
                     stack.append((name, idx))
-                    if name == "a":
+                    if is_a:
                         link_depth += 1
         else:
             if "&" in text:  # entity fast path: unescape is a no-op
                 text = _htmlmod.unescape(text)  # without an ampersand
-            t = _WS_RE.sub(" ", text).strip()
+            t = " ".join(text.split())  # ≡ _WS_RE.sub(" ", ·).strip()
             if not t:
                 continue  # whitespace-only: background, no token
             if normalize_ar:
                 t = t.replace(COMPOSITE, COMPOSITE_SENTINEL)
-            kinds.append(TEXT); weights.append(len(t))
-            depths.append(len(stack))
-            texts.append(t); tags.append("")
-            is_block.append(False); is_open.append(False)
-            is_close.append(False); is_link.append(False)
-            in_link.append(link_depth > 0)
-            match.append(-1)
+            w_app(len(t))
+            d_app(len(stack))
+            t_app(t); g_app("")
+            f_app(_F_INLINK if link_depth else 0)
+            m_app(-1)
 
+    w = np.asarray(weights, dtype=np.int32)
+    k = np.where(w > 0, TEXT, MARKUP).astype(np.int8)
     d = np.asarray(depths, dtype=np.int32)
-    k = np.asarray(kinds, dtype=np.int8)
     # Deskew analog (M3, preprocess.py:33-51): subtract the global
     # wrapper offset = min depth over *text* tokens.
-    if (k == TEXT).any():
-        d = d - int(d[k == TEXT].min())
+    text_mask = w > 0
+    if text_mask.any():
+        d = d - int(d[text_mask].min())
         np.maximum(d, 0, out=d)
 
+    f = np.asarray(flags, dtype=np.uint8)
     return TokenStream(
         kinds=k,
-        weights=np.asarray(weights, dtype=np.int32),
+        weights=w,
         depths=d,
         texts=texts,
         tags=tags,
-        is_block=np.asarray(is_block, dtype=bool),
-        is_open=np.asarray(is_open, dtype=bool),
-        is_close=np.asarray(is_close, dtype=bool),
-        is_link=np.asarray(is_link, dtype=bool),
-        in_link=np.asarray(in_link, dtype=bool),
+        is_block=(f & _F_BLOCK) != 0,
+        is_open=(f & _F_OPEN) != 0,
+        is_close=(f & _F_CLOSE) != 0,
+        is_link=(f & _F_LINK) != 0,
+        in_link=(f & _F_INLINK) != 0,
         match=np.asarray(match, dtype=np.int32),
+        wlist=weights,
+        dlist=d.tolist(),
     )

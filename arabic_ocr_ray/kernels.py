@@ -16,14 +16,19 @@ import numpy as np
 NO_SPLIT = 2**31 - 1
 
 
-def zero_runs(profile: np.ndarray) -> list[tuple[int, int, bool]]:
+def zero_runs(profile) -> list[tuple[int, int, bool]]:
     """Scan ``profile`` for runs of zeros.
 
     Returns ``[(start, width, closed), ...]`` where *closed* means a
     nonzero value follows the run (the reference's scanner only emits a
     cut when it sees the run end: segment_words.py:24-41, the most
     reused idiom in the codebase — SURVEY.md §2.9 X5).
+
+    Accepts a list or ndarray; ndarrays are converted once — per-element
+    numpy scalar extraction inside the scan is ~5× a list index.
     """
+    if isinstance(profile, np.ndarray):
+        profile = profile.tolist()
     runs: list[tuple[int, int, bool]] = []
     n = len(profile)
     i = 0
@@ -39,7 +44,7 @@ def zero_runs(profile: np.ndarray) -> list[tuple[int, int, bool]]:
     return runs
 
 
-def zero_run_cuts(profile: np.ndarray) -> tuple[list[int], list[int]]:
+def zero_run_cuts(profile) -> tuple[list[int], list[int]]:
     """Integer midpoints + widths of *closed* zero runs.
 
     Parity with the reference scanner (segment_words.py:24-41 /
@@ -134,14 +139,16 @@ def dominant_weighted(keys: np.ndarray, weights: np.ndarray) -> int:
     return int(uniq[int(np.argmax(sums))])  # argmax → first max → smallest key
 
 
-def trim_to_content(weights: np.ndarray, lo: int, hi: int) -> tuple[int, int]:
+def trim_to_content(weights, lo: int, hi: int) -> tuple[int, int]:
     """Shrink [lo, hi) to the first/last index with weight > 0.
 
     Bounding-box trim analog (train_recognition.py:176-196, M12):
     strips leading/trailing weightless (markup/whitespace) tokens from a
-    segment.  Returns (lo, lo) if the range has no content.
+    segment.  Returns (lo, lo) if the range has no content.  Pass a
+    LIST on the per-document hot path (``TokenStream.wlist``) — numpy
+    scalar indexing in the scan costs ~5× a list index.
     """
-    if hi - lo <= 256:  # spans are short: two scans beat numpy alloc
+    if hi - lo <= 256 or not isinstance(weights, np.ndarray):
         i = lo
         while i < hi and weights[i] == 0:
             i += 1
@@ -156,6 +163,24 @@ def trim_to_content(weights: np.ndarray, lo: int, hi: int) -> tuple[int, int]:
     if nz.size == 0:
         return lo, lo
     return lo + int(nz[0]), lo + int(nz[-1]) + 1
+
+
+def dominant_weighted_range(dlist: list, wlist: list,
+                            lo: int, hi: int) -> int:
+    """:func:`dominant_weighted` over TEXT tokens of ``[lo, hi)``
+    without materializing masked arrays: one dict fold over the
+    list mirrors (text ⇔ weight > 0).  Ties → smallest key; no text
+    → 0 — identical contract."""
+    acc: dict[int, int] = {}
+    for i in range(lo, hi):
+        w = wlist[i]
+        if w:
+            k = dlist[i]
+            acc[k] = acc.get(k, 0) + w
+    if not acc:
+        return 0
+    best_w = max(acc.values())
+    return min(k for k, w in acc.items() if w == best_w)
 
 
 def max_window_sum(values: np.ndarray, window: int) -> int:
@@ -175,11 +200,30 @@ def max_window_sum(values: np.ndarray, window: int) -> int:
     return int((c[window:] - c[:-window]).max())
 
 
-def runs_of_mask(mask: np.ndarray) -> list[tuple[int, int]]:
-    """Maximal True runs of a boolean mask → [(start, end), ...)."""
-    m = np.asarray(mask, dtype=bool)
-    if m.size == 0:
+def runs_of_mask(mask) -> list[tuple[int, int]]:
+    """Maximal True runs of a boolean mask → [(start, end), ...).
+
+    Small masks (per-span excursion tests) take a pure-Python scan —
+    the numpy diff/flatnonzero pipeline costs ~4 array allocations,
+    which dominates below a few hundred elements."""
+    n = len(mask)
+    if n == 0:
         return []
+    if n <= 512:
+        m = mask.tolist() if isinstance(mask, np.ndarray) else mask
+        runs: list[tuple[int, int]] = []
+        i = 0
+        while i < n:
+            if m[i]:
+                j = i + 1
+                while j < n and m[j]:
+                    j += 1
+                runs.append((i, j))
+                i = j
+            else:
+                i += 1
+        return runs
+    m = np.asarray(mask, dtype=bool)
     diff = np.diff(m.astype(np.int8))
     starts = list(np.flatnonzero(diff == 1) + 1)
     ends = list(np.flatnonzero(diff == -1) + 1)

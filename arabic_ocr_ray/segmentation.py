@@ -37,7 +37,7 @@ import numpy as np
 from .html.tokenizer import TEXT, TokenStream
 from .kernels import (
     adaptive_gap_threshold,
-    dominant_weighted,
+    dominant_weighted_range,
     runs_of_mask,
     trim_to_content,
     zero_run_cuts,
@@ -71,30 +71,35 @@ class Segmented:
 def span_text(ts: TokenStream, start: int, end: int) -> str:
     """Canonical span text: text-token contents joined by single
     spaces (the whitespace-collapse contract, integrator.py:8-9)."""
+    wl = ts.wlist
+    texts = ts.texts
     return " ".join(
-        ts.texts[i] for i in range(start, end) if ts.kinds[i] == TEXT
+        texts[i] for i in range(start, end) if wl[i]  # text ⇔ w > 0
     )
 
 
 def line_rows(ts: TokenStream) -> tuple[list[tuple[int, int]], np.ndarray]:
     """Split the token stream into rows: inline runs + one zero row per
-    block-level tag.  Returns (row token ranges, row density profile)."""
+    block-level tag.  Returns (row token ranges, row density profile).
+
+    Loops over the block-tag POSITIONS (flatnonzero) rather than every
+    token, and reads each run's mass from the cumulative weight sum —
+    O(#blocks), not O(#tokens)."""
     rows: list[tuple[int, int]] = []
     hp: list[int] = []
     n = len(ts)
     start = 0
-    w = ts.weights
-    for i in range(n):
-        if ts.is_block[i]:
-            if i > start:
-                rows.append((start, i))
-                hp.append(int(w[start:i].sum()))
-            rows.append((i, i + 1))  # the block tag itself: zero row
-            hp.append(0)
-            start = i + 1
+    cw = ts.cumw
+    for i in np.flatnonzero(ts.is_block).tolist():
+        if i > start:
+            rows.append((start, i))
+            hp.append(int(cw[i] - cw[start]))
+        rows.append((i, i + 1))  # the block tag itself: zero row
+        hp.append(0)
+        start = i + 1
     if n > start:
         rows.append((start, n))
-        hp.append(int(w[start:n].sum()))
+        hp.append(int(cw[n] - cw[start]))
     return rows, np.asarray(hp, dtype=np.int64)
 
 
@@ -111,6 +116,11 @@ def segment_lines(ts: TokenStream) -> list[tuple[int, int]]:
     return lines
 
 
+def _range_has_text(ts: TokenStream, lo: int, hi: int) -> bool:
+    """O(1) via the cumulative weight sum (text ⇔ weight > 0)."""
+    return ts.cumw[hi] > ts.cumw[lo]
+
+
 def segment_spans(ts: TokenStream, start: int, end: int) -> list[tuple[int, int]]:
     """Word-analog segmentation of one line (segment_words.py:125-170).
 
@@ -120,8 +130,7 @@ def segment_spans(ts: TokenStream, start: int, end: int) -> list[tuple[int, int]
     strictly greater).  Segments with no text merge forward — the F9
     empty-feature-vector rule (train_recognition.py:360-363).
     """
-    weights = ts.weights[start:end]
-    cuts, widths = zero_run_cuts(weights)
+    cuts, widths = zero_run_cuts(ts.wlist[start:end])
     if cuts:
         thr = adaptive_gap_threshold(widths)
         cuts = [c for c, wd in zip(cuts, widths) if wd > thr]
@@ -129,7 +138,7 @@ def segment_spans(ts: TokenStream, start: int, end: int) -> list[tuple[int, int]
     spans: list[tuple[int, int]] = []
     last = start
     for b in bounds:
-        lo, hi = trim_to_content(ts.weights, last, b)
+        lo, hi = trim_to_content(ts.wlist, last, b)
         if hi > lo:  # has text → emit; else merge forward (F9)
             # UNtrimmed bounds: the fine-cut stage (contour_seg analog)
             # operates on the whole word image incl. margins
@@ -151,14 +160,20 @@ def fine_cuts(ts: TokenStream, start: int, end: int, baseline: int) -> list[int]
     merge rule of preprocess.py:441-448: a cut whose following segment
     holds no text is dropped (segment merges forward).
     """
-    d = ts.depths[start:end]
-    if int(d.max(initial=0)) <= baseline:
+    dl = ts.dlist
+    over = False
+    for i in range(start, end):  # early-exit max (flat span = common)
+        if dl[i] > baseline:
+            over = True
+            break
+    if not over:
         return []  # flat span (the common case): no excursions
-    k = ts.kinds[start:end]
+    d = ts.depths[start:end]
     deep = d > baseline
     cand: list[int] = []
     for r0, r1 in runs_of_mask(deep):
-        if r1 - r0 >= MIN_EXCURSION and (k[r0:r1] == TEXT).any():
+        if r1 - r0 >= MIN_EXCURSION and _range_has_text(
+                ts, start + r0, start + r1):
             if r0 > 0:
                 cand.append(start + r0)
             if r1 < end - start:
@@ -171,7 +186,7 @@ def fine_cuts(ts: TokenStream, start: int, end: int, baseline: int) -> list[int]
     kept: list[int] = []
     for i, c in enumerate(cand):
         nxt = cand[i + 1] if i + 1 < len(cand) else end
-        if (ts.kinds[c:nxt] == TEXT).any():
+        if _range_has_text(ts, c, nxt):
             kept.append(c)
     return kept
 
@@ -179,13 +194,12 @@ def fine_cuts(ts: TokenStream, start: int, end: int, baseline: int) -> list[int]
 def segment_document(ts: TokenStream) -> Segmented:
     """Full segmentation chain for one document (document → lines →
     spans → sub-spans), emitting sub-spans in document order."""
-    text_mask = ts.kinds == TEXT
-    baseline = dominant_weighted(ts.depths[text_mask], ts.weights[text_mask])
+    n = len(ts)
+    baseline = dominant_weighted_range(ts.dlist, ts.wlist, 0, n)
     seg = Segmented(baseline=baseline)
 
     for ls, le in segment_lines(ts):
-        lm = text_mask[ls:le]
-        local = dominant_weighted(ts.depths[ls:le][lm], ts.weights[ls:le][lm])
+        local = dominant_weighted_range(ts.dlist, ts.wlist, ls, le)
         # C3 note (preprocess.py:420-422): the reference distrusts a
         # CONTOUR's local baseline when it strays >2 from its LINE
         # baseline.  In this engine sub-spans inherit the line baseline
@@ -204,7 +218,7 @@ def segment_document(ts: TokenStream) -> Segmented:
             bounds = [ss] + cuts + [se]
             last = bounds[0]
             for b in bounds[1:]:
-                lo, hi = trim_to_content(ts.weights, last, b)
+                lo, hi = trim_to_content(ts.wlist, last, b)
                 if hi > lo:
                     seg.subspans.append(
                         SubSpan(line_idx, lo, hi, span_text(ts, lo, hi))

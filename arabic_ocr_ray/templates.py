@@ -74,9 +74,14 @@ class Templates:
             # case-folding (e.g. U+017F 'ſ' folds to 's' but lowers to
             # itself), and the gate must be a strict SUPERSET of what
             # the patterns can match or a span the ungated matcher
-            # would label slips through unlabeled
+            # would label slips through unlabeled.  Plain loop, not
+            # any(genexpr): this gate runs per sub-span × 19 literals
+            # and the generator frame was a measured profile line.
             low = text.casefold()
-            if not any(k in low for k in self._gate_literals):
+            for k in self._gate_literals:
+                if k in low:
+                    break
+            else:
                 return ""
         n = len(text)
         for label, rx, thr in self._compiled:

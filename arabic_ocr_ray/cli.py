@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--batch-size", type=int, default=64)
     px.add_argument("--num-partitions", type=int, default=64)
     px.add_argument("--no-resume", action="store_true")
+    px.add_argument("--reading-order", choices=["document", "rtl"],
+                    default="document",
+                    help="rtl = reference's right-to-left word order "
+                         "(segment_words.py:162-170)")
 
     pt = sub.add_parser("train", help="pages + labeled spans → model json")
     pt.add_argument("-i", "--input", required=True)
@@ -65,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
                             model_path=args.model or DEFAULT_MODEL_PATH,
                             batch_size=args.batch_size,
                             num_partitions=args.num_partitions,
-                            resume=not args.no_resume)
+                            resume=not args.no_resume,
+                            reading_order=args.reading_order)
             print(json.dumps(m))
         elif args.mode == "train":
             from .pipelines.train import train_model

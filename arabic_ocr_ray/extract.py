@@ -31,8 +31,19 @@ def extract_document(
     lang: str,
     model: PrototypeModel,
     templates: Templates,
+    reading_order: str = "document",
 ) -> dict:
-    """Extract main content from one page; returns per-doc stats too."""
+    """Extract main content from one page; returns per-doc stats too.
+
+    ``reading_order``: ``"document"`` (default) emits sub-spans within
+    a line in document order; ``"rtl"`` reverses them, matching the
+    reference's right-to-left word iteration
+    (segment_words.py:162-170 — it walks ``reversed(words)`` and
+    prepends, so the output string lists the rightmost word first).
+    Line order is unaffected (lines are already top-to-bottom in both).
+    """
+    if reading_order not in ("document", "rtl"):
+        raise ValueError(f"reading_order={reading_order!r}")
     ts = tokenize(html, lang)
     seg = segment_document(ts)
 
@@ -51,10 +62,12 @@ def extract_document(
             n_content += 1
             line_texts.setdefault(sub.line_idx, []).append(sub.text)
 
+    rtl = reading_order == "rtl"
     parts = []
     for li in range(len(seg.line_ranges)):
         if li in line_texts:
-            parts.append(" ".join(line_texts[li]))
+            spans = line_texts[li]
+            parts.append(" ".join(reversed(spans) if rtl else spans))
     text = "\n".join(parts)
     if lang == "ar":
         text = text.replace(COMPOSITE_SENTINEL, COMPOSITE)

@@ -29,8 +29,10 @@ from ..state.lineage import (  # noqa: F401
     PartResumeFilter,
     completed_urls,
     has_done_sidecars,
+    has_stat_sidecars,
     read_lineage,
     write_lineage,
+    write_lineage_from,
 )
 
 DEFAULT_BATCH_SIZE = 256
@@ -55,6 +57,7 @@ def extract_pages(
     num_partitions: int = 64,
     done_urls_ref=None,
     resume_out_dir: str | None = None,
+    reading_order: str = "document",
 ):
     """Lazy Dataset of (url, extracted_text, html_bytes, n_*, part).
 
@@ -96,6 +99,7 @@ def extract_pages(
             "model_path": model_path,
             "model_ref": model_ref,
             "num_partitions": num_partitions,
+            "reading_order": reading_order,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -112,6 +116,7 @@ def run_extract(
     concurrency: int | None = None,
     num_partitions: int = 64,
     resume: bool = True,
+    reading_order: str = "document",
 ) -> dict:
     """Materializing runner with resume + lineage (north_rule).
 
@@ -131,6 +136,14 @@ def run_extract(
     skipped = 0
     if resume and os.path.isdir(out_dir):
         rec_parts = recorded_num_partitions(out_dir)
+        if (has_stat_sidecars(out_dir)
+                and not has_done_sidecars(out_dir)
+                and rec_parts is not None):
+            # lazy done-url sidecar build: the fresh-run fast path
+            # writes only the per-block stat sidecars (no shuffle);
+            # the part-keyed sets are derived here, at resume time —
+            # the only time anything reads them
+            write_lineage(out_dir, num_partitions=rec_parts)
         if has_done_sidecars(out_dir) and rec_parts is None:
             # sidecars without a recorded modulus (legacy layout):
             # guessing the modulus would read the WRONG sidecar for
@@ -172,16 +185,96 @@ def run_extract(
         num_partitions=num_partitions,
         done_urls_ref=done_ref,
         resume_out_dir=resume_out,
+        reading_order=reading_order,
     )
-    # Stream straight into the sink: one file per producer block, the
-    # url-hash ``part`` kept as a COLUMN (not a hive directory — a
-    # random hash key against arbitrary producer blocks would fan out
-    # blocks × partitions tiny files, and co-locating first costs an
-    # all-to-all of the result; measured slower than extraction itself).
-    # Resume works at doc level (url anti-filter) and the per-partition
-    # manifest is aggregated from the output's stat columns below.
-    ds.write_parquet(out_dir)
-    write_lineage(out_dir, num_partitions=num_partitions)
+    # Fused SHUFFLE-FREE sink: each producer block writes (a) its own
+    # data parquet file — content-addressed name (md5 of the block's
+    # url column) so a retried task atomically overwrites the same
+    # file, matching write_parquet's idempotency — (b) a tiny stat
+    # sidecar (url, part, status, …; ~70 B/doc) under _lineage/urls,
+    # and returns per-part PARTIAL manifest rows (≤ parts rows per
+    # block).  The fresh-run manifest is a ≤ blocks × parts row
+    # aggregate; no per-doc shuffle runs at all (the r2 design's
+    # write_lineage re-read + groupby was ~6 s of the 25 s bench wall
+    # at 32 CPUs).  The part-keyed done-url sidecars the resume filter
+    # needs are built LAZILY from the stat sidecars at resume time —
+    # the only time they are read.  The url-hash ``part`` stays a
+    # COLUMN, not a hive directory (a random hash key against
+    # arbitrary producer blocks fans out blocks × partitions tiny
+    # files; measured slower than extraction itself).
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..state.lineage import urls_dir as _urls_dir
+
+    os.makedirs(out_dir, exist_ok=True)
+    stats_root = _urls_dir(out_dir)
+    os.makedirs(stats_root, exist_ok=True)
+    stat_cols = ["url", "part", "status", "html_bytes",
+                 "n_content_spans"]
+    # lineage completeness flags, captured BEFORE the run
+    had_stats = has_stat_sidecars(out_dir)
+    fresh = (resume_mode == "none" and not had_stats
+             and not has_done_sidecars(out_dir))
+
+    def write_block(b: pa.Table) -> pa.Table:
+        urls_buf = b.column("url").combine_chunks()
+        h = hashlib.md5()
+        for buf in urls_buf.buffers():
+            if buf is not None:
+                h.update(buf)
+        digest = h.hexdigest()
+        path = os.path.join(out_dir, f"data_{digest}.parquet")
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(b, tmp)
+        os.replace(tmp, path)
+        spath = os.path.join(stats_root, f"stats_{digest}.parquet")
+        tmp = f"{spath}.tmp{os.getpid()}"
+        pq.write_table(b.select(stat_cols), tmp)
+        os.replace(tmp, spath)
+        part = np.asarray(b.column("part").combine_chunks()
+                          .cast(pa.int64()), dtype=np.int64)
+        hb = np.asarray(b.column("html_bytes").combine_chunks()
+                        .cast(pa.int64()), dtype=np.int64)
+        cs = np.asarray(b.column("n_content_spans").combine_chunks()
+                        .cast(pa.int64()), dtype=np.int64)
+        docs = np.bincount(part, minlength=num_partitions)
+        hbs = np.bincount(part, weights=hb, minlength=num_partitions)
+        css = np.bincount(part, weights=cs, minlength=num_partitions)
+        nz = np.flatnonzero(docs)
+        return pa.table({
+            "part": pa.array(nz.astype(np.int64)),
+            "docs": pa.array(docs[nz].astype(np.int64)),
+            "html_bytes": pa.array(hbs[nz].astype(np.int64)),
+            "content_spans": pa.array(css[nz].astype(np.int64)),
+        })
+
+    partials = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None)
+    if fresh:
+        from ..state.lineage import write_manifest_from_partials
+
+        write_manifest_from_partials(partials, out_dir,
+                                     num_partitions)
+    else:
+        # resumed / appended run: this run's stream holds only NEW
+        # rows, and the done-url sidecars the filter reads must
+        # survive until the pipeline has executed — drive the write
+        # with a cheap count, then rebuild manifest + done sidecars
+        # covering old + new rows: from the stat sidecars if they
+        # were complete before the run, else from the output itself
+        partials.count()
+        import ray.data as rd
+
+        src = stats_root if had_stats else out_dir
+        from ..state.lineage import write_lineage_from
+
+        write_lineage_from(
+            rd.read_parquet(src, columns=stat_cols),
+            out_dir, num_partitions=num_partitions)
 
     stats = rd.read_parquet(
         os.path.join(out_dir, "_lineage", "manifest.parquet")

@@ -51,6 +51,7 @@ class ExtractText:
         model_ref=None,
         extra_templates: list | None = None,
         num_partitions: int = 0,
+        reading_order: str = "document",
     ):
         if model_ref is not None:
             import ray
@@ -61,6 +62,7 @@ class ExtractText:
             self.model = PrototypeModel.load(model_path)
         self.templates = Templates(extra_templates)
         self.num_partitions = num_partitions
+        self.reading_order = reading_order
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -76,7 +78,8 @@ class ExtractText:
             h = h or b""
             try:
                 out = extract_document(h, lg or "", self.model,
-                                       self.templates)
+                                       self.templates,
+                                       self.reading_order)
                 texts.append(out["extracted_text"])
                 status.append("ok" if h else "empty")
                 for k in stats:

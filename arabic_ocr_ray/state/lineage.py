@@ -38,11 +38,27 @@ import zlib
 
 LINEAGE_DIR = "_lineage"
 DONE_DIR = "done_urls"
+#: per-block stat sidecars (url, part, status, html_bytes,
+#: n_content_spans) written by the SAME task that writes the data
+#: file — no shuffle on the fresh-run path; the part-keyed done-url
+#: sidecars are derived from these LAZILY, at resume time (the only
+#: time they are needed)
+URLS_DIR = "urls"
 
 
 def _done_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, LINEAGE_DIR, DONE_DIR,
                         f"part={part}.parquet")
+
+
+def urls_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, LINEAGE_DIR, URLS_DIR)
+
+
+def has_stat_sidecars(out_dir: str) -> bool:
+    d = urls_dir(out_dir)
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d))
 
 
 def completed_urls(out_dir: str):
@@ -118,22 +134,23 @@ class PartResumeFilter:
         return batch.filter(pa.array(keep))
 
 
-def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
-    """(Re)build the per-partition manifest AND done-url sidecars from
-    the written output — one distributed pass.
+def write_lineage_from(stats_ds, out_dir: str,
+                       num_partitions: int | None = None) -> None:
+    """Build the per-partition manifest AND done-url sidecars from a
+    Dataset of stat columns (url, part, status, html_bytes,
+    n_content_spans) — the groupby shuffle moves ~30 bytes/doc, never
+    documents.  Inside each group task: prefers the non-error row per
+    url (superseded retries are not double-counted), writes that
+    part's done-url sidecar, and returns the part's manifest row.
 
-    Reads ONLY the stat columns (~30 bytes/doc — the groupby shuffle
-    moves those, not documents), groups by ``part``, and inside each
-    group task: prefers the non-error row per url (superseded retries
-    are not double-counted), writes that part's done-url sidecar, and
-    returns the part's manifest row.  Covers everything on disk, so a
-    resumed run's manifest is complete by construction."""
+    When ``stats_ds`` is the live extraction pipeline's stat output
+    (see ``run_extract``), the shuffle overlaps extraction — no
+    separate lineage pass, no output re-read."""
     import shutil
 
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from ..functions.arrowout import arrow_clean
 
@@ -162,11 +179,8 @@ def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
 
     # shuffle capped at the part count — "part" has ≤ num_partitions
     # distinct values, so more shuffle partitions is pure overhead
-    # (measured 6.6 s → ~3 s on the 360k-doc bench output)
     manifest = (
-        rd.read_parquet(out_dir,
-                        columns=["url", "part", "status",
-                                 "html_bytes", "n_content_spans"])
+        stats_ds
         .groupby("part", num_partitions=(num_partitions or 64))
         .map_groups(arrow_clean(finish_part), batch_format="pandas")
         .to_pandas()
@@ -185,6 +199,56 @@ def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
     os.replace(tmp, os.path.join(path, "manifest.parquet"))
 
 
+def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
+    """(Re)build lineage from data already ON DISK: prefers the tiny
+    per-block stat sidecars (``_lineage/urls``, ~70 B/doc) and falls
+    back to a pruned re-read of the output itself (outputs written by
+    other means).  ``run_extract``'s fresh-run path never calls this —
+    it folds manifest partials into the write pass with no shuffle;
+    this form serves resume-time (re)builds and standalone
+    regeneration."""
+    import ray.data as rd
+
+    src = urls_dir(out_dir) if has_stat_sidecars(out_dir) else out_dir
+    stats_ds = rd.read_parquet(
+        src, columns=["url", "part", "status",
+                      "html_bytes", "n_content_spans"])
+    write_lineage_from(stats_ds, out_dir, num_partitions)
+
+
+def write_manifest_from_partials(partials_ds, out_dir: str,
+                                 num_partitions: int | None) -> None:
+    """Fresh-run manifest: sum the per-block (part, docs, html_bytes,
+    content_spans) partial rows with a SHUFFLE-FREE tree combine —
+    map-side pandas sums over coalesced partial batches, then a tiny
+    driver fold (≤ parts rows per combined batch; even a sort shuffle
+    over 13k partial rows cost ~14 s of fixed overhead at 32 CPUs).
+    Exact when every url appears once in the run (a fresh run over a
+    unique-url corpus); resumed runs rebuild with per-url dedup via
+    :func:`write_lineage` instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.arrowout import arrow_clean
+
+    @arrow_clean
+    def combine(b: pa.Table):
+        return (b.to_pandas().groupby("part", as_index=False).sum())
+
+    manifest = (partials_ds
+                .map_batches(combine, batch_format="pyarrow",
+                             batch_size=65536)
+                .to_pandas()
+                .groupby("part", as_index=False).sum())
+    manifest["num_partitions"] = int(num_partitions or -1)
+    path = os.path.join(out_dir, LINEAGE_DIR)
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"manifest.parquet.tmp{os.getpid()}")
+    pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False),
+                   tmp)
+    os.replace(tmp, os.path.join(path, "manifest.parquet"))
+
+
 def read_lineage(out_dir: str):
     import pyarrow.dataset as pads
 
@@ -192,7 +256,8 @@ def read_lineage(out_dir: str):
     if not os.path.isdir(path):
         return None
     return pads.dataset(path, format="parquet",
-                        ignore_prefixes=[".", DONE_DIR]).to_table()
+                        ignore_prefixes=[".", DONE_DIR,
+                                         URLS_DIR]).to_table()
 
 
 def has_done_sidecars(out_dir: str) -> bool:

@@ -43,3 +43,32 @@ def test_evaluate_perfect_match(ray_session, pages_parquet, default_model):
     assert report["match_rate"] == 1.0
     assert report["total_edit_distance"] == 0
     assert report["mean_accuracy"] == 1.0
+
+
+def test_rtl_reading_order(default_model):
+    """reading_order='rtl' reverses sub-spans WITHIN each line (the
+    reference's reversed-words iteration, segment_words.py:162-170);
+    line order and the span multiset are unchanged."""
+    from arabic_ocr_ray.extract import extract_document
+    from arabic_ocr_ray.model import PrototypeModel
+    from arabic_ocr_ray.sources.pages import build_page
+    from arabic_ocr_ray.templates import Templates
+
+    model = PrototypeModel.load()
+    tpl = Templates()
+    checked_multi = 0
+    for i in range(40):
+        r = build_page(9, i)
+        doc = extract_document(r["html"], r["lang"], model, tpl)
+        rtl = extract_document(r["html"], r["lang"], model, tpl,
+                               reading_order="rtl")
+        d_lines = doc["extracted_text"].split("\n")
+        r_lines = rtl["extracted_text"].split("\n")
+        assert len(d_lines) == len(r_lines)
+        for dl, rl in zip(d_lines, r_lines):
+            # NOTE: spans, not words — a multi-word sub-span stays
+            # intact; only the sub-span sequence flips
+            assert sorted(dl.split(" ")) == sorted(rl.split(" "))
+        if any(" " in ln for ln in d_lines):
+            checked_multi += 1
+    assert checked_multi > 0  # the fixture must exercise multi-span lines

@@ -86,21 +86,30 @@ def test_partition_resume_multi_part(ray_session, default_model, tmp_path):
                      num_partitions=16)
     assert m1["docs"] == 50 and m1["resume_mode"] == "none"
 
-    # sidecars exist per part, and never a whole-corpus file
+    # fresh run writes per-BLOCK stat sidecars only (shuffle-free);
+    # the part-keyed done-url sets are derived lazily at resume time
     import os
 
+    urls_dir = os.path.join(out, "_lineage", "urls")
+    stat_rows = sum(pq.read_table(os.path.join(urls_dir, f)).num_rows
+                    for f in os.listdir(urls_dir)
+                    if f.endswith(".parquet"))
+    assert stat_rows == 50
     done_dir = os.path.join(out, "_lineage", "done_urls")
-    sidecars = sorted(os.listdir(done_dir))
-    assert len(sidecars) > 1  # genuinely multi-part
-    per_part = [pq.read_table(os.path.join(done_dir, f)).num_rows
-                for f in sidecars]
-    assert sum(per_part) == 50 and max(per_part) < 50
+    assert not os.path.isdir(done_dir)  # lazy until a resume needs it
 
     m2 = run_extract(full_path, out, batch_size=8, concurrency=2,
                      num_partitions=16)
     assert m2["resume_mode"] == "partition"
     assert m2["skipped_resume"] == 50
     assert m2["docs"] == 120
+    # the resume built (then refreshed) per-part sidecars, never a
+    # whole-corpus file
+    sidecars = sorted(os.listdir(done_dir))
+    assert len(sidecars) > 1  # genuinely multi-part
+    per_part = [pq.read_table(os.path.join(done_dir, f)).num_rows
+                for f in sidecars]
+    assert sum(per_part) == 120 and max(per_part) < 120
     tbl = _read_out(out)
     assert len(set(tbl.column("url").to_pylist())) == 120
 

@@ -206,6 +206,12 @@ def _band_rows_batch(batch: pa.Table, col: str, id_col: str) -> pa.Table:
 
 
 MAX_BUCKET = 200  # cap pathological LSH buckets (logged, not scanned)
+# MUST stay a multiple of 4: simhash_dup_pairs packs the band index
+# into the partition key as (band_val*4 + band_idx) % _PAIR_PARTITIONS,
+# so 4 | P makes every partition band-pure (pk mod 4 == band_idx) and
+# the in-partition drop_duplicates can never collapse two different
+# band records of the same pair (the min-uncapped-band global dedup
+# relies on every band's discovery row surviving).
 _PAIR_PARTITIONS = 64
 
 
@@ -677,7 +683,17 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
     hash-partitioned on the band key and every partition resolves its
     buckets with ONE vectorized self-merge + numpy popcount — never a
     python call per bucket (16-bit bands make ~65k mostly-singleton
-    buckets per band at corpus scale)."""
+    buckets per band at corpus scale).
+
+    Global pair dedup (a pair collides in one bucket per AGREEING
+    band) is done WITHOUT a shuffle (r3; the r2 ppk groupby over the
+    ~4M discovery rows plus a per-pair python crc32 loop dominated the
+    360k-doc sweep): every discovery carries its ``band_idx`` and the
+    pair's simhash, each partition also reports its over-MAX_BUCKET
+    (band, val) buckets, and a final broadcast filter keeps a
+    discovery iff its band is the pair's MINIMUM agreeing band whose
+    bucket is uncapped — exactly one survivor per pair, and identical
+    pair coverage to scanning every uncapped bucket."""
     sh = ds.map_batches(lambda b: simhash_batch(b, col, id_col),
                         batch_format="pyarrow")
 
@@ -704,38 +720,112 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
         _log_capped(g, sizes, MAX_BUCKET, "simhash_dup_pairs")
         g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET)]
         if g2.empty:
-            return pd.DataFrame({
+            out = pd.DataFrame({
                 "a": g2[id_col], "b": g2[id_col],
-                "hamming": pd.Series(dtype="int64")})
+                "hamming": pd.Series(dtype="int64"),
+                "band_idx": pd.Series(dtype="int64"),
+                "hx": pd.Series(dtype="int64"),
+                "hy": pd.Series(dtype="int64")})
+            over = g.loc[sizes > MAX_BUCKET, key].drop_duplicates()
+            if len(over):
+                ph = g[id_col].iloc[0]
+                out = pd.concat([out, pd.DataFrame({
+                    "a": pd.Series([ph] * len(over),
+                                   dtype=g[id_col].dtype),
+                    "b": pd.Series([ph] * len(over),
+                                   dtype=g[id_col].dtype),
+                    "hamming": np.full(len(over), -1, dtype=np.int64),
+                    "band_idx": over["band_idx"].to_numpy()
+                    .astype(np.int64),
+                    "hx": over["band_val"].to_numpy()
+                    .astype(np.int64),
+                    "hy": np.zeros(len(over), dtype=np.int64),
+                })], ignore_index=True)
+            return out
         m = g2.merge(g2, on=key, suffixes=("_x", "_y"))
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         hx = m[f"simhash_x"].to_numpy().astype(np.uint64)
         hy = m[f"simhash_y"].to_numpy().astype(np.uint64)
-        xor = (hx ^ hy).view(np.uint8).reshape(-1, 8)
-        ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
+        xor = hx ^ hy
+        bits = xor.view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(bits, axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "a": m[f"{id_col}_x"].to_numpy()[keep],
             "b": m[f"{id_col}_y"].to_numpy()[keep],
             "hamming": ham[keep],
+            "band_idx": m["band_idx"].to_numpy()[keep],
+            "hx": hx[keep].astype(np.int64),
+            "hy": hy[keep].astype(np.int64),
         }).drop_duplicates(["a", "b"])
+        # capped-bucket report rows (band_idx keeps the band, hx the
+        # band value, hamming = -1 marks the kind)
+        over = g.loc[sizes > MAX_BUCKET, key].drop_duplicates()
+        if len(over):
+            ph = g[id_col].iloc[0]  # dtype-correct placeholder id
+            out = pd.concat([out, pd.DataFrame({
+                "a": pd.Series([ph] * len(over),
+                               dtype=g[id_col].dtype),
+                "b": pd.Series([ph] * len(over),
+                               dtype=g[id_col].dtype),
+                "hamming": np.full(len(over), -1, dtype=np.int64),
+                "band_idx": over["band_idx"].to_numpy()
+                .astype(np.int64),
+                "hx": over["band_val"].to_numpy().astype(np.int64),
+                "hy": np.zeros(len(over), dtype=np.int64),
+            })], ignore_index=True)
+        return out
 
-    cand = (sh.map_batches(explode, batch_format="pyarrow")
+    disc = (sh.map_batches(explode, batch_format="pyarrow")
             .groupby("pk").map_groups(arrow_clean(pairs_part),
-                                      batch_format="pandas"))
+                                      batch_format="pandas")
+            .materialize())
 
-    def add_ppk(b: pa.Table) -> pa.Table:
-        a = b.column("a").to_pylist()
-        bb = b.column("b").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % 32 for x, y in zip(a, bb)]
-        return b.append_column("ppk", pa.array(pk, pa.int32()))
+    # tiny: the over-cap (band, val) buckets (logged above)
+    import ray
 
-    return (cand.map_batches(add_ppk, batch_format="pyarrow")
-            .groupby("ppk")
-            .map_groups(arrow_clean(
-                lambda g: g.drop_duplicates(["a", "b"])[
-                    ["a", "b", "hamming"]]),
-                batch_format="pandas"))
+    def capped_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.equal(b.column("hamming"), -1))
+        return t.select(["band_idx", "hx"])
+
+    capped_tbl = (disc.map_batches(capped_rows, batch_format="pyarrow")
+                  .take_all())
+    capped = {(int(r["band_idx"]), int(r["hx"]) & 0xFFFF)
+              for r in capped_tbl}
+    capped_ref = ray.put(capped)
+
+    def final_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater_equal(b.column("hamming"), 0))
+        if b.num_rows == 0:
+            return b.select(["a", "b", "hamming"])
+        cp = ray.get(capped_ref)
+        cp_by_band = {band: np.array(sorted(v for bb, v in cp
+                                            if bb == band),
+                                     dtype=np.int64)
+                      for band in range(4)}
+        hx = np.asarray(b.column("hx"), dtype=np.int64).astype(np.uint64)
+        hy = np.asarray(b.column("hy"), dtype=np.int64).astype(np.uint64)
+        band_idx = np.asarray(b.column("band_idx"), dtype=np.int64)
+        xor = hx ^ hy
+        # min agreeing band whose bucket is uncapped
+        min_band = np.full(len(xor), -1, dtype=np.int64)
+        for band in (3, 2, 1, 0):
+            win = ((xor >> np.uint64(16 * band))
+                   & np.uint64(0xFFFF)) == 0
+            cvals = cp_by_band[band]
+            if len(cvals):
+                vals = ((hx >> np.uint64(16 * band))
+                        & np.uint64(0xFFFF)).astype(np.int64)
+                win = win & ~np.isin(vals, cvals)
+            min_band = np.where(win, band, min_band)
+        return b.filter(pa.array(band_idx == min_band)).select(
+            ["a", "b", "hamming"])
+
+    return disc.map_batches(final_filter, batch_format="pyarrow")
 
 
 # --- embedding near-dup ---------------------------------------------------

@@ -367,3 +367,58 @@ def test_connected_components_distributed_string_ids(ray_session):
     assert out.loc[["u/a", "u/b", "u/c"], "cluster_id"].tolist() \
         == ["u/a"] * 3
     assert out.loc[["u/x", "u/y"], "cluster_id"].tolist() == ["u/x"] * 2
+
+
+def test_simhash_pairs_match_bruteforce_with_caps(ray_session,
+                                                  monkeypatch):
+    """simhash_dup_pairs ≡ brute force under the cap contract: a pair
+    is reported iff hamming ≤ k AND at least one AGREEING band's
+    bucket is under MAX_BUCKET — each pair exactly once (the r3
+    min-uncapped-band dedup must not lose pairs whose lowest agreeing
+    band is capped, nor duplicate ones found by several bands)."""
+    import itertools
+
+    import ray.data as rd
+
+    monkeypatch.setattr(dedup, "MAX_BUCKET", 4)
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta"]
+    texts = []
+    # two big near-identical families (buckets over the cap in the
+    # bands where they collide) + small families + noise
+    for fam, size in ((0, 9), (1, 7), (2, 3), (3, 3)):
+        base = " ".join(rng.choice(words, 30))
+        for i in range(size):
+            t = base.split()
+            t[rng.randint(len(t))] = words[rng.randint(len(words))]
+            texts.append(" ".join(t))
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(words, 30)))
+
+    out = (dedup.simhash_dup_pairs(
+               rd.from_arrow(_docs_table(texts)), max_hamming=3)
+           .to_pandas())
+    got = set(zip(out["a"], out["b"]))
+    assert len(got) == len(out)  # no duplicate pair rows
+
+    # brute force with identical cap semantics
+    hashes = [dedup.simhash64(t) for t in texts]
+    buckets: dict = {}
+    for i, h in enumerate(hashes):
+        for band in range(4):
+            buckets.setdefault(
+                (band, (h >> (16 * band)) & 0xFFFF), []).append(i)
+    capped = {k for k, v in buckets.items() if len(v) > 4}
+    exp = set()
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        x, y = hashes[i], hashes[j]
+        if bin(x ^ y).count("1") > 3:
+            continue
+        for band in range(4):
+            k = (band, (x >> (16 * band)) & 0xFFFF)
+            if ((x ^ y) >> (16 * band)) & 0xFFFF == 0 \
+                    and k not in capped:
+                exp.add((i, j))
+                break
+    assert got == exp and len(exp) > 0

@@ -228,7 +228,8 @@ def _log_capped(g, sizes, cap: int, op: str) -> None:
             "(largest=%d)", op, int(len(over)), cap, int(sizes.max()))
 
 
-def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
+def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id",
+                       distinct: bool = True):
     """→ Dataset(a, b) candidate pairs (a < b), deduped.
 
     Shuffle shape: band rows are hash-partitioned on (band, band_hash)
@@ -236,7 +237,15 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
     buckets' pairs with one vectorized pandas self-merge — NOT one
     map_groups call per bucket: almost every bucket is a singleton, so
     per-group dispatch costs 3 orders of magnitude more python calls
-    than partitions do (measured 33s → ~4s at 60k docs)."""
+    than partitions do (measured 33s → ~4s at 60k docs).
+
+    ``distinct=False`` skips the global pair-dedup shuffle and returns
+    up to one copy of a pair per agreeing band (16 | _PAIR_PARTITIONS
+    makes partitions band-pure, so in-partition dedup never collapses
+    across bands).  :func:`near_dup_pairs` uses this: the verify stage
+    already co-locates all copies of a pair (vp = crc32(a|b)), so its
+    group dedup is free and the extra all-to-all pass over pair rows
+    is pure overhead."""
     rows = ds.map_batches(
         lambda b: _band_rows_batch(b, col, id_col), batch_format="pyarrow")
 
@@ -263,6 +272,8 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id"):
     cand = (rows.map_batches(add_pk, batch_format="pyarrow")
             .groupby("pk").map_groups(arrow_clean(pairs_part),
                                       batch_format="pandas"))
+    if not distinct:
+        return cand
 
     # a pair can surface from several bands/partitions → global distinct,
     # again via fixed hash partitions + vectorized drop_duplicates
@@ -351,9 +362,14 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
 
     from .joins import hash_join
 
+    # right_distinct: duplicate (id, vp) need rows (a doc in several
+    # pairs, or duplicate candidate copies when the caller skipped the
+    # candidate-dedup shuffle) must not fan the doc's text out once per
+    # copy — the join partition dedups them globally for free
     docs_needed = hash_join(
         docs_ds.select_columns([id_col, col]), need,
-        on=id_col, how="inner", num_partitions=num_partitions)
+        on=id_col, how="inner", num_partitions=num_partitions,
+        right_distinct=True)
 
     def tag_docs(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -387,8 +403,12 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
             return s
 
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(pp.column("a").to_pylist(),
+        seen_pairs: set = set()  # global dedup: every copy of a pair
+        for x, y in zip(pp.column("a").to_pylist(),  # shares this vp
                         pp.column("b").to_pylist()):
+            if (x, y) in seen_pairs:
+                continue
+            seen_pairs.add((x, y))
             sa, sb = sh(x), sh(y)
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
@@ -411,9 +431,15 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
 
 def near_dup_pairs(ds, threshold: float = 0.8,
                    col: str = "text", id_col: str = "doc_id"):
-    """MinHash-LSH candidates + exact Jaccard verify → verified pairs."""
-    return verify_pairs_jaccard(minhash_candidates(ds, col, id_col),
-                                ds, threshold, col, id_col)
+    """MinHash-LSH candidates + exact Jaccard verify → verified pairs.
+
+    Candidates flow in WITHOUT their own dedup shuffle
+    (``distinct=False``): all copies of a pair share the verify
+    partition key, so the verify group dedups them for free — one
+    fewer all-to-all pass over the pair stream."""
+    return verify_pairs_jaccard(
+        minhash_candidates(ds, col, id_col, distinct=False),
+        ds, threshold, col, id_col)
 
 
 #: Pair graphs at or below this many (directed) edges are solved with
@@ -927,12 +953,17 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
                                       batch_format="pandas"))
 
     # a pair surfaces once per agreeing table → fixed-partition global
-    # distinct (same shape as minhash_candidates, no per-pair dispatch)
+    # distinct (same shape as minhash_candidates, no per-pair dispatch);
+    # vec ids are int64 so the pair key is a vectorized integer mix,
+    # not a per-pair python crc32 loop
     def add_ppk(b: pa.Table) -> pa.Table:
-        a = b.column("a").to_pylist()
-        bb = b.column("b").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % 32 for x, y in zip(a, bb)]
-        return b.append_column("ppk", pa.array(pk, pa.int32()))
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            h = ((a * np.int64(-7046029254386353131))
+                 ^ (bb * np.int64(0x9E3779B97F4A7C15 - (1 << 64))))
+        pk = ((h >> np.int64(32)) % 32).astype(np.int32)
+        return b.append_column("ppk", pa.array(pk))
 
     return (cand.map_batches(add_ppk, batch_format="pyarrow")
             .groupby("ppk")

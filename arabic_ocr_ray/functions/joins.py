@@ -90,11 +90,17 @@ def _jk_for(arr: pa.ChunkedArray, n_parts: int) -> pa.Array:
 
 
 def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
-              how: str = "inner", num_partitions: int = _PARTITIONS):
+              how: str = "inner", num_partitions: int = _PARTITIONS,
+              right_distinct: bool = False):
     """→ Dataset joined on a single key.  ``how`` ∈ {"inner", "semi",
     "anti"}; semi/anti keep the LEFT schema (right may hold duplicate
     keys — no pre-distinct needed, Acero's left-semi/anti handle it).
     Inner output columns: left columns then right non-key columns.
+    ``right_distinct=True`` deduplicates the right side's full rows
+    inside each join partition before the inner join — a GLOBAL
+    distinct for free (all copies of a key hash to one partition), used
+    when the right side may carry duplicate rows whose join fan-out
+    would replicate left payloads (the near-dup need rows).
     See module docstring for why this exists next to ``Dataset.join``."""
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"how={how!r}")
@@ -152,6 +158,9 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
             return out_schema.empty_table()
         if rt.num_rows == 0:
             return (lt if how == "anti" else out_schema.empty_table())
+        if right_distinct and how == "inner":
+            rt = (rt.combine_chunks()
+                  .group_by(rt.column_names).aggregate([]))
         out = lt.combine_chunks().join(
             rt.combine_chunks(), keys=[on], join_type=arrow_how)
         return out.select(out_names)

@@ -338,6 +338,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.embedding_near_dup_pairs(aug, threshold=0.95),
             {"a": "int64", "b": "int64", "cos_x1000": "int64"})
 
+    def q_emb_near_dup_gather(sf_dir: str):
+        """Same planted harness as embedding_near_dup, through the
+        gather path: ids-only LSH shuffle, vectors gathered to verify
+        partitions (the 100 TB shape — see
+        dedup.embedding_near_dup_pairs).  Shares the oracle SQL."""
+        import numpy as np
+        import pyarrow as pa
+
+        emb = _emb(sf_dir)
+
+        def planted(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+            d = b.filter(pa.array(ids % 50 == 0))
+            return pa.table({
+                "vec_id": pa.array(
+                    np.asarray(d.column("vec_id"), dtype=np.int64)
+                    + 1_000_000, pa.int64()),
+                "embedding": d.column("embedding"),
+            })
+
+        aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
+        return _typed(
+            dedup.embedding_near_dup_pairs(aug, threshold=0.95,
+                                           gather=True),
+            {"a": "int64", "b": "int64", "cos_x1000": "int64"})
+
     # ---------------- similarity search ---------------------------------
     def q_knn(sf_dir: str):
         out = ann.knn_bruteforce(_emb(sf_dir), KNN_QUERIES, k=KNN_K)
@@ -796,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_dup_pairs": q_simhash_dup,
         "embedding_near_dup": q_emb_near_dup,
+        "embedding_near_dup_gather": q_emb_near_dup_gather,
         "knn_cosine": q_knn,
         "knn_ivf": q_knn_ivf,
         "q1_pricing": q_q1_pricing,
@@ -842,7 +869,7 @@ def oracle_sql() -> dict[str, str]:
         f"len(regexp_extract_all(lower(text), '{stop_re(lg)}')) AS {lg}_n"
         for lg in ("en", "de", "es", "fr"))
 
-    return {
+    out = {
         "extract_pages": (
             f"SELECT url, text AS extracted_text "
             f"FROM read_parquet('{pages}')"
@@ -1269,3 +1296,6 @@ def oracle_sql() -> dict[str, str]:
         # search tuned by a recall gate in pytest; model training is a
         # custom fold) — documented in COVERAGE.md.
     }
+    # gather-path variant runs the same planted harness → same truth
+    out["embedding_near_dup_gather"] = out["embedding_near_dup"]
+    return out

@@ -857,21 +857,58 @@ def simhash_dup_pairs(ds, max_hamming: int = 3,
 # --- embedding near-dup ---------------------------------------------------
 
 
+def _mix_pair_keys(a_col, b_col, mod: int) -> np.ndarray:
+    """(a, b) int64 pair → stable partition key, vectorized (no
+    per-pair python hash loop).  64-bit multiply-xor mix of both ids;
+    numpy ``%`` follows python sign semantics so the result is always
+    in [0, mod)."""
+    a = np.asarray(a_col, dtype=np.int64)
+    bb = np.asarray(b_col, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = ((a * np.int64(-7046029254386353131))
+             ^ (bb * np.int64(0x9E3779B97F4A7C15 - (1 << 64))))
+    return ((h >> np.int64(32)) % mod).astype(np.int32)
+
+
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
                              n_planes: int = 8, n_tables: int = 4,
                              id_col: str = "vec_id",
                              col: str = "embedding",
-                             max_bucket: int = 4096):
-    """Sign-LSH buckets + in-bucket cosine verify → Dataset(a, b,
-    cos_x1000).
+                             max_bucket: int = 4096,
+                             gather: bool = False):
+    """Sign-LSH buckets + cosine verify → Dataset(a, b, cos_x1000).
 
     Recall math: a cosine-0.95 pair disagrees on one hyperplane with
     p = arccos(0.95)/π ≈ 0.10, so one 8-plane table catches it with
     0.9^8 ≈ 0.43; 4 independent tables (seeded 0xC05+t) lift that to
     ≈ 0.9.  Each doc emits n_tables (table, bucket) rows; the shuffle
-    key is (table, bucket)."""
+    key is (table, bucket).
+
+    ``gather`` picks which payload crosses the LSH shuffle:
+
+    * ``False`` (default): each row carries its embedding into the
+      bucket shuffle — vectors are replicated ``n_tables``× through
+      the all-to-all, verify is free inside the bucket group.  Right
+      at fixture scale and whenever embedding_bytes × n_tables is
+      cheap relative to a second shuffle's latency.
+    * ``True``: only (id, table, bucket) rows cross the LSH shuffle
+      (8–24 bytes/row instead of the embedding); co-bucket candidate
+      PAIRS come back id-only, and vectors are then gathered to
+      verify partitions via the same semi-join shape as
+      :func:`verify_pairs_jaccard` — each needed vector ships ONCE
+      per verify partition, bounded by 2 × pairs, never
+      ``n_tables`` × corpus.  The 100 TB path: with d-dim float
+      embeddings the default shuffles ``4 × 4d`` bytes per vector;
+      gather shuffles ~24 bytes per vector plus the (tiny) verified
+      pair stream."""
     planes = [np.random.RandomState(0xC05 + t).randn(n_planes, dim)
               for t in range(n_tables)]
+
+    if gather:
+        cand = _embedding_lsh_candidates(ds, planes, id_col, col,
+                                         max_bucket)
+        return verify_pairs_cosine(cand, ds, threshold, col=col,
+                                   id_col=id_col)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         # zero-copy Arrow child buffer → matrix (no Python list
@@ -957,12 +994,7 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
     # vec ids are int64 so the pair key is a vectorized integer mix,
     # not a per-pair python crc32 loop
     def add_ppk(b: pa.Table) -> pa.Table:
-        a = np.asarray(b.column("a"), dtype=np.int64)
-        bb = np.asarray(b.column("b"), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            h = ((a * np.int64(-7046029254386353131))
-                 ^ (bb * np.int64(0x9E3779B97F4A7C15 - (1 << 64))))
-        pk = ((h >> np.int64(32)) % 32).astype(np.int32)
+        pk = _mix_pair_keys(b.column("a"), b.column("b"), 32)
         return b.append_column("ppk", pa.array(pk))
 
     return (cand.map_batches(add_ppk, batch_format="pyarrow")
@@ -971,3 +1003,249 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
                 lambda g: g.drop_duplicates(["a", "b"])[
                     ["a", "b", "cos_x1000"]]),
                 batch_format="pandas"))
+
+
+def _embedding_lsh_candidates(ds, planes, id_col: str, col: str,
+                              max_bucket: int):
+    """Id-only sign-LSH candidate pairs: the bucket shuffle carries
+    (id, table, bucket, pk) rows — never the embedding payload.
+    Returns Dataset(a, b) with a < b; a pair may surface once per
+    agreeing table (copies share the verify partition key downstream,
+    so the verify group's dedup is free — same contract as
+    ``minhash_candidates(distinct=False)``)."""
+    n_tables = len(planes)
+    n_planes = planes[0].shape[0]
+
+    def bucketize_ids(batch: pa.Table) -> pa.Table:
+        from .ann import vectors_matrix
+
+        E = vectors_matrix(batch.column(col))
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        En = E / norms
+        n = batch.num_rows
+        id_arr = batch.column(id_col).combine_chunks()
+        buckets = np.empty((n_tables, n), dtype=np.int64)
+        for t, P in enumerate(planes):
+            sig = (En @ P.T > 0).astype(np.int64)
+            buckets[t] = (sig * (1 << np.arange(n_planes))).sum(axis=1)
+        tables = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        flat_b = buckets.reshape(-1)
+        pk = (flat_b * n_tables + tables) % _PAIR_PARTITIONS
+        return pa.table({
+            id_col: pa.concat_arrays([id_arr] * n_tables),
+            "table": pa.array(tables.astype(np.int32)),
+            "bucket": pa.array(flat_b, pa.int64()),
+            "pk": pa.array(pk.astype(np.int32)),
+        })
+
+    def cand_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = ["table", "bucket"]
+        sizes = g.groupby(key)[id_col].transform("size")
+        _log_capped(g, sizes, max_bucket, "embedding_near_dup[gather]")
+        g2 = g.loc[(sizes >= 2) & (sizes <= max_bucket)]
+        out_a: list = []
+        out_b: list = []
+        for _, gb in g2.groupby(key, sort=False):
+            ids = gb[id_col].to_numpy(dtype=np.int64)
+            iu = np.triu_indices(len(ids), 1)
+            x, y = ids[iu[0]], ids[iu[1]]
+            out_a.append(np.minimum(x, y))
+            out_b.append(np.maximum(x, y))
+        if out_a:
+            df = pd.DataFrame({"a": np.concatenate(out_a),
+                               "b": np.concatenate(out_b)})
+            # local (in-partition) dedup only: buckets of different
+            # tables land in one pk partition, so same-partition
+            # duplicate pairs collapse here for free
+            return df.drop_duplicates()
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+
+    return (ds.map_batches(bucketize_ids, batch_format="pyarrow")
+            .groupby("pk").map_groups(arrow_clean(cand_part),
+                                      batch_format="pandas"))
+
+
+def verify_pairs_cosine(cand_ds, vec_ds, threshold: float,
+                        col: str = "embedding", id_col: str = "vec_id",
+                        num_partitions: int = _VERIFY_PARTITIONS):
+    """Exact cosine verification of candidate (a, b) pairs with
+    shuffle-side vector gather — the vector twin of
+    :func:`verify_pairs_jaccard` (same 4-step shape, same
+    ``hash_join`` union+groupby semi-join; see that docstring for why
+    not ``Dataset.join``).  Ids must be integers (vec ids).  Each
+    needed vector ships once per verify partition — bounded by
+    2 × pairs, never the corpus.  Output: Dataset(a, b, cos_x1000),
+    globally deduped (every copy of a pair shares its vp)."""
+    sch = vec_ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    id_type = types[id_col]
+    emb_type = types[col]
+
+    # pair ids are tiny (never the corpus); pinning them avoids
+    # recomputing the LSH banding for the two consumers below
+    cand_ds = cand_ds.materialize()
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        vp = _mix_pair_keys(b.column("a"), b.column("b"),
+                            num_partitions)
+        return pa.table({
+            "vp": pa.array(vp),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "a": b.column("a"),
+            "b": b.column("b"),
+            id_col: pa.nulls(n, id_type),
+            col: pa.nulls(n, emb_type),
+        })
+
+    pairs_t = cand_ds.map_batches(tag_pairs, batch_format="pyarrow")
+
+    def need_rows(b: pa.Table) -> pa.Table:
+        vp = _mix_pair_keys(b.column("a"), b.column("b"),
+                            num_partitions).astype(np.int64)
+        ids = np.concatenate([np.asarray(b.column("a"), np.int64),
+                              np.asarray(b.column("b"), np.int64)])
+        vps = np.concatenate([vp, vp])
+        u = np.unique(np.stack([ids, vps], axis=1), axis=0)
+        return pa.table({
+            id_col: pa.array(u[:, 0], id_type),
+            "vp": pa.array(u[:, 1].astype(np.int32)),
+        })
+
+    need = pairs_t.map_batches(need_rows, batch_format="pyarrow")
+
+    # gather = manual union+groupby inner join on id: Acero rejects
+    # list<float> non-key columns ("Data type list<item: float> is
+    # not supported in join non-key field"), so hash_join can't carry
+    # the embedding payload — instead vector rows and need rows meet
+    # in a hash partition and the vectors are replicated per needed
+    # vp with a vectorized searchsorted + take (list columns are fine
+    # through take)
+    from .joins import _jk_for
+
+    def tag_vec_jk(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "jk": _jk_for(b.column(id_col), num_partitions),
+            "vkind": pa.array(np.ones(n, dtype=np.int8)),
+            id_col: b.column(id_col),
+            "vp": pa.nulls(n, pa.int32()),
+            col: b.column(col),
+        })
+
+    def tag_need_jk(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "jk": _jk_for(b.column(id_col), num_partitions),
+            "vkind": pa.array(np.zeros(n, dtype=np.int8)),
+            id_col: b.column(id_col),
+            "vp": b.column("vp"),
+            col: pa.nulls(n, emb_type),
+        })
+
+    def gather_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def _empty_g() -> pa.Table:
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "vp": pa.array([], pa.int32()),
+                col: pa.array([], emb_type),
+            })
+
+        vv = g.filter(pc.equal(g.column("vkind"), 1))
+        nn = g.filter(pc.equal(g.column("vkind"), 0))
+        if vv.num_rows == 0 or nn.num_rows == 0:
+            return _empty_g()
+        vids = np.asarray(vv.column(id_col), dtype=np.int64)
+        order = np.argsort(vids)
+        svid = vids[order]
+        # all copies of a (id, vp) need row share this jk → np.unique
+        # here IS the global need dedup (one shipped vector per
+        # needed verify partition)
+        u = np.unique(np.stack(
+            [np.asarray(nn.column(id_col), np.int64),
+             np.asarray(nn.column("vp"), np.int64)], axis=1), axis=0)
+        pos = np.searchsorted(svid, u[:, 0]).clip(0, len(svid) - 1)
+        ok = svid[pos] == u[:, 0]
+        if not ok.any():
+            return _empty_g()
+        u = u[ok]
+        take_idx = order[pos[ok]]
+        return pa.table({
+            id_col: pa.array(u[:, 0], id_type),
+            "vp": pa.array(u[:, 1].astype(np.int32)),
+            col: vv.column(col).take(pa.array(take_idx, pa.int64())),
+        })
+
+    vecs_needed = (
+        vec_ds.select_columns([id_col, col])
+        .map_batches(tag_vec_jk, batch_format="pyarrow")
+        .union(need.map_batches(tag_need_jk, batch_format="pyarrow"))
+        .groupby("jk")
+        .map_groups(gather_part, batch_format="pyarrow"))
+
+    def tag_vecs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "vp": b.column("vp"),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "a": pa.nulls(n, id_type),
+            "b": pa.nulls(n, id_type),
+            id_col: b.column(id_col),
+            col: b.column(col),
+        })
+
+    vecs_t = vecs_needed.map_batches(tag_vecs, batch_format="pyarrow")
+
+    def _empty() -> pa.Table:
+        return pa.table({
+            "a": pa.array([], id_type),
+            "b": pa.array([], id_type),
+            "cos_x1000": pa.array([], pa.int64()),
+        })
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .ann import vectors_matrix
+
+        dd = g.filter(pc.equal(g.column("kind"), 1))
+        pp = g.filter(pc.equal(g.column("kind"), 0))
+        if pp.num_rows == 0 or dd.num_rows == 0:
+            return _empty()
+        ids = np.asarray(dd.column(id_col), dtype=np.int64)
+        E = vectors_matrix(dd.column(col))
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        En = E / norms
+        # copies of a pair across tables/partitions share this vp →
+        # np.unique here IS the global pair dedup
+        pair = np.unique(np.stack(
+            [np.asarray(pp.column("a"), np.int64),
+             np.asarray(pp.column("b"), np.int64)], axis=1), axis=0)
+        order = np.argsort(ids)
+        sid = ids[order]
+        pa_i = np.searchsorted(sid, pair[:, 0]).clip(0, len(sid) - 1)
+        pb_i = np.searchsorted(sid, pair[:, 1]).clip(0, len(sid) - 1)
+        ok = (sid[pa_i] == pair[:, 0]) & (sid[pb_i] == pair[:, 1])
+        if not ok.any():
+            return _empty()
+        pair = pair[ok]
+        ia, ib = order[pa_i[ok]], order[pb_i[ok]]
+        cos = (En[ia] * En[ib]).sum(axis=1)
+        m = cos >= threshold
+        if not m.any():
+            return _empty()
+        return pa.table({
+            "a": pa.array(pair[m, 0], id_type),
+            "b": pa.array(pair[m, 1], id_type),
+            "cos_x1000": pa.array(
+                np.round(cos[m] * 1000).astype(np.int64), pa.int64()),
+        })
+
+    return (pairs_t.union(vecs_t)
+            .groupby("vp")
+            .map_groups(verify_group, batch_format="pyarrow"))

@@ -117,6 +117,33 @@ def test_embedding_near_dup_planted(ray_session):
     assert (3, 7) in set(zip(out["a"], out["b"]))
 
 
+def test_embedding_near_dup_gather_matches_inbucket(ray_session):
+    """gather=True (id-only LSH shuffle + vector gather to verify
+    partitions) must produce the identical pair set and cos_x1000
+    values as the default in-bucket verify."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    E = rng.randn(120, 64)
+    for src, dst in [(3, 67), (10, 90), (41, 105)]:
+        E[dst] = E[src] + rng.randn(64) * 0.005
+    t = pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    base = dedup.embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    gat = dedup.embedding_near_dup_pairs(ds, threshold=0.95,
+                                         gather=True).to_pandas()
+
+    def key(df):
+        return sorted(zip(df["a"], df["b"], df["cos_x1000"]))
+
+    assert key(base) == key(gat)
+    assert {(3, 67), (10, 90), (41, 105)} <= set(zip(gat["a"], gat["b"]))
+
+
 # ---------------- ANN ------------------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(text.token_count_batch,
                                          batch_format="pyarrow")
 
+    def q_bpe_token_count(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.bpe_token_count_batch,
+                                         batch_format="pyarrow")
+
     def q_char_stats(sf_dir: str):
         return _docs(sf_dir).map_batches(text.char_stats_batch,
                                          batch_format="pyarrow")
@@ -813,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_stats": q_segment_stats,
         "train_prototypes": q_train_prototypes,
         "doc_token_count": q_token_count,
+        "doc_token_count_bpe": q_bpe_token_count,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
@@ -910,6 +915,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
             "FROM documents"
+        ),
+        "doc_token_count_bpe": (
+            # same regex, same leftmost-first scan in RE2 (see
+            # text.BPE_TOKEN_PATTERN - ASCII classes only so the two
+            # engines cannot diverge on unicode categories)
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            "| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens FROM documents"
         ),
         "doc_char_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -26,6 +26,28 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# GPT-2-style pre-tokenizer shape (contractions | space?+letter-run |
+# space?+digit-run | space?+punct-run), restricted to ASCII classes so
+# Python re and DuckDB's RE2 tokenize IDENTICALLY (both engines are
+# leftmost-first; \p{L} would diverge).  Whitespace runs are not
+# tokens — unmatched text is skipped by both scanners.
+BPE_TOKEN_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token count — the training-cost estimator's unit (a
+    whitespace count undercounts code/punctuation-heavy docs 2-3x).
+    SQL twin: ``len(regexp_extract_all(text, <same pattern>))``."""
+    texts = batch.column("text").to_pylist()
+    n = [len(_BPE_RE.findall(t or "")) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pa.array(n, pa.int64()),
+    })
+
+
 # --- character-class stats (quality-score ingredients) --------------------
 _DIGIT = re.compile(r"[0-9]")
 _ALPHA = re.compile(r"[A-Za-z]")

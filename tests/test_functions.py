@@ -23,6 +23,17 @@ def test_token_count_matches_python_split():
     assert out.column("n_tokens").to_pylist() == [3, 0, 0, 1]
 
 
+def test_bpe_token_count_shape():
+    from arabic_ocr_ray.functions.text import _BPE_RE
+
+    # contraction splits, space-prefixed runs, punct runs, ws skipped
+    assert len(_BPE_RE.findall("don't stop!!  x2")) == 6
+    assert [m for m in _BPE_RE.findall("it's fine")] == \
+        ["it", "'s", " fine"]
+    assert len(_BPE_RE.findall("")) == 0
+    assert len(_BPE_RE.findall("   \t\n")) == 0
+
+
 def test_lang_id_rules():
     assert text.lang_id("كتاب جميل") == "ar"
     assert text.lang_id("中文文本") == "zh"

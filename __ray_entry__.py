@@ -776,6 +776,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_id="o_orderkey",
         )
 
+    def q_events_range_join(sf_dir: str):
+        """Interval (range) join: each purchase event opens a 1-hour
+        half-open window [ts, ts+1h); count and id-sum the same user's
+        events inside it (the purchase itself matches its own window,
+        so every purchase appears)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from arabic_ocr_ray.functions.joins import range_join
+
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
+                 columns=["event_id", "user_id", "ts", "event_type"])
+
+        def purchases(b: pa.Table) -> pa.Table:
+            d = b.filter(pc.equal(b.column("event_type"), "purchase"))
+            lo = d.column("ts").cast(pa.int64())
+            return pa.table({
+                "p_id": d.column("event_id"),
+                "p_user": d.column("user_id"),
+                "lo": lo,
+                "hi": pc.add(lo, 3_600_000_000),
+            })
+
+        intervals = ev.map_batches(purchases, batch_format="pyarrow")
+        joined = range_join(
+            ev.select_columns(["event_id", "user_id", "ts"]), intervals,
+            key_left="user_id", key_right="p_user",
+            ts_left="ts", lo_right="lo", hi_right="hi",
+            left_cols=["event_id"], right_cols=["p_id"])
+        out = (joined.groupby("p_id")
+               .aggregate(Count(alias_name="n_follow"),
+                          Sum("event_id", alias_name="sum_follow_id")))
+        return _typed(out, {"p_id": "int64", "n_follow": "int64",
+                            "sum_follow_id": "int64"})
+
     # ---------------- multimodal plumbing -------------------------------
     def q_mm_decode(sf_dir: str):
         """Synthesize real container headers (PNG/WAV/AVI) from the
@@ -850,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": q_customers_without_events,
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
+        "events_range_join": q_events_range_join,
         "mm_decode_meta": q_mm_decode,
         "mm_frame_plan": q_mm_frame_plan,
         "mm_resize_plan": q_mm_resize_plan,
@@ -1254,6 +1290,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events ASOF LEFT JOIN o "
             "ON events.user_id = o.o_custkey "
             "AND o.o_orderdate <= events.ts"
+        ),
+        "events_range_join": (
+            "WITH p AS (SELECT event_id AS p_id, user_id, ts "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT p.p_id, CAST(count(*) AS BIGINT) AS n_follow, "
+            "CAST(sum(e.event_id) AS BIGINT) AS sum_follow_id "
+            "FROM p JOIN events e ON e.user_id = p.user_id "
+            "AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR "
+            "GROUP BY p.p_id"
         ),
         "mm_decode_meta": (
             # SQL twin of payload_table_from_documents' integer field

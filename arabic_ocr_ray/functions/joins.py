@@ -397,6 +397,101 @@ def asof_join(
                         batch_format="pandas"))
 
 
+def range_join(
+    left_ds,
+    right_ds,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    lo_right: str,
+    hi_right: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_partitions: int = _PARTITIONS,
+):
+    """→ Dataset(left_cols..., right_cols...) — interval (range) join:
+    a left point row matches EVERY right interval row with the same
+    key and ``lo <= ts < hi`` (half-open; SQL twin
+    ``ts >= lo AND ts < hi``).  Inner join — unmatched rows drop.
+    ts/lo/hi may be timestamps or ints (compared as int64 µs).
+
+    Shape: the same fixed-partition union+groupby as :func:`asof_join`
+    — both sides tagged with pk = hash(key) % P, ONE vectorized pandas
+    merge+filter per partition (never per key).  Partitioning
+    assumption: intervals-per-key is bounded (a dim-like side) — the
+    in-partition merge materializes |points_k| × |intervals_k| rows
+    per key before the bound filter, so a key with unbounded interval
+    fan-in needs the ts-bucket expansion variant (explode each
+    interval into the buckets it covers, join on (key, bucket)) —
+    the same bucketing trick as asof salting."""
+    right_schema = right_ds.schema()
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+    left_schema = left_ds.schema()
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"_key": b.column(key_left).cast(pa.int64()),
+                "_ts": b.column(ts_left).cast(pa.int64()),
+                "_lo": pa.nulls(n, pa.int64()),
+                "_hi": pa.nulls(n, pa.int64()),
+                "_side": pa.array([0] * n, pa.int8())}
+        for c in left_cols:
+            cols[c] = b.column(c)
+        for c in right_cols:
+            cols[c] = pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"_key": b.column(key_right).cast(pa.int64()),
+                "_ts": pa.nulls(n, pa.int64()),
+                "_lo": b.column(lo_right).cast(pa.int64()),
+                "_hi": b.column(hi_right).cast(pa.int64()),
+                "_side": pa.array([1] * n, pa.int8())}
+        for c in left_cols:
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c in right_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    int_cols = (
+        [c for c in left_cols if pa.types.is_integer(ltypes[c])]
+        + [c for c in right_cols if pa.types.is_integer(rtypes[c])]
+    )
+    out_cols = left_cols + right_cols
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        if lf.empty or rf.empty:
+            m = lf.head(0)[out_cols].copy()
+        else:
+            m = lf[["_key", "_ts"] + left_cols].merge(
+                rf[["_key", "_lo", "_hi"] + right_cols], on="_key")
+            m = m[(m["_ts"] >= m["_lo"])
+                  & (m["_ts"] < m["_hi"])][out_cols].copy()
+        # nullable ints: the union frame floats int columns (nulls on
+        # the other side) — same restore as asof_join
+        for c in int_cols:
+            m[c] = m[c].astype("Int64")
+        return m
+
+    l = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    r = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("_key"), dtype=np.int64)
+        return b.append_column(
+            "pk", pa.array(_key_pk(k, num_partitions)))
+
+    return (l.union(r)
+            .map_batches(add_pk, batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(arrow_clean(merge_part),
+                        batch_format="pandas"))
+
+
 def _value_set(keys) -> pa.Array:
     """Broadcast key collection → Arrow value set for ``pc.is_in``
     (vectorized membership — never a per-row Python ``in`` loop)."""

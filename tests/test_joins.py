@@ -142,3 +142,39 @@ def test_asof_join_matches_bruteforce_random(ray_session):
             else:
                 _, j = max(cand)
                 assert out.loc[i, "val"] == rval[j], (seed, i)
+
+
+def test_range_join_matches_bruteforce_random(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.joins import range_join
+
+    rng = np.random.RandomState(21)
+    n_pts, n_iv = 400, 60
+    pts = pd.DataFrame({
+        "pid": np.arange(n_pts, dtype=np.int64),
+        "k": rng.randint(0, 12, n_pts).astype(np.int64),
+        "t": rng.randint(0, 10_000, n_pts).astype(np.int64),
+    })
+    iv = pd.DataFrame({
+        "iid": np.arange(n_iv, dtype=np.int64) + 1000,
+        "ik": rng.randint(0, 12, n_iv).astype(np.int64),
+        "lo": rng.randint(0, 9_000, n_iv).astype(np.int64),
+    })
+    iv["hi"] = iv["lo"] + rng.randint(1, 2_000, n_iv)
+
+    out = range_join(
+        rd.from_pandas(pts), rd.from_pandas(iv),
+        key_left="k", key_right="ik",
+        ts_left="t", lo_right="lo", hi_right="hi",
+        left_cols=["pid"], right_cols=["iid"],
+        num_partitions=8,
+    ).to_pandas()
+
+    brute = pts.merge(iv, left_on="k", right_on="ik")
+    brute = brute[(brute["t"] >= brute["lo"]) & (brute["t"] < brute["hi"])]
+    expect = set(zip(brute["pid"], brute["iid"]))
+    got = set(zip(out["pid"].astype("int64"), out["iid"].astype("int64")))
+    assert len(expect) > 50  # non-vacuous fixture
+    assert got == expect
+    assert len(out) == len(expect)  # no duplicate emission

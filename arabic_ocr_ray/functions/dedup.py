@@ -896,11 +896,21 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
       PAIRS come back id-only, and vectors are then gathered to
       verify partitions via the same semi-join shape as
       :func:`verify_pairs_jaccard` — each needed vector ships ONCE
-      per verify partition, bounded by 2 × pairs, never
-      ``n_tables`` × corpus.  The 100 TB path: with d-dim float
-      embeddings the default shuffles ``4 × 4d`` bytes per vector;
-      gather shuffles ~24 bytes per vector plus the (tiny) verified
-      pair stream."""
+      per verify partition, bounded by 2 × candidate pairs, never
+      ``n_tables`` × corpus.
+
+    Crossover rule (measured, see BASELINE.md r3): default moves
+    ``n_tables × payload`` bytes per vector; gather moves
+    ``~24 × n_tables`` bytes per vector PLUS ``≤ 2 × payload`` bytes
+    per CANDIDATE pair — so gather wins iff candidate pairs ≪
+    ``n_vectors × n_tables / 2``, i.e. when bucket occupancy is O(1)
+    (``n_planes ≳ log2(n)``) and candidates are dominated by true
+    duplicates.  At dense-bucket geometry the candidate set explodes
+    quadratically per bucket and IN-BUCKET is strictly better: it
+    verifies co-bucketed pairs as one in-place matmul, moving
+    nothing (408k×256-dim gaussians @ 8 planes: in-bucket 40.5 s,
+    gather emitted ~1e9 candidate rows — unusable).  Size
+    ``n_planes`` with the corpus before choosing gather."""
     planes = [np.random.RandomState(0xC05 + t).randn(n_planes, dim)
               for t in range(n_tables)]
 

@@ -811,6 +811,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _typed(out, {"p_id": "int64", "n_follow": "int64",
                             "sum_follow_id": "int64"})
 
+    def q_curate_corpus(sf_dir: str):
+        """Flagship composition: quality gate -> exact dedup ->
+        near-dup removal -> per-lang doc/token stats, one streaming
+        pipeline (pipelines/curate.py; every stage an oracle-verified
+        operator)."""
+        from arabic_ocr_ray.pipelines.curate import curate_corpus
+
+        out = curate_corpus(_docs(sf_dir, cols=("doc_id", "text",
+                                                "lang")))
+        return _typed(out, {"lang": "object", "n_docs": "int64",
+                            "sum_tokens": "int64"})
+
     # ---------------- multimodal plumbing -------------------------------
     def q_mm_decode(sf_dir: str):
         """Synthesize real container headers (PNG/WAV/AVI) from the
@@ -886,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "events_range_join": q_events_range_join,
+        "curate_corpus": q_curate_corpus,
         "mm_decode_meta": q_mm_decode,
         "mm_frame_plan": q_mm_frame_plan,
         "mm_resize_plan": q_mm_resize_plan,
@@ -1290,6 +1303,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM events ASOF LEFT JOIN o "
             "ON events.user_id = o.o_custkey "
             "AND o.o_orderdate <= events.ts"
+        ),
+        "curate_corpus": (
+            # the composed curation pipeline, stage for stage:
+            # gate (ws-token count + digit permille, integer
+            # math), exact dedup (min id per text), near-dup
+            # drop (greater id of every verified >=0.8 trigram-
+            # Jaccard pair; same CTE shape as near_dup_pairs),
+            # per-lang doc/token stats
+            r"WITH base AS (SELECT doc_id, text, lang,"
+            r" CASE WHEN trim(text) = '' THEN 0 ELSE"
+            r" len(regexp_split_to_array(trim(text), '\s+')) END"
+            r" AS n_tokens,"
+            r" CASE WHEN length(text) > 0 THEN"
+            r" (len(regexp_extract_all(text, '[0-9]')) * 1000)"
+            r" // length(text) ELSE 0 END AS digit_pm"
+            r" FROM documents),"
+            r" q AS (SELECT * FROM base WHERE n_tokens >= 5"
+            r" AND digit_pm <= 300),"
+            r" ex AS (SELECT min(doc_id) AS doc_id FROM q"
+            r" GROUP BY text),"
+            r" d AS (SELECT q.* FROM q JOIN ex"
+            r" ON q.doc_id = ex.doc_id),"
+            r" tk AS (SELECT doc_id,"
+            r" regexp_extract_all(lower(text), '\S+') AS toks"
+            r" FROM d),"
+            r" sh AS (SELECT DISTINCT doc_id,"
+            r" toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+            r" AS s FROM tk,"
+            r" unnest(generate_series(1, len(toks) - 2)) AS u(i)),"
+            r" cnt AS (SELECT doc_id, count(*) AS n FROM sh"
+            r" GROUP BY doc_id),"
+            r" inter AS (SELECT a.doc_id AS a, b.doc_id AS b,"
+            r" count(*) AS i FROM sh a JOIN sh b ON a.s = b.s"
+            r" AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+            r" pairs AS (SELECT i.b FROM inter i"
+            r" JOIN cnt ca ON ca.doc_id = i.a"
+            r" JOIN cnt cb ON cb.doc_id = i.b"
+            r" WHERE ca.n >= 5 AND cb.n >= 5"
+            r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)),"
+            r" kept AS (SELECT * FROM d WHERE doc_id NOT IN"
+            r" (SELECT b FROM pairs))"
+            r" SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            r" CAST(sum(n_tokens) AS BIGINT) AS sum_tokens"
+            r" FROM kept GROUP BY lang"
         ),
         "events_range_join": (
             "WITH p AS (SELECT event_id AS p_id, user_id, ts "

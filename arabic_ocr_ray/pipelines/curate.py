@@ -1,0 +1,85 @@
+"""Training-corpus curation — the composed pipeline shape a 100 TB
+text-curation run executes, end to end on one streaming Dataset:
+
+    quality gate → exact dedup → near-dup removal → per-lang stats
+
+Every stage is one of the engine's verified operators; this module
+only composes them (analogous to how the reference's process.py
+composes preprocess → segment → classify, process.py:15-47).
+
+Shuffle inventory (the scale contract):
+  gate            none (map_batches filter)
+  exact dedup     content-hash groupby + one hash semi-join
+  near-dup        LSH banding groupby + shuffle-side Jaccard verify
+                  (verify texts bounded by 2 × pairs) + one hash
+                  anti-join on the drop list
+  final stats     groupby(lang) over a handful of rows per block
+                  (map-side combine by Ray's aggregate)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def curate_corpus(docs_ds, min_tokens: int = 5, max_digit_pm: int = 300,
+                  near_threshold: float = 0.8,
+                  checkpoint_dir: str | None = None):
+    """→ Dataset(lang, n_docs, sum_tokens) after curation.
+
+    Gate: whitespace token count ≥ ``min_tokens`` AND digit permille
+    ≤ ``max_digit_pm`` (integer math — SQL-exact).  Exact dedup keeps
+    the min doc_id per identical text.  Near-dup removal drops the
+    GREATER id of every verified ≥ ``near_threshold`` Jaccard pair —
+    deterministic in both engines given the (oracle-verified) pair
+    set.
+
+    The survivor set feeds TWO consumers (pair mining and the final
+    anti-join), so a streaming engine must either recompute the
+    upstream or checkpoint it.  ``checkpoint_dir`` writes survivors
+    as partitioned parquet and re-reads (the 100 TB path — doubles
+    as the resume boundary); without it the survivors are pinned in
+    the object store (fixture scale).
+    """
+    from ..functions import dedup
+    from ..functions.joins import hash_join
+    from ..functions.text import _DIGIT, _WS_SPLIT
+
+    def gate(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        keep, ntok = [], []
+        for t in texts:
+            t0 = t or ""
+            toks = len(_WS_SPLIT.findall(t0))
+            n = len(t0)
+            dpm = (len(_DIGIT.findall(t0)) * 1000) // n if n else 0
+            keep.append(toks >= min_tokens and dpm <= max_digit_pm)
+            ntok.append(toks)
+        out = b.append_column("n_tokens", pa.array(ntok, pa.int64()))
+        return out.filter(pa.array(keep))
+
+    qd = docs_ds.map_batches(gate, batch_format="pyarrow")
+
+    keep_ids = dedup.dedup_exact(
+        qd, col="text", id_col="doc_id").select_columns(["doc_id"])
+    survivors = hash_join(qd, keep_ids, on="doc_id", how="semi")
+
+    if checkpoint_dir is not None:
+        from ..sources.parquet import read_parquet_clean
+
+        survivors.write_parquet(checkpoint_dir)
+        survivors = read_parquet_clean(checkpoint_dir)
+    else:
+        survivors = survivors.materialize()
+
+    pairs = dedup.near_dup_pairs(survivors, threshold=near_threshold,
+                                 col="text", id_col="doc_id")
+    drop = pairs.select_columns(["b"]).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    kept = hash_join(survivors, drop, on="doc_id", how="anti")
+
+    from ray.data.aggregate import Count, Sum
+
+    return (kept.groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="sum_tokens")))

@@ -460,3 +460,31 @@ def test_simhash_pairs_match_bruteforce_with_caps(ray_session,
                 exp.add((i, j))
                 break
     assert got == exp and len(exp) > 0
+
+
+def test_curate_corpus_pipeline(ray_session):
+    """Composed curation: gate drops short + digit-heavy docs, exact
+    dedup keeps min id, near-dup drops the greater id of a >=0.8
+    trigram-Jaccard pair, stats grouped per lang."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.pipelines.curate import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            base,                  # kept (en, 10 tokens)
+            base + " again",       # near-dup of 1 -> dropped (greater id)
+            base,                  # exact dup of 1 -> dropped
+            "ein zwei drei vier fuenf sechs sieben acht",  # kept (de, 8)
+            "1 2 3 4 5 6",         # digit permille > 300 -> dropped
+            "un deux trois",       # < 5 tokens -> dropped
+        ], pa.string()),
+        "lang": pa.array(["en", "en", "en", "de", "de", "fr"],
+                         pa.string()),
+    })
+    out = curate_corpus(rd.from_arrow(t)).to_pandas()
+    got = {r["lang"]: (int(r["n_docs"]), int(r["sum_tokens"]))
+           for _, r in out.iterrows()}
+    assert got == {"en": (1, 10), "de": (1, 8)}

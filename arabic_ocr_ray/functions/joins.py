@@ -408,6 +408,7 @@ def range_join(
     left_cols: list[str],
     right_cols: list[str],
     num_partitions: int = _PARTITIONS,
+    bucket_us: int | None = None,
 ):
     """→ Dataset(left_cols..., right_cols...) — interval (range) join:
     a left point row matches EVERY right interval row with the same
@@ -420,22 +421,35 @@ def range_join(
     merge+filter per partition (never per key).  Partitioning
     assumption: intervals-per-key is bounded (a dim-like side) — the
     in-partition merge materializes |points_k| × |intervals_k| rows
-    per key before the bound filter, so a key with unbounded interval
-    fan-in needs the ts-bucket expansion variant (explode each
-    interval into the buckets it covers, join on (key, bucket)) —
-    the same bucketing trick as asof salting."""
+    per key before the bound filter.
+
+    ``bucket_us`` is the hot-key escape hatch (the asof-salting
+    analog, IMPLEMENTED): each interval explodes to every ts bucket
+    of width ``bucket_us`` it covers, each point lands in exactly ONE
+    bucket, and the partition key becomes hash(key, bucket) — a hot
+    key's points spread across time, the per-partition merge only
+    pairs a point with intervals overlapping its own bucket, and no
+    match can be emitted twice (one bucket per point).  Interval
+    replication = ceil(span / bucket_us) rows per interval — size
+    ``bucket_us`` near the typical interval span."""
     right_schema = right_ds.schema()
     rtypes = dict(zip(right_schema.names, right_schema.types))
     left_schema = left_ds.schema()
     ltypes = dict(zip(left_schema.names, left_schema.types))
 
+    salted = bucket_us is not None
+
     def tag_left(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        ts = b.column(ts_left).cast(pa.int64())
         cols = {"_key": b.column(key_left).cast(pa.int64()),
-                "_ts": b.column(ts_left).cast(pa.int64()),
+                "_ts": ts,
                 "_lo": pa.nulls(n, pa.int64()),
                 "_hi": pa.nulls(n, pa.int64()),
                 "_side": pa.array([0] * n, pa.int8())}
+        if salted:
+            cols["_bucket"] = pa.array(
+                np.asarray(ts, dtype=np.int64) // bucket_us, pa.int64())
         for c in left_cols:
             cols[c] = b.column(c)
         for c in right_cols:
@@ -444,16 +458,34 @@ def range_join(
 
     def tag_right(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        lo = b.column(lo_right).cast(pa.int64())
+        hi = b.column(hi_right).cast(pa.int64())
         cols = {"_key": b.column(key_right).cast(pa.int64()),
                 "_ts": pa.nulls(n, pa.int64()),
-                "_lo": b.column(lo_right).cast(pa.int64()),
-                "_hi": b.column(hi_right).cast(pa.int64()),
+                "_lo": lo,
+                "_hi": hi,
                 "_side": pa.array([1] * n, pa.int8())}
         for c in left_cols:
             cols[c] = pa.nulls(n, ltypes[c])
         for c in right_cols:
             cols[c] = b.column(c)
-        return pa.table(cols)
+        t = pa.table(cols)
+        if not salted:
+            return t
+        # explode each interval to every covered bucket (vectorized):
+        # bucket floor(lo/B) .. floor((hi-1)/B); empty (lo >= hi)
+        # intervals drop (they can match no half-open point anyway)
+        lo_np = np.asarray(lo, dtype=np.int64)
+        hi_np = np.asarray(hi, dtype=np.int64)
+        b0 = lo_np // bucket_us
+        b1 = np.maximum((hi_np - 1) // bucket_us, b0)
+        reps = np.where(hi_np > lo_np, b1 - b0 + 1, 0)
+        idx = np.repeat(np.arange(n), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) \
+            if len(idx) else np.empty(0, dtype=np.int64)
+        t = t.take(pa.array(idx, pa.int64()))
+        return t.append_column(
+            "_bucket", pa.array(b0[idx] + offs, pa.int64()))
 
     int_cols = (
         [c for c in left_cols if pa.types.is_integer(ltypes[c])]
@@ -461,14 +493,16 @@ def range_join(
     )
     out_cols = left_cols + right_cols
 
+    join_on = ["_key", "_bucket"] if salted else ["_key"]
+
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0]
         rf = g[g["_side"] == 1]
         if lf.empty or rf.empty:
             m = lf.head(0)[out_cols].copy()
         else:
-            m = lf[["_key", "_ts"] + left_cols].merge(
-                rf[["_key", "_lo", "_hi"] + right_cols], on="_key")
+            m = lf[join_on + ["_ts"] + left_cols].merge(
+                rf[join_on + ["_lo", "_hi"] + right_cols], on=join_on)
             m = m[(m["_ts"] >= m["_lo"])
                   & (m["_ts"] < m["_hi"])][out_cols].copy()
         # nullable ints: the union frame floats int columns (nulls on
@@ -482,6 +516,13 @@ def range_join(
 
     def add_pk(b: pa.Table) -> pa.Table:
         k = np.asarray(b.column("_key"), dtype=np.int64)
+        if salted:
+            bk = np.asarray(b.column("_bucket"), dtype=np.int64)
+            h = ((k * np.int64(-7046029254386353131))
+                 ^ (bk * np.int64(-7046029254386353131 ^ -1))
+                 ) >> np.int64(32)
+            return b.append_column(
+                "pk", pa.array((h % num_partitions).astype(np.int32)))
         return b.append_column(
             "pk", pa.array(_key_pk(k, num_partitions)))
 

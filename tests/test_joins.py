@@ -178,3 +178,45 @@ def test_range_join_matches_bruteforce_random(ray_session):
     assert len(expect) > 50  # non-vacuous fixture
     assert got == expect
     assert len(out) == len(expect)  # no duplicate emission
+
+
+def test_range_join_salted_equals_unsalted(ray_session):
+    """bucket_us ts-bucket expansion (hot-key escape hatch) must
+    produce the identical match set — including intervals spanning
+    many buckets and a hot key holding most points."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.joins import range_join
+
+    rng = np.random.RandomState(33)
+    n_pts, n_iv = 600, 40
+    pts = pd.DataFrame({
+        "pid": np.arange(n_pts, dtype=np.int64),
+        "k": np.where(rng.rand(n_pts) < 0.7, 1,
+                      rng.randint(2, 6, n_pts)).astype(np.int64),
+        "t": rng.randint(0, 10_000, n_pts).astype(np.int64),
+    })
+    iv = pd.DataFrame({
+        "iid": np.arange(n_iv, dtype=np.int64) + 1000,
+        "ik": np.where(rng.rand(n_iv) < 0.7, 1,
+                       rng.randint(2, 6, n_iv)).astype(np.int64),
+        "lo": rng.randint(0, 9_000, n_iv).astype(np.int64),
+    })
+    # spans from sub-bucket to many-bucket (bucket width 500 below)
+    iv["hi"] = iv["lo"] + rng.randint(1, 4_000, n_iv)
+
+    kw = dict(key_left="k", key_right="ik", ts_left="t",
+              lo_right="lo", hi_right="hi",
+              left_cols=["pid"], right_cols=["iid"], num_partitions=8)
+    plain = range_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                       **kw).to_pandas()
+    salted = range_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                        bucket_us=500, **kw).to_pandas()
+
+    def key(df):
+        return sorted(zip(df["pid"].astype("int64"),
+                          df["iid"].astype("int64")))
+
+    assert len(key(plain)) > 100  # non-vacuous, hot key exercised
+    assert key(plain) == key(salted)
+    assert len(salted) == len(plain)  # exploded copies never dup-emit

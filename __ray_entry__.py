@@ -971,7 +971,8 @@ def oracle_sql() -> dict[str, str]:
             # engines cannot diverge on unicode categories)
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-            "| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens FROM documents"
+            "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\v]+')) "
+            "AS n_bpe_tokens FROM documents"
         ),
         "doc_char_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -30,9 +30,14 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 # space?+digit-run | space?+punct-run), restricted to ASCII classes so
 # Python re and DuckDB's RE2 tokenize IDENTICALLY (both engines are
 # leftmost-first; \p{L} would diverge).  Whitespace runs are not
-# tokens — unmatched text is skipped by both scanners.
+# tokens — unmatched text is skipped by both scanners.  The whitespace
+# class is EXPLICIT ([ \t\n\r\f\v]), never \s: Python's \s is
+# Unicode-aware (U+00A0 is whitespace) while RE2's is ASCII-only —
+# the hypothesis fuzz (test_bpe_pattern_python_duckdb_equivalence)
+# caught exactly that divergence.  Unicode whitespace therefore
+# counts as a punct-run char in BOTH engines, consistently.
 BPE_TOKEN_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
-                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\v]+")
 _BPE_RE = re.compile(BPE_TOKEN_PATTERN)
 
 

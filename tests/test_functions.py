@@ -488,3 +488,56 @@ def test_curate_corpus_pipeline(ray_session):
     got = {r["lang"]: (int(r["n_docs"]), int(r["sum_tokens"]))
            for _, r in out.iterrows()}
     assert got == {"en": (1, 10), "de": (1, 8)}
+
+
+def test_curate_corpus_checkpoint_dir_equivalent(ray_session, tmp_path):
+    """The parquet checkpoint branch (the 100 TB resume boundary)
+    must produce the same stats as the in-memory pin."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.pipelines.curate import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, base + " again", base,
+                          "ein zwei drei vier fuenf sechs sieben acht"],
+                         pa.string()),
+        "lang": pa.array(["en", "en", "en", "de"], pa.string()),
+    })
+    a = curate_corpus(rd.from_arrow(t)).to_pandas()
+    b = curate_corpus(rd.from_arrow(t),
+                      checkpoint_dir=str(tmp_path / "ckpt")).to_pandas()
+
+    def key(df):
+        return sorted(zip(df["lang"], df["n_docs"], df["sum_tokens"]))
+
+    assert key(a) == key(b)
+    assert (tmp_path / "ckpt").exists()  # survivors actually landed
+
+
+def test_bpe_pattern_python_duckdb_equivalence_fuzz():
+    """The doc_token_count_bpe oracle depends on Python re and DuckDB
+    RE2 scanning BPE_TOKEN_PATTERN identically — fuzz it."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from arabic_ocr_ray.functions.text import _BPE_RE
+
+    con = duckdb.connect()
+    sql_pat = ("'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+               "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\v]+'")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=80))
+    def check(t):
+        py = len(_BPE_RE.findall(t))
+        db = con.execute(
+            "SELECT len(regexp_extract_all(?, " + sql_pat + "))",
+            [t]).fetchone()[0]
+        assert py == db, (t, py, db)
+
+    check()

@@ -961,8 +961,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{fx['triples']}')"
         ),
         "doc_token_count": (
-            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[^ \\t\\n\\r\\f\\v]+')) AS n_tokens "
             "FROM documents"
         ),
         "doc_token_count_bpe": (
@@ -1005,9 +1005,10 @@ def oracle_sql() -> dict[str, str]:
             "(len(regexp_extract_all(text, ' ')) * 1000) // length(text) "
             "ELSE 0 END AS space_permille "
             "FROM (SELECT doc_id, text, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
-            "length(regexp_replace(text, '\\s', '', 'g')) AS tok_chars "
+            "len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) "
+            "AS n_tokens, "
+            "length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]', "
+            "'', 'g')) AS tok_chars "
             "FROM documents)"
         ),
         "doc_fingerprint": (
@@ -1105,7 +1106,8 @@ def oracle_sql() -> dict[str, str]:
             # 0.9998; on this fixture every qualifying pair is found
             # (deterministic seeded hashes, verified).
             r"WITH tk AS ("
-            r" SELECT doc_id, regexp_extract_all(lower(text), '\S+')"
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+')"
             r" AS toks FROM documents"
             r"), sh AS ("
             r" SELECT DISTINCT doc_id,"
@@ -1131,7 +1133,7 @@ def oracle_sql() -> dict[str, str]:
             # doc id (the engine's min-label-propagation fixed point)
             r"WITH RECURSIVE "
             r"tk AS (SELECT doc_id, regexp_extract_all(lower(text), "
-            r"'\S+') AS toks FROM documents), "
+            r"'[^ \t\n\r\f\v]+') AS toks FROM documents), "
             r"sh AS (SELECT DISTINCT doc_id, "
             r"toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s "
             r"FROM tk, unnest(generate_series(1, len(toks) - 2)) AS u(i)), "
@@ -1163,7 +1165,7 @@ def oracle_sql() -> dict[str, str]:
             r"WITH tok AS ("
             r" SELECT doc_id, md5(tok) AS h FROM ("
             r"  SELECT doc_id, unnest(regexp_extract_all(lower(text),"
-            r" '\S+')) AS tok FROM documents)"
+            r" '[^ \t\n\r\f\v]+')) AS tok FROM documents)"
             r"), bitsum AS ("
             r" SELECT t.doc_id, r.b AS b,"
             r" sum(CASE WHEN ((instr('0123456789abcdef',"
@@ -1277,12 +1279,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id"
         ),
         "doc_normalize": (
-            r"SELECT doc_id, trim(regexp_replace(lower(text), '\s+', "
-            r"' ', 'g')) AS norm_text FROM documents"
+            r"SELECT doc_id, trim(regexp_replace(lower(text),"
+            r" '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text"
+            r" FROM documents"
         ),
         "top_tokens": (
             r"SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
-            r"SELECT unnest(regexp_extract_all(lower(text), '\S+')) "
+            r"SELECT unnest(regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+')) "
             r"AS token FROM documents) GROUP BY token "
             r"ORDER BY n DESC, token LIMIT 20"
         ),
@@ -1313,8 +1317,7 @@ def oracle_sql() -> dict[str, str]:
             # Jaccard pair; same CTE shape as near_dup_pairs),
             # per-lang doc/token stats
             r"WITH base AS (SELECT doc_id, text, lang,"
-            r" CASE WHEN trim(text) = '' THEN 0 ELSE"
-            r" len(regexp_split_to_array(trim(text), '\s+')) END"
+            r" len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))"
             r" AS n_tokens,"
             r" CASE WHEN length(text) > 0 THEN"
             r" (len(regexp_extract_all(text, '[0-9]')) * 1000)"
@@ -1327,7 +1330,8 @@ def oracle_sql() -> dict[str, str]:
             r" d AS (SELECT q.* FROM q JOIN ex"
             r" ON q.doc_id = ex.doc_id),"
             r" tk AS (SELECT doc_id,"
-            r" regexp_extract_all(lower(text), '\S+') AS toks"
+            r" regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+') AS toks"
             r" FROM d),"
             r" sh AS (SELECT DISTINCT doc_id,"
             r" toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"

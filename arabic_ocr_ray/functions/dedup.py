@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from .arrowout import arrow_clean
 
-_TOKEN_RE = re.compile(r"\S+")
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")  # explicit ASCII ws class — matches the RE2 oracles (see text.py)
 
 # --- exact dedup ----------------------------------------------------------
 

@@ -13,8 +13,12 @@ import re
 import pyarrow as pa
 
 # --- token counting -------------------------------------------------------
-# Python's str.split() semantics (any whitespace run, no empty tokens).
-_WS_SPLIT = re.compile(r"\S+")
+# Token = run of non-whitespace, with an EXPLICIT ASCII whitespace
+# class (never \s / str.split(): Python whitespace is unicode-aware —
+# U+0085, U+00A0 — while the DuckDB-RE2 oracles are ASCII-only; the
+# hypothesis twin fuzz caught the divergence).  Unicode whitespace is
+# a token character in BOTH engines, consistently.
+_WS_SPLIT = re.compile(r"[^ \t\n\r\f\v]+")
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
@@ -89,8 +93,10 @@ STOPWORDS = {
     "fr": ("le", "la", "les", "et", "est", "que", "pour", "dans", "un", "une"),
 }
 _LANG_ORDER = ("en", "de", "es", "fr")
+# re.ASCII: \b must mean the ASCII word boundary RE2 uses — unicode
+# \b treats e.g. '¹' as a word char and diverges from the SQL twins
 _STOP_RE = {
-    lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b")
+    lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b", re.ASCII)
     for lang, ws in STOPWORDS.items()
 }
 _ARABIC_RE = re.compile(r"[؀-ۿ]")
@@ -168,7 +174,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-_WS_RUN = re.compile(r"\s+")
+_WS_RUN = re.compile(r"[ \t\n\r\f\v]+")  # ASCII-only, see _WS_SPLIT
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:
@@ -177,7 +183,8 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     analog (integrator.py:8-9) as a corpus-wide operator; SQL twin:
     ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
     texts = batch.column("text").to_pylist()
-    out = [_WS_RUN.sub(" ", (t or "").lower()).strip() for t in texts]
+    out = [_WS_RUN.sub(" ", (t or "").lower()).strip(" ")
+           for t in texts]
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "norm_text": pa.array(out, pa.string()),

@@ -541,3 +541,41 @@ def test_bpe_pattern_python_duckdb_equivalence_fuzz():
         assert py == db, (t, py, db)
 
     check()
+
+
+def test_text_twins_python_duckdb_equivalence_fuzz():
+    """Every python↔SQL text-twin must agree on arbitrary unicode —
+    the whitespace (\\s is unicode-aware in Python, ASCII in RE2) and
+    word-boundary (\\b) divergences were real bugs caught here."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from arabic_ocr_ray.functions import dedup as D
+    from arabic_ocr_ray.functions import text as T
+
+    con = duckdb.connect()
+    stop_sql = r"\b(?:" + "|".join(T.STOPWORDS["en"]) + r")\b"
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                   max_size=60))
+    def check(t):
+        # whitespace token count (doc_token_count / quality / curate)
+        assert len(T._WS_SPLIT.findall(t)) == con.execute(
+            r"SELECT len(regexp_extract_all(?, '[^ \t\n\r\f\v]+'))",
+            [t]).fetchone()[0]
+        # dedup token split (near_dup / simhash / top_tokens oracles)
+        assert D._TOKEN_RE.findall(t.lower()) == con.execute(
+            r"SELECT regexp_extract_all(lower(?), '[^ \t\n\r\f\v]+')",
+            [t]).fetchone()[0]
+        # normalization (doc_normalize oracle)
+        assert T._WS_RUN.sub(" ", t.lower()).strip(" ") == con.execute(
+            r"SELECT trim(regexp_replace(lower(?), '[ \t\n\r\f\v]+',"
+            r" ' ', 'g'), ' ')", [t]).fetchone()[0]
+        # stopword \b hits (lang_id / quality oracles; re.ASCII side)
+        assert len(T._STOP_RE["en"].findall(t.lower())) == con.execute(
+            "SELECT len(regexp_extract_all(lower(?), ?))",
+            [t, stop_sql]).fetchone()[0]
+
+    check()

@@ -577,5 +577,12 @@ def test_text_twins_python_duckdb_equivalence_fuzz():
         assert len(T._STOP_RE["en"].findall(t.lower())) == con.execute(
             "SELECT len(regexp_extract_all(lower(?), ?))",
             [t, stop_sql]).fetchone()[0]
+        # rolling-hash fingerprint (code-point stream, Horner fold)
+        assert T.fingerprint(t) == con.execute(
+            "SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+            "list_transform(range(1, length(?)+1), "
+            "i -> CAST(unicode(substr(?, i, 1)) AS HUGEINT))), "
+            "(acc, b) -> (acc * 1000003 + b) % 2305843009213693951"
+            ") AS BIGINT)", [t, t]).fetchone()[0]
 
     check()

@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(text.bpe_token_count_batch,
                                          batch_format="pyarrow")
 
+    def q_dup_lines(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.dup_line_stats_batch,
+                                         batch_format="pyarrow")
+
     def q_char_stats(sf_dir: str):
         return _docs(sf_dir).map_batches(text.char_stats_batch,
                                          batch_format="pyarrow")
@@ -865,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_prototypes": q_train_prototypes,
         "doc_token_count": q_token_count,
         "doc_token_count_bpe": q_bpe_token_count,
+        "doc_dup_lines": q_dup_lines,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
@@ -973,6 +978,17 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
             "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\v]+')) "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "doc_dup_lines": (
+            "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+            "CAST(CASE WHEN n_lines > 0 THEN "
+            "((n_lines - n_uniq) * 1000) // n_lines ELSE 0 END "
+            "AS BIGINT) AS dup_line_permille FROM ("
+            "SELECT doc_id, "
+            "len(list_filter(string_split(text, chr(10)), "
+            "x -> x != '')) AS n_lines, "
+            "len(list_distinct(list_filter(string_split(text, "
+            "chr(10)), x -> x != ''))) AS n_uniq FROM documents)"
         ),
         "doc_char_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -227,3 +227,23 @@ def replace_composites(text: str) -> str:
     from ..html.tokenizer import COMPOSITE, COMPOSITE_SENTINEL
 
     return text.replace(COMPOSITE_SENTINEL, COMPOSITE)
+
+
+def dup_line_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signal: share of non-empty line
+    occurrences that duplicate an earlier line (integer permille).
+    Lines split on '\\n' exactly; SQL twin uses string_split +
+    list_distinct over the same contract."""
+    texts = batch.column("text").to_pylist()
+    n_lines_out, dup_pm = [], []
+    for t in texts:
+        lines = [ln for ln in (t or "").split("\n") if ln != ""]
+        n = len(lines)
+        dup = n - len(set(lines))
+        n_lines_out.append(n)
+        dup_pm.append((dup * 1000) // n if n else 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines_out, pa.int64()),
+        "dup_line_permille": pa.array(dup_pm, pa.int64()),
+    })

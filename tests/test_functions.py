@@ -577,6 +577,14 @@ def test_text_twins_python_duckdb_equivalence_fuzz():
         assert len(T._STOP_RE["en"].findall(t.lower())) == con.execute(
             "SELECT len(regexp_extract_all(lower(?), ?))",
             [t, stop_sql]).fetchone()[0]
+        # duplicate-line stats (doc_dup_lines oracle)
+        lines = [ln for ln in t.split("\n") if ln != ""]
+        got = con.execute(
+            "SELECT len(list_filter(string_split(?, chr(10)), "
+            "x -> x != '')), len(list_distinct(list_filter("
+            "string_split(?, chr(10)), x -> x != '')))",
+            [t, t]).fetchone()
+        assert (len(lines), len(set(lines))) == tuple(got)
         # rolling-hash fingerprint (code-point stream, Horner fold)
         assert T.fingerprint(t) == con.execute(
             "SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "

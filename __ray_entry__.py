@@ -266,6 +266,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(text.dup_line_stats_batch,
                                          batch_format="pyarrow")
 
+    def q_line_filter(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.line_filter_batch,
+                                         batch_format="pyarrow")
+
+    def q_bigram_repetition(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.bigram_repetition_batch,
+                                         batch_format="pyarrow")
+
+    def q_tfidf_top_terms(sf_dir: str):
+        return text.tfidf_top_terms(_docs(sf_dir), k=3)
+
     def q_char_stats(sf_dir: str):
         return _docs(sf_dir).map_batches(text.char_stats_batch,
                                          batch_format="pyarrow")
@@ -870,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": q_token_count,
         "doc_token_count_bpe": q_bpe_token_count,
         "doc_dup_lines": q_dup_lines,
+        "doc_line_filter": q_line_filter,
+        "doc_bigram_repetition": q_bigram_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
@@ -989,6 +1003,53 @@ def oracle_sql() -> dict[str, str]:
             "x -> x != '')) AS n_lines, "
             "len(list_distinct(list_filter(string_split(text, "
             "chr(10)), x -> x != ''))) AS n_uniq FROM documents)"
+        ),
+        "doc_line_filter": (
+            "SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+            "CAST(len(ks) AS BIGINT) AS n_kept, "
+            "coalesce(array_to_string(ks, chr(10)), '') AS clean_text "
+            "FROM (SELECT doc_id, ls, list_filter(ls, x -> "
+            "regexp_matches(x, '[.!?\"]$') AND "
+            "len(regexp_extract_all(x, '[^ \\t\\n\\r\\f\\v]+')) >= 3) "
+            "AS ks FROM (SELECT doc_id, "
+            "list_filter(string_split(text, chr(10)), x -> x != '') "
+            "AS ls FROM documents))"
+        ),
+        "doc_bigram_repetition": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS w "
+            "FROM documents), "
+            "pairs AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg "
+            "FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i) "
+            "WHERE len(w) >= 2), "
+            "counts AS (SELECT doc_id, bg, count(*) AS c "
+            "FROM pairs GROUP BY doc_id, bg), "
+            "top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total "
+            "FROM counts GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(top_c, 0) AS BIGINT) AS top_bigram_count, "
+            "CAST(coalesce((top_c * 1000) // total, 0) AS BIGINT) "
+            "AS top_bigram_permille "
+            "FROM documents d LEFT JOIN top USING (doc_id)"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf "
+            "FROM toks GROUP BY doc_id, token), "
+            "df AS (SELECT token, count(*) AS df "
+            "FROM tf GROUP BY token), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT doc_id, token, "
+            "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
+            "CAST((CAST(tf AS HUGEINT) * 1000 * n) // df AS BIGINT) "
+            "AS score_x1000 FROM tf JOIN df USING (token), n) "
+            "SELECT doc_id, token, tf, df, score_x1000, "
+            "CAST(rk AS BIGINT) AS rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_x1000 DESC, token ASC) AS rk "
+            "FROM scored) WHERE rk <= 3"
         ),
         "doc_char_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

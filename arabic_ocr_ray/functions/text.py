@@ -222,11 +222,130 @@ def top_tokens(ds, k: int = 20):
     return topk(counts, "n", k, descending=True, tie_cols=("token",))
 
 
+def term_count_partials(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, token, tf) rows.  Each input row is one WHOLE
+    document, so per-doc term frequencies are complete in-batch —
+    no shuffle needed for the tf side of tf-idf."""
+    from collections import Counter
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_tok, out_tf = [], [], []
+    for i, t in zip(ids, texts):
+        c = Counter(_WORD_RE.findall((t or "").lower()))
+        for tok in sorted(c):
+            out_id.append(i)
+            out_tok.append(tok)
+            out_tf.append(c[tok])
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "token": pa.array(out_tok, pa.string()),
+        "tf": pa.array(out_tf, pa.int64()),
+    })
+
+
+def tfidf_top_terms(ds, k: int = 3, num_partitions: int = 32):
+    """Distributed TF-IDF top-k terms per document.
+
+    Shuffle inventory (the 100 TB shape):
+      1. tf: map-side only — one row per (doc, token), complete
+         in-batch because a row is a whole document.
+      2. df: ``groupby(token).count()`` over those rows (they are
+         already distinct per (doc, token)) — one token-keyed shuffle
+         of (token, 1)-weight rows.
+      3. tf ⋈ df: token-hash partitioned ``hash_join`` — the df side
+         is vocabulary-sized and skew-prone (stopword tokens), so it
+         travels as a shuffled column, never a driver broadcast.
+      4. per-doc top-k: ``grouped_topk`` (map-side heads, doc-keyed
+         shuffle of ≤ blocks × k rows — no global sort).
+
+    Integer-exact score: ``score_x1000 = tf * 1000 * N // df``
+    (idf ∝ N/df; the log-free variant keeps the oracle exact —
+    HUGEINT intermediate in the SQL twin, python int here)."""
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+    from .topk import grouped_topk
+
+    n_docs = ds.count()
+    tf = ds.map_batches(term_count_partials, batch_format="pyarrow")
+    df = (tf.select_columns(["token"])
+          .groupby("token").aggregate(Count(alias_name="df")))
+    joined = hash_join(tf, df, on="token", how="inner",
+                       num_partitions=num_partitions)
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_pylist()
+        dfv = b.column("df").to_pylist()
+        s = [(t * 1000 * n_docs) // d for t, d in zip(tfv, dfv)]
+        return b.append_column("score_x1000", pa.array(s, pa.int64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, ["doc_id"], "score_x1000", k,
+                        descending=True, tie_cols=("token",),
+                        num_partitions=num_partitions)
+
+
 def replace_composites(text: str) -> str:
     """X2 analog surface (integrator.py:39-43): sentinel → composite."""
     from ..html.tokenizer import COMPOSITE, COMPOSITE_SENTINEL
 
     return text.replace(COMPOSITE_SENTINEL, COMPOSITE)
+
+
+_TERMINAL_RE = re.compile(r'[.!?"]$')
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def line_filter_batch(batch: pa.Table) -> pa.Table:
+    """C4-style line filter: keep non-empty lines that end in terminal
+    punctuation (. ! ? \") AND have >= 3 whitespace tokens; emit the
+    cleaned text (kept lines rejoined with '\\n') plus counts.  Exact
+    SQL twin: string_split + list_filter(regexp_matches ... AND
+    len(regexp_extract_all ...) >= 3) + array_to_string."""
+    texts = batch.column("text").to_pylist()
+    n_lines_out, n_kept_out, clean = [], [], []
+    for t in texts:
+        lines = [ln for ln in (t or "").split("\n") if ln != ""]
+        kept = [ln for ln in lines
+                if _TERMINAL_RE.search(ln)
+                and len(_WS_SPLIT.findall(ln)) >= 3]
+        n_lines_out.append(len(lines))
+        n_kept_out.append(len(kept))
+        clean.append("\n".join(kept))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines_out, pa.int64()),
+        "n_kept": pa.array(n_kept_out, pa.int64()),
+        "clean_text": pa.array(clean, pa.string()),
+    })
+
+
+def bigram_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signal #2: count of the most frequent
+    word 2-gram and its share of all bigram occurrences (permille).
+    Words = lowercase [a-z0-9]+ runs; total bigrams = n_words - 1.
+    SQL twin: lateral UNNEST(generate_series) over the word list."""
+    from collections import Counter
+
+    texts = batch.column("text").to_pylist()
+    top_out, pm_out = [], []
+    for t in texts:
+        w = _WORD_RE.findall((t or "").lower())
+        if len(w) >= 2:
+            c = Counter(zip(w, w[1:]))
+            top = max(c.values())
+            total = len(w) - 1
+            top_out.append(top)
+            pm_out.append((top * 1000) // total)
+        else:
+            top_out.append(0)
+            pm_out.append(0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "top_bigram_count": pa.array(top_out, pa.int64()),
+        "top_bigram_permille": pa.array(pm_out, pa.int64()),
+    })
 
 
 def dup_line_stats_batch(batch: pa.Table) -> pa.Table:

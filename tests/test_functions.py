@@ -341,6 +341,36 @@ def test_normalize_and_top_tokens(ray_session):
     assert list(out["n"]) == [3, 2]
 
 
+def test_tfidf_top_terms_matches_bruteforce(ray_session):
+    """Distributed tf-idf (map tf → token-shuffled df → token-hash
+    join → per-doc grouped top-k) equals the single-process fold."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    texts = ["the cat sat on the mat", "the dog ate the cat food",
+             "quantum flux capacitor", "", "cat cat cat"]
+    docs = _docs_table(texts)
+    out = (text.tfidf_top_terms(rd.from_arrow(docs), k=2).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+    n_docs = len(texts)
+    tf = {i: Counter(text._WORD_RE.findall(t.lower()))
+          for i, t in enumerate(texts)}
+    df = Counter(tok for c in tf.values() for tok in c)
+    expected = []
+    for i, c in tf.items():
+        scored = sorted(
+            (((t_ * 1000 * n_docs) // df[tok], tok)
+             for tok, t_ in c.items()),
+            key=lambda s: (-s[0], s[1]))[:2]
+        for rk, (s, tok) in enumerate(scored, 1):
+            expected.append((i, tok, s, rk))
+    got = list(zip(out["doc_id"], out["token"],
+                   out["score_x1000"], out["rank"]))
+    assert got == expected
+
+
 def test_knn_ivf_exact_at_small_scale(ray_session):
     """Adaptive nprobe: a table that fits the centroid sample probes
     every cell → IVF result is EXACTLY brute force (same tie rules)."""
@@ -585,6 +615,35 @@ def test_text_twins_python_duckdb_equivalence_fuzz():
             "string_split(?, chr(10)), x -> x != '')))",
             [t, t]).fetchone()
         assert (len(lines), len(set(lines))) == tuple(got)
+        # C4 line filter (doc_line_filter oracle): kept-line list and
+        # rejoined clean text must match the SQL list_filter twin
+        kept = [ln for ln in lines
+                if T._TERMINAL_RE.search(ln)
+                and len(T._WS_SPLIT.findall(ln)) >= 3]
+        got_lf = con.execute(
+            "SELECT len(ks), coalesce(array_to_string(ks, chr(10)), '') "
+            "FROM (SELECT list_filter(list_filter(string_split(?, "
+            "chr(10)), x -> x != ''), x -> "
+            "regexp_matches(x, '[.!?\"]$') AND "
+            r"len(regexp_extract_all(x, '[^ \t\n\r\f\v]+')) >= 3) "
+            "AS ks)", [t]).fetchone()
+        assert (len(kept), "\n".join(kept)) == tuple(got_lf)
+        # top-bigram repetition (doc_bigram_repetition oracle)
+        w = T._WORD_RE.findall(t.lower())
+        if len(w) >= 2:
+            from collections import Counter
+            exp_top = max(Counter(zip(w, w[1:])).values())
+        else:
+            exp_top = 0
+        got_bg = con.execute(
+            "WITH toks AS (SELECT regexp_extract_all(lower(?), "
+            "'[a-z0-9]+') AS w), "
+            "pairs AS (SELECT w[i] || ' ' || w[i+1] AS bg FROM toks, "
+            "UNNEST(generate_series(1, len(w)-1)) AS s(i) "
+            "WHERE len(w) >= 2) "
+            "SELECT coalesce(max(c), 0) FROM (SELECT bg, count(*) AS c "
+            "FROM pairs GROUP BY bg)", [t]).fetchone()[0]
+        assert exp_top == got_bg, (t, exp_top, got_bg)
         # rolling-hash fingerprint (code-point stream, Horner fold)
         assert T.fingerprint(t) == con.execute(
             "SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "

@@ -277,6 +277,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_tfidf_top_terms(sf_dir: str):
         return text.tfidf_top_terms(_docs(sf_dir), k=3)
 
+    def q_source_stats(sf_dir: str):
+        """Per-source curation stats with an EXACT distinct-lang
+        count: two-level groupby — (source, lang) partial counts
+        shuffle once on the pair, then a tiny per-source rollup where
+        Count(rows) IS the distinct-lang count.  The first level is
+        the pre-aggregation that keeps the wide shuffle bounded by
+        |source × lang|, never raw docs."""
+        import pyarrow as pa
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["source", "lang", "n_chars"])
+        per_sl = (docs.groupby(["source", "lang"], num_partitions=8)
+                  .aggregate(Count(alias_name="n_docs"),
+                             Sum("n_chars", alias_name="sum_chars")))
+        rolled = (per_sl.groupby("source", num_partitions=8)
+                  .aggregate(Sum("n_docs", alias_name="n_docs"),
+                             Sum("sum_chars", alias_name="sum_chars"),
+                             Count(alias_name="n_langs")))
+
+        def cast_i64(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": b.column("source"),
+                "n_docs": b.column("n_docs").cast(pa.int64()),
+                "sum_chars": b.column("sum_chars").cast(pa.int64()),
+                "n_langs": b.column("n_langs").cast(pa.int64()),
+            })
+
+        return rolled.map_batches(cast_i64, batch_format="pyarrow")
+
+    def q_source_cap(sf_dir: str):
+        """Per-source frequency cap (the CommonCrawl-style per-domain
+        cap): keep the 10 lowest-doc_id docs per source via
+        grouped_topk — map-side heads, then a source-keyed shuffle of
+        <= blocks x sources x 10 partial rows.  No global sort."""
+        from arabic_ocr_ray.functions.topk import grouped_topk
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "source"])
+        return grouped_topk(docs, ["source"], "doc_id", 10,
+                            descending=False)
+
     def q_char_stats(sf_dir: str):
         return _docs(sf_dir).map_batches(text.char_stats_batch,
                                          batch_format="pyarrow")
@@ -884,6 +925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_filter": q_line_filter,
         "doc_bigram_repetition": q_bigram_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "source_stats": q_source_stats,
+        "source_cap": q_source_cap,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
@@ -1050,6 +1093,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score_x1000 DESC, token ASC) AS rk "
             "FROM scored) WHERE rk <= 3"
+        ),
+        "source_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+            "FROM documents GROUP BY source"
+        ),
+        "source_cap": (
+            "SELECT doc_id, source, CAST(rk AS BIGINT) AS rank FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS rk "
+            "FROM documents) WHERE rk <= 10"
         ),
         "doc_char_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

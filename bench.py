@@ -208,6 +208,14 @@ def main() -> None:
                     window_us=3600 * 1_000_000).count()
     queries["preceding"] = round(time.monotonic() - t0, 3)
 
+    from arabic_ocr_ray.functions import text as textfn
+
+    t0 = time.monotonic()
+    textfn.tfidf_top_terms(
+        _rp(os.path.join(SF_DIR, "documents.parquet"),
+            columns=["doc_id", "text"]), k=3).count()
+    queries["tfidf"] = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod

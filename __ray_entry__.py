@@ -306,6 +306,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolled.map_batches(cast_i64, batch_format="pyarrow")
 
+    def q_length_outliers(sf_dir: str):
+        """Corpus-level percentile gate (curation outlier removal):
+        docs whose n_chars exceeds the EXACT global p95.  The
+        threshold comes from windows.global_quantile_exact — a
+        value-counts histogram groupby (moved data bounded by
+        |distinct lengths|, never rows), lerped driver-side; the gate
+        itself is a streaming vectorized filter."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from arabic_ocr_ray.functions.windows import (
+            global_quantile_exact,
+        )
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "n_chars"])
+        thr = global_quantile_exact(
+            docs.select_columns(["n_chars"]), "n_chars", 0.95)
+
+        def gate(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(b.column("n_chars"),
+                                       pa.scalar(thr, pa.float64())))
+
+        return docs.map_batches(gate, batch_format="pyarrow")
+
     def q_source_cap(sf_dir: str):
         """Per-source frequency cap (the CommonCrawl-style per-domain
         cap): keep the 10 lowest-doc_id docs per source via
@@ -927,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "source_stats": q_source_stats,
         "source_cap": q_source_cap,
+        "length_outliers": q_length_outliers,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
@@ -1099,6 +1125,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
             "FROM documents GROUP BY source"
+        ),
+        "length_outliers": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
+            "(SELECT quantile_cont(n_chars, 0.95) FROM documents)"
         ),
         "source_cap": (
             "SELECT doc_id, source, CAST(rk AS BIGINT) AS rank FROM ("

@@ -393,3 +393,33 @@ def tumbling_window(events_ds, size_us: int, value_col: str = "value"):
             .groupby(["user_id", "window_id"])
             .aggregate(Count(alias_name="n_events"),
                        Sum(value_col, alias_name="sum_value")))
+
+
+def global_quantile_exact(ds, value_col: str, q: float) -> float:
+    """Exact GLOBAL continuous quantile with NO global sort: the
+    value-counts histogram shape.  One ``groupby(value).count()``
+    shuffle bounds the data moved by |distinct values| — for the
+    curation gates this feeds (doc lengths, token counts) that domain
+    is a small integer set at ANY corpus size, so the sorted-histogram
+    lerp runs driver-side on a tiny table while the 100 TB of rows
+    stay distributed.  DuckDB ``quantile_cont``-compatible: identical
+    two-sided lerp as :func:`grouped_quantile` (pos = (n−1)·q,
+    ``v[lo]·(1−frac) + v[hi]·frac``)."""
+    from ray.data.aggregate import Count
+
+    vc = (ds.groupby(value_col).aggregate(Count(alias_name="_n"))
+          .to_pandas())
+    if not len(vc):
+        return float("nan")
+    vc = vc.sort_values(value_col).reset_index(drop=True)
+    vals = vc[value_col].to_numpy().astype(np.float64)
+    cnt = vc["_n"].to_numpy().astype(np.int64)
+    n = int(cnt.sum())
+    pos = (n - 1) * q
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    hi = min(lo + 1, n - 1)
+    cum = np.cumsum(cnt)
+    v_lo = vals[int(np.searchsorted(cum, lo + 1))]
+    v_hi = vals[int(np.searchsorted(cum, hi + 1))]
+    return float(v_lo * (1.0 - frac) + v_hi * frac)

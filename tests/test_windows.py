@@ -156,3 +156,25 @@ def test_grouped_quantile_duckdb_formula(ray_session):
     assert out.loc[1, "quantile"] == 2.0
     # user 2: pos=0.25 → 10*(1-.25) + 20*.25 = 12.5
     assert out.loc[2, "quantile"] == 12.5
+
+
+def test_global_quantile_exact_matches_duckdb(ray_session):
+    """Histogram-shape global quantile must be BIT-equal to DuckDB
+    quantile_cont on duplicate-heavy integer data at several q."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.windows import global_quantile_exact
+
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 40, size=501).astype("int64")  # heavy dups
+    t = pa.table({"n_chars": pa.array(vals, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ds = rd.from_arrow(t)
+    for q in (0.0, 0.25, 0.5, 0.9, 0.95, 1.0):
+        got = global_quantile_exact(ds, "n_chars", q)
+        exp = con.execute(
+            "SELECT quantile_cont(n_chars, ?) FROM t", [q]).fetchone()[0]
+        assert got == exp, (q, got, exp)

@@ -306,6 +306,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolled.map_batches(cast_i64, batch_format="pyarrow")
 
+    def q_lang_stratified_sample(sf_dir: str):
+        """Stratified per-stratum sampling: exactly 20 docs per lang,
+        chosen by deterministic md5 order — balanced across strata
+        (a global hash sample under-represents small langs) and
+        reproducible across runs, layouts and resume boundaries.
+        Under the hood it is grouped_topk ascending on the hash:
+        map-side heads, then a lang-keyed shuffle of <= blocks x
+        langs x 20 rows."""
+        import hashlib
+
+        import pyarrow as pa
+
+        from arabic_ocr_ray.functions.topk import grouped_topk
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "lang"])
+
+        def add_h(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            h = [hashlib.md5(str(i).encode()).hexdigest()
+                 for i in ids]
+            return b.append_column("h", pa.array(h, pa.string()))
+
+        return grouped_topk(docs.map_batches(add_h,
+                                             batch_format="pyarrow"),
+                            ["lang"], "h", 20, descending=False,
+                            tie_cols=("doc_id",))
+
     def q_length_outliers(sf_dir: str):
         """Corpus-level percentile gate (curation outlier removal):
         docs whose n_chars exceeds the EXACT global p95.  The
@@ -953,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q_source_stats,
         "source_cap": q_source_cap,
         "length_outliers": q_length_outliers,
+        "lang_stratified_sample": q_lang_stratified_sample,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
@@ -1125,6 +1154,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
             "FROM documents GROUP BY source"
+        ),
+        "lang_stratified_sample": (
+            "SELECT doc_id, lang, h, CAST(rk AS BIGINT) AS rank FROM ("
+            "SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM documents) WHERE rk <= 20"
         ),
         "length_outliers": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "

@@ -847,6 +847,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return anti.groupby("c_mktsegment").aggregate(
             Count(alias_name="n_customers"))
 
+    def q_customers_without_events_bloom(sf_dir: str):
+        """Same anti join via the Bloom prefilter scale path
+        (functions/bloom.py): the right side's keys collapse to a
+        FIXED-SIZE bitmap broadcast (128 KiB at m=2^20, any key
+        count); Bloom misses stream to the output with ZERO shuffle
+        and only possible hits (true matches + a few-permille FP
+        band) pay the exact shuffled anti join.  Parity-tested and
+        sharing the exact path's oracle."""
+        from arabic_ocr_ray.functions.bloom import anti_join_bloom
+
+        ev_users = _rp(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id"])
+        cust = _rp(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"])
+        anti = anti_join_bloom(cust, ev_users, on="c_custkey",
+                               right_on="user_id",
+                               num_partitions=32)
+        return anti.groupby("c_mktsegment").aggregate(
+            Count(alias_name="n_customers"))
+
     def q_orders_asof_event(sf_dir: str):
         from arabic_ocr_ray.functions.joins import asof_join
 
@@ -1012,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
         "customers_without_events": q_customers_without_events,
+        "customers_without_events_bloom": q_customers_without_events_bloom,
         "orders_asof_event": q_orders_asof_event,
         "events_asof_order": q_events_asof_order,
         "events_range_join": q_events_range_join,
@@ -1493,6 +1516,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'"
         ),
         "customers_without_events": (
+            "SELECT c_mktsegment, count(*) AS n_customers "
+            "FROM customer WHERE c_custkey NOT IN "
+            "(SELECT user_id FROM events) GROUP BY c_mktsegment"
+        ),
+        "customers_without_events_bloom": (
             "SELECT c_mktsegment, count(*) AS n_customers "
             "FROM customer WHERE c_custkey NOT IN "
             "(SELECT user_id FROM events) GROUP BY c_mktsegment"

@@ -220,3 +220,51 @@ def test_range_join_salted_equals_unsalted(ray_session):
     assert len(key(plain)) > 100  # non-vacuous, hot key exercised
     assert key(plain) == key(salted)
     assert len(salted) == len(plain)  # exploded copies never dup-emit
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from arabic_ocr_ray.functions import bloom
+
+    import ray.data as rd
+
+    keys = [f"k{i}" for i in range(2000)]
+    t = pa.table({"k": pa.array(keys, pa.string())})
+    bm = bloom.build_bloom(rd.from_arrow(t), "k", num_bits=1 << 16)
+    # no false negatives, ever
+    assert bloom.bloom_contains(bm, keys).all()
+    # FP rate on disjoint probes stays near the theoretical bound
+    # (m=65536, n=2000, k=4 → ~0.04%)
+    probes = [f"absent{i}" for i in range(5000)]
+    fp = bloom.bloom_contains(bm, probes).sum()
+    assert fp <= 25, fp
+    # deterministic: rebuild from a different block layout
+    bm2 = bloom.build_bloom(
+        rd.from_arrow(t).repartition(7), "k", num_bits=1 << 16)
+    assert (bm == bm2).all()
+
+
+def test_anti_join_bloom_equals_exact(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import bloom
+    from arabic_ocr_ray.functions.joins import hash_join
+
+    rng = np.random.RandomState(3)
+    left = pa.table({
+        "id": pa.array(range(500), pa.int64()),
+        "k": pa.array(rng.randint(0, 120, 500), pa.int64()),
+    })
+    right = pa.table({
+        "k2": pa.array(rng.randint(60, 200, 300), pa.int64()),
+    })
+    exact = (hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                       on="k", right_on="k2", how="anti")
+             .to_pandas()[["id", "k"]]
+             .sort_values("id").reset_index(drop=True))
+    # tiny bitmap → real false positives exercised on the exact path
+    blm = (bloom.anti_join_bloom(rd.from_arrow(left),
+                                 rd.from_arrow(right),
+                                 on="k", right_on="k2",
+                                 num_bits=1 << 10)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, blm)

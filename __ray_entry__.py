@@ -306,6 +306,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolled.map_batches(cast_i64, batch_format="pyarrow")
 
+    def q_cms_heavy_hitters(sf_dir: str):
+        """Count-Min sketch heavy hitters: the 4x1024 md5-bucket CMS
+        table is built distributed (per-block partials bounded by
+        depth x width, one tiny keyed Sum shuffle — sketch.cms_table),
+        then the exact top-20 tokens are point-estimated from it.
+        Like the HLL, the sketch itself is deterministic and the
+        WHOLE pipeline (sketch + estimates) is replicated in SQL —
+        est >= exact one-sidedness is additionally pytest-gated."""
+        import pandas as pd
+
+        from arabic_ocr_ray.functions import sketch
+
+        docs = _docs(sf_dir)
+        cms = sketch.cms_table(docs).to_pandas()
+        top = text.top_tokens(docs, k=20)
+        est = sketch.cms_estimate(cms, list(top["token"]))
+        return pd.DataFrame({
+            "token": top["token"],
+            "n_exact": top["n"].astype("int64"),
+            "n_est": pd.Series(est, dtype="int64"),
+        })
+
     def q_lang_stratified_sample(sf_dir: str):
         """Stratified per-stratum sampling: exactly 20 docs per lang,
         chosen by deterministic md5 order — balanced across strata
@@ -1004,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": q_source_cap,
         "length_outliers": q_length_outliers,
         "lang_stratified_sample": q_lang_stratified_sample,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
@@ -1178,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
             "FROM documents GROUP BY source"
         ),
+        "cms_heavy_hitters": """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+')) AS tok FROM documents), counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok), top20 AS (SELECT tok, n FROM counts ORDER BY n DESC, tok ASC LIMIT 20), hashes AS (SELECT c.tok, c.n, d.d, md5(CAST(d.d AS VARCHAR) || '|' || c.tok) AS h FROM counts c CROSS JOIN range(4) d(d)), buckets AS (SELECT tok, n, d, CAST(((instr('0123456789abcdef', substr(h,1,1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(h,2,1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(h,3,1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(h,4,1)) - 1) * 65536 + (instr('0123456789abcdef', substr(h,5,1)) - 1) * 4096 + (instr('0123456789abcdef', substr(h,6,1)) - 1) * 256 + (instr('0123456789abcdef', substr(h,7,1)) - 1) * 16 + (instr('0123456789abcdef', substr(h,8,1)) - 1) * 1) % 1024 AS BIGINT) AS bkt FROM hashes), cms AS (SELECT d, bkt, sum(n) AS s FROM buckets GROUP BY d, bkt), est AS (SELECT t.tok, t.n, min(c.s) AS e FROM top20 t JOIN buckets b ON b.tok = t.tok JOIN cms c ON c.d = b.d AND c.bkt = b.bkt GROUP BY t.tok, t.n) SELECT tok AS token, CAST(n AS BIGINT) AS n_exact, CAST(e AS BIGINT) AS n_est FROM est""",
         "lang_stratified_sample": (
             "SELECT doc_id, lang, h, CAST(rk AS BIGINT) AS rank FROM ("
             "SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h, "

@@ -106,3 +106,74 @@ def hll_distinct_counts(ds, key_col: str, val_col: str) -> pd.DataFrame:
         dense[g["reg_idx"].to_numpy()] = g["reg_val"].to_numpy()
         out.append((k, float(hll_estimate(dense))))
     return pd.DataFrame(out, columns=[key_col, "approx_distinct"])
+
+
+# --- Count-Min sketch (heavy-hitter frequency estimation) -----------------
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+_CMS_CACHE: dict = {}
+
+
+def _cms_bucket(row: int, token: str) -> int:
+    """Deterministic bucket: first 8 md5 hex chars of ``row|token``
+    mod width — mirrored EXACTLY by the SQL twin's instr() hex fold."""
+    key = (row, token)
+    hit = _CMS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    hx = hashlib.md5(f"{row}|{token}".encode()).hexdigest()
+    b = int(hx[:8], 16) % CMS_WIDTH
+    if len(_CMS_CACHE) < _HLL_CACHE_CAP:
+        _CMS_CACHE[key] = b
+    return b
+
+
+def cms_table(ds, col: str = "text", depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH):
+    """Distributed Count-Min sketch over the whitespace tokens of
+    ``col`` → Dataset(row, bucket, n).
+
+    Same sketch discipline as the HLL above: the table itself is
+    DETERMINISTIC (md5 buckets, no seeds) and hash-verifiable against
+    a full SQL replica; only frequency ESTIMATES read from it are
+    approximate (one-sided: est >= true, gated in pytest).  Shuffle
+    shape: per-batch local Counter → per-block (row, bucket, n)
+    partials (<= depth x width rows per block no matter the block's
+    token count) → one tiny keyed Sum shuffle.  The sketch is a sum
+    monoid — replays merge safely, and the finished table is
+    depth x width rows (4 KiB-scale) at ANY corpus size."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .text import _WS_SPLIT
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column(col).to_pylist():
+            c.update(_WS_SPLIT.findall((t or "").lower()))
+        acc: Counter = Counter()
+        for tok, n in c.items():
+            for d in range(depth):
+                acc[(d, _cms_bucket(d, tok))] += n
+        items = sorted(acc.items())
+        return pa.table({
+            "row": pa.array([k[0] for k, _ in items], pa.int64()),
+            "bucket": pa.array([k[1] for k, _ in items], pa.int64()),
+            "n": pa.array([v for _, v in items], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["row", "bucket"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def cms_estimate(cms_df: pd.DataFrame, tokens: list,
+                 depth: int = CMS_DEPTH) -> list:
+    """Point-estimate counts from a finished sketch table:
+    est(token) = min over rows of the token's bucket sum."""
+    lut = {(int(r), int(b)): int(n) for r, b, n in
+           zip(cms_df["row"], cms_df["bucket"], cms_df["n"])}
+    return [min(lut.get((d, _cms_bucket(d, tok)), 0)
+                for d in range(depth)) for tok in tokens]

@@ -51,3 +51,32 @@ def test_hll_estimate_error_bound(ray_session):
 
 def test_hll_estimate_empty_is_zero():
     assert hll_estimate(np.zeros(M_REGISTERS, dtype=np.int64)) == 0.0
+
+
+def test_cms_one_sided_and_tight_on_heavy_hitters(ray_session):
+    """CMS point estimates are one-sided (est >= true) and exact for
+    tokens whose buckets hold no collisions at this scale."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.sketch import cms_estimate, cms_table
+    from arabic_ocr_ray.functions.text import _WS_SPLIT
+    from collections import Counter
+
+    texts = [f"alpha beta gamma tok{i % 37} alpha" for i in range(200)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    cms = cms_table(rd.from_arrow(t)).to_pandas()
+    true = Counter()
+    for x in texts:
+        true.update(_WS_SPLIT.findall(x.lower()))
+    toks = sorted(true)
+    est = cms_estimate(cms, toks)
+    for tok, e in zip(toks, est):
+        assert e >= true[tok], (tok, e, true[tok])
+    # 41 distinct tokens in 4x1024 buckets: the heavy hitters are
+    # collision-free with overwhelming margin → exact
+    assert est[toks.index("alpha")] == true["alpha"] == 400
+    # sketch table is bounded regardless of corpus size
+    assert len(cms) <= 4 * 1024

@@ -291,10 +291,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         per_sl = (docs.groupby(["source", "lang"], num_partitions=8)
                   .aggregate(Count(alias_name="n_docs"),
                              Sum("n_chars", alias_name="sum_chars")))
-        rolled = (per_sl.groupby("source", num_partitions=8)
+
+        def mark_lang(b: pa.Table) -> pa.Table:
+            # count(DISTINCT lang) in SQL skips NULLs; mirror that by
+            # summing a 0/1 indicator instead of counting group rows
+            import pyarrow.compute as pc
+            nn = pc.cast(pc.is_valid(b.column("lang")), pa.int64())
+            return b.append_column("lang_nonnull", nn)
+
+        rolled = (per_sl.map_batches(mark_lang, batch_format="pyarrow")
+                  .groupby("source", num_partitions=8)
                   .aggregate(Sum("n_docs", alias_name="n_docs"),
                              Sum("sum_chars", alias_name="sum_chars"),
-                             Count(alias_name="n_langs")))
+                             Sum("lang_nonnull", alias_name="n_langs")))
 
         def cast_i64(b: pa.Table) -> pa.Table:
             return pa.table({
@@ -354,7 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_topk(docs.map_batches(add_h,
                                              batch_format="pyarrow"),
                             ["lang"], "h", 20, descending=False,
-                            tie_cols=("doc_id",))
+                            tie_cols=("doc_id",), num_partitions=8)
 
     def q_length_outliers(sf_dir: str):
         """Corpus-level percentile gate (curation outlier removal):

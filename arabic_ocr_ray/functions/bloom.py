@@ -40,9 +40,18 @@ def _hash_pair(key: str) -> tuple[int, int]:
     return h1, h2
 
 
-def _bit_positions(key: str, num_bits: int, num_hashes: int) -> list:
-    h1, h2 = _hash_pair(key)
-    return [(h1 + i * h2) % num_bits for i in range(num_hashes)]
+def _hash_arrays(keys: list) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key crc32 pairs as uint64 arrays — the two C-speed crc
+    calls are the only per-key Python step; position arithmetic and
+    bit tests run vectorized from here."""
+    n = len(keys)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    for j, k in enumerate(keys):
+        a, b = _hash_pair(str(k))
+        h1[j] = a
+        h2[j] = b
+    return h1, h2
 
 
 def build_bloom(ds, key_col: str, num_bits: int = 1 << 20,
@@ -58,9 +67,13 @@ def build_bloom(ds, key_col: str, num_bits: int = 1 << 20,
 
     def partial(b: pa.Table) -> pa.Table:
         bm = np.zeros(nbytes, dtype=np.uint8)
-        for k in b.column(key_col).to_pylist():
-            for pos in _bit_positions(str(k), num_bits, num_hashes):
-                bm[pos >> 3] |= 1 << (pos & 7)
+        h1, h2 = _hash_arrays(b.column(key_col).to_pylist())
+        for i in range(num_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+            np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(
+                                 np.uint8(1),
+                                 (pos & np.uint64(7)).astype(np.uint8)))
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
     merged = np.zeros(nbytes, dtype=np.uint8)
@@ -74,17 +87,18 @@ def build_bloom(ds, key_col: str, num_bits: int = 1 << 20,
 
 def bloom_contains(bitmap: np.ndarray, keys: list,
                    num_hashes: int = 4) -> np.ndarray:
-    """→ bool array; False is DEFINITIVE (no false negatives)."""
+    """→ bool array; False is DEFINITIVE (no false negatives).
+    Vectorized: per-key work is the two crc calls; position math and
+    bitmap gathers are numpy."""
     num_bits = len(bitmap) * 8
-    out = np.empty(len(keys), dtype=bool)
-    for j, k in enumerate(keys):
-        hit = True
-        for pos in _bit_positions(str(k), num_bits, num_hashes):
-            if not (bitmap[pos >> 3] >> (pos & 7)) & 1:
-                hit = False
-                break
-        out[j] = hit
-    return out
+    h1, h2 = _hash_arrays(keys)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+        byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        hit &= bit.astype(bool)
+    return hit
 
 
 def anti_join_bloom(left_ds, right_ds, on: str,
@@ -97,13 +111,34 @@ def anti_join_bloom(left_ds, right_ds, on: str,
     misses stream straight to the output; only possible hits (true
     matches + a few-permille FP band) pay the shuffled exact anti
     join.  The broadcast is the fixed-size bitmap via ``ray.put`` —
-    bounded at any right-side cardinality."""
+    bounded at any right-side cardinality.
+
+    Cost shape: TWO pruned streaming passes over the left side (one
+    per output branch — Ray Data has no multi-output operator), each
+    probing the bitmap.  Read amplification beats shuffle
+    amplification when the match rate is high; when the left side is
+    re-read-expensive and mostly non-matching, use plain
+    ``hash_join(how="anti")`` instead."""
     import ray
 
     from .joins import hash_join
 
     right_on = right_on or on
-    bitmap_ref = ray.put(build_bloom(right_ds, right_on,
+    # match hash_join's key-cast rule (right key cast to the LEFT
+    # key's type BEFORE hashing) so e.g. int64 5 vs float64 5.0 hash
+    # identically on both sides and a true match can never become a
+    # bloom definite-miss
+    from .joins import _pa_type
+
+    ls = left_ds.schema()
+    key_t = _pa_type(dict(zip(ls.names, ls.types))[on])
+
+    def _cast_key(b: pa.Table) -> pa.Table:
+        return pa.table({right_on: b.column(right_on).cast(key_t)})
+
+    right_keys = right_ds.select_columns([right_on]).map_batches(
+        _cast_key, batch_format="pyarrow")
+    bitmap_ref = ray.put(build_bloom(right_keys, right_on,
                                      num_bits, num_hashes))
 
     def _split(keep_hits: bool):

@@ -128,11 +128,17 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
         def f(b: pa.Table) -> pa.Table:
             n = b.num_rows
-            cols = {"__jk": _jk_for(b.column(keycol), num_partitions),
+            # cast the right key to the LEFT key's type BEFORE both
+            # the partition hash and the in-partition join — hashing
+            # the raw column would send equal-after-cast keys (int64
+            # 5 vs float64 5.0) to different partitions, silently
+            # un-matching them
+            key_arr = (b.column(on) if side == 0
+                       else b.column(right_on).cast(key_t))
+            cols = {"__jk": _jk_for(key_arr, num_partitions),
                     "__side": pa.array(
                         np.full(n, side, dtype=np.int8))}
-            cols[on] = (b.column(on) if side == 0
-                        else b.column(right_on).cast(key_t))
+            cols[on] = key_arr
             for c in left_nonkey:
                 cols[c] = (b.column(c) if side == 0
                            else pa.nulls(n, ltypes[c]))

@@ -164,8 +164,10 @@ def cms_table(ds, col: str = "text", depth: int = CMS_DEPTH,
             "n": pa.array([v for _, v in items], pa.int64()),
         })
 
+    # depth x width <= 4096 keys: cap the shuffle width (project
+    # fixed-overhead rule for small key spaces)
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["row", "bucket"])
+            .groupby(["row", "bucket"], num_partitions=8)
             .aggregate(Sum("n", alias_name="n")))
 
 

@@ -407,8 +407,8 @@ def global_quantile_exact(ds, value_col: str, q: float) -> float:
     ``v[lo]·(1−frac) + v[hi]·frac``)."""
     from ray.data.aggregate import Count
 
-    vc = (ds.groupby(value_col).aggregate(Count(alias_name="_n"))
-          .to_pandas())
+    vc = (ds.groupby(value_col, num_partitions=8)
+          .aggregate(Count(alias_name="_n")).to_pandas())
     if not len(vc):
         return float("nan")
     vc = vc.sort_values(value_col).reset_index(drop=True)

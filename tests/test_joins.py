@@ -222,7 +222,7 @@ def test_range_join_salted_equals_unsalted(ray_session):
     assert len(salted) == len(plain)  # exploded copies never dup-emit
 
 
-def test_bloom_filter_no_false_negatives_and_low_fp():
+def test_bloom_filter_no_false_negatives_and_low_fp(ray_session):
     from arabic_ocr_ray.functions import bloom
 
     import ray.data as rd
@@ -268,3 +268,30 @@ def test_anti_join_bloom_equals_exact(ray_session):
                                  num_bits=1 << 10)
            .to_pandas().sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(exact, blm)
+
+
+def test_anti_join_bloom_mixed_key_types(ray_session):
+    """Right key cast to the LEFT key's type BEFORE hashing (the
+    hash_join rule): int64 5 vs float64 5.0 must be a bloom HIT, not
+    a definite miss leaking a matched row into the output."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.bloom import anti_join_bloom
+
+    left = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "k": pa.array([5, 6, 7], pa.int64()),
+    })
+    right = pa.table({
+        "k2": pa.array([5.0, 7.0], pa.float64()),
+    })
+    from arabic_ocr_ray.functions.joins import hash_join
+
+    exact = (hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                       on="k", right_on="k2", how="anti")
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    assert list(exact["k"]) == [6]
+    out = (anti_join_bloom(rd.from_arrow(left), rd.from_arrow(right),
+                           on="k", right_on="k2")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert list(out["k"]) == [6]

@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(text.dup_line_stats_batch,
                                          batch_format="pyarrow")
 
+    def q_redact_pii(sf_dir: str):
+        return _docs(sf_dir).map_batches(text.redact_pii_batch,
+                                         batch_format="pyarrow")
+
     def q_line_filter(sf_dir: str):
         return _docs(sf_dir).map_batches(text.line_filter_batch,
                                          batch_format="pyarrow")
@@ -1029,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count_bpe": q_bpe_token_count,
         "doc_dup_lines": q_dup_lines,
         "doc_line_filter": q_line_filter,
+        "doc_redact_pii": q_redact_pii,
         "doc_bigram_repetition": q_bigram_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
         "source_stats": q_source_stats,
@@ -1157,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(list_filter(string_split(text, "
             "chr(10)), x -> x != ''))) AS n_uniq FROM documents)"
         ),
+        "doc_redact_pii": """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}')) AS BIGINT) AS n_digit_runs, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<DIGITS>', 'g') AS redacted_text FROM documents""",
         "doc_line_filter": (
             "SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
             "CAST(len(ks) AS BIGINT) AS n_kept, "

@@ -293,6 +293,35 @@ def replace_composites(text: str) -> str:
     return text.replace(COMPOSITE_SENTINEL, COMPOSITE)
 
 
+# PII scrubbing (C4/CCNet-style curation): ASCII-only classes so the
+# Python and RE2 scans are identical (ASCII TWIN RULE); emails are
+# redacted FIRST, then 7+-digit runs on the email-redacted text (an
+# email's digits must not double-count)
+_EMAIL_RE = re.compile(
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_LONG_DIGITS_RE = re.compile(r"[0-9]{7,}")
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, n_emails, n_digit_runs, redacted_text): emails →
+    '<EMAIL>', 7+-digit runs → '<DIGITS>'.  Exact SQL twin: nested
+    regexp_replace(..., 'g') + len(regexp_extract_all(...))."""
+    texts = batch.column("text").to_pylist()
+    n_em, n_dg, red = [], [], []
+    for t in texts:
+        t = t or ""
+        n_em.append(len(_EMAIL_RE.findall(t)))
+        step = _EMAIL_RE.sub("<EMAIL>", t)
+        n_dg.append(len(_LONG_DIGITS_RE.findall(step)))
+        red.append(_LONG_DIGITS_RE.sub("<DIGITS>", step))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_emails": pa.array(n_em, pa.int64()),
+        "n_digit_runs": pa.array(n_dg, pa.int64()),
+        "redacted_text": pa.array(red, pa.string()),
+    })
+
+
 _TERMINAL_RE = re.compile(r'[.!?"]$')
 _WORD_RE = re.compile(r"[a-z0-9]+")
 

@@ -644,6 +644,18 @@ def test_text_twins_python_duckdb_equivalence_fuzz():
             "SELECT coalesce(max(c), 0) FROM (SELECT bg, count(*) AS c "
             "FROM pairs GROUP BY bg)", [t]).fetchone()[0]
         assert exp_top == got_bg, (t, exp_top, got_bg)
+        # PII redaction (doc_redact_pii oracle): counts + redacted text
+        ep, dp = T._EMAIL_RE.pattern, T._LONG_DIGITS_RE.pattern
+        step = T._EMAIL_RE.sub("<EMAIL>", t)
+        got_pii = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), "
+            "len(regexp_extract_all(regexp_replace(?, ?, '<EMAIL>', "
+            "'g'), ?)), regexp_replace(regexp_replace(?, ?, "
+            "'<EMAIL>', 'g'), ?, '<DIGITS>', 'g')",
+            [t, ep, t, ep, dp, t, ep, dp]).fetchone()
+        assert (len(T._EMAIL_RE.findall(t)),
+                len(T._LONG_DIGITS_RE.findall(step)),
+                T._LONG_DIGITS_RE.sub("<DIGITS>", step)) == tuple(got_pii)
         # rolling-hash fingerprint (code-point stream, Horner fold)
         assert T.fingerprint(t) == con.execute(
             "SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "

@@ -486,6 +486,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.embedding_near_dup_pairs(aug, threshold=0.95),
             {"a": "int64", "b": "int64", "cos_x1000": "int64"})
 
+    def q_semantic_dedup(sf_dir: str):
+        """Cross-table composition (the semantic-dedup curation
+        step): embedding near-dup pairs — same planted-copy harness
+        as embedding_near_dup — drive a doc-level drop via the
+        shuffled anti join.  Harness drop rule: the LOWER pair member
+        ``a`` is dropped (the planted copies sit at id+1e6, so
+        dropping ``b`` would touch no real doc and the row would be
+        vacuous); survivors keep their metadata columns."""
+        import numpy as np
+        import pyarrow as pa
+
+        from arabic_ocr_ray.functions.joins import hash_join
+
+        emb = _emb(sf_dir)
+
+        def planted(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+            d = b.filter(pa.array(ids % 50 == 0))
+            return pa.table({
+                "vec_id": pa.array(
+                    np.asarray(d.column("vec_id"), dtype=np.int64)
+                    + 1_000_000, pa.int64()),
+                "embedding": d.column("embedding"),
+            })
+
+        aug = emb.union(emb.map_batches(planted,
+                                        batch_format="pyarrow"))
+        pairs = dedup.embedding_near_dup_pairs(aug, threshold=0.95)
+        drop = pairs.select_columns(["a"])
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "lang", "source"])
+        return hash_join(docs, drop, on="doc_id", right_on="a",
+                         how="anti", num_partitions=8)
+
     def q_emb_near_dup_gather(sf_dir: str):
         """Same planted harness as embedding_near_dup, through the
         gather path: ids-only LSH shuffle, vectors gathered to verify
@@ -1050,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_dup_pairs": q_simhash_dup,
         "embedding_near_dup": q_emb_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_dup_gather": q_emb_near_dup_gather,
         "knn_cosine": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1283,6 +1318,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "semantic_dedup": (
+            "WITH allv AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 1000000, embedding "
+            "FROM embeddings WHERE vec_id % 50 = 0), "
+            "pairs AS (SELECT a.vec_id AS a FROM allv a "
+            "JOIN allv b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.95) "
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE doc_id NOT IN (SELECT a FROM pairs)"
         ),
         "embedding_near_dup": (
             # mirrors q_emb_near_dup's planted-copy union (see its

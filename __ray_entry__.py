@@ -486,6 +486,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.embedding_near_dup_pairs(aug, threshold=0.95),
             {"a": "int64", "b": "int64", "cos_x1000": "int64"})
 
+    def q_curate_v2(sf_dir: str):
+        """Second composed flagship: PII redaction -> C4 line filter
+        -> repetition gates -> exact dedup on the CLEANED text ->
+        per-source frequency cap (pipelines/curate.py:
+        curate_corpus_v2); one pure map for all per-row stages, then
+        content groupby + semi-join + grouped_topk heads."""
+        from arabic_ocr_ray.pipelines.curate import curate_corpus_v2
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "text", "lang", "source"])
+        return curate_corpus_v2(docs)
+
     def q_semantic_dedup(sf_dir: str):
         """Cross-table composition (the semantic-dedup curation
         step): embedding near-dup pairs — same planted-copy harness
@@ -1085,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q_simhash_dup,
         "embedding_near_dup": q_emb_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "curate_corpus_v2": q_curate_v2,
         "embedding_near_dup_gather": q_emb_near_dup_gather,
         "knn_cosine": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1319,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"
         ),
+        "curate_corpus_v2": """WITH red AS (SELECT doc_id, source, lang, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<DIGITS>', 'g') AS clean FROM documents), sig AS (SELECT *, len(regexp_extract_all(clean, '[^ \t\n\r\f\v]+')) AS ntok FROM red), w AS (SELECT doc_id, regexp_extract_all(lower(clean), '[a-z0-9]+') AS w FROM sig), pr AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bgm FROM w, UNNEST(generate_series(1, len(w)-1)) t(i) WHERE len(w) >= 2), bgc AS (SELECT doc_id, bgm, count(*) AS c FROM pr GROUP BY doc_id, bgm), bgtop AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM bgc GROUP BY doc_id), gated AS (SELECT s.doc_id, s.source, s.lang, s.clean, s.ntok FROM sig s LEFT JOIN bgtop g USING (doc_id) WHERE s.ntok >= 20 AND coalesce((g.top_c * 1000) // g.total, 0) <= 60), dd AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY clean), surv AS (SELECT g.doc_id, g.source, g.lang, g.ntok FROM gated g JOIN dd USING (doc_id)), capped AS (SELECT doc_id, source, lang, CAST(ntok AS BIGINT) AS n_tokens, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM surv) SELECT doc_id, source, lang, n_tokens, CAST(rk AS BIGINT) AS rank FROM capped WHERE rk <= 10""",
         "semantic_dedup": (
             "WITH allv AS (SELECT vec_id, embedding FROM embeddings "
             "UNION ALL SELECT vec_id + 1000000, embedding "

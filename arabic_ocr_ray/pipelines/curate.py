@@ -83,3 +83,76 @@ def curate_corpus(docs_ds, min_tokens: int = 5, max_digit_pm: int = 300,
     return (kept.groupby("lang")
             .aggregate(Count(alias_name="n_docs"),
                        Sum("n_tokens", alias_name="sum_tokens")))
+
+
+def curate_corpus_v2(docs_ds, min_tokens: int = 20,
+                     max_top_bigram_pm: int = 60,
+                     per_source_cap: int = 10,
+                     num_partitions: int = 16):
+    """→ Dataset(doc_id, source, lang, n_tokens, rank) — the second
+    composed curation chain, built from the late-r3 operators:
+
+        PII redaction → token + top-bigram repetition gates
+        → exact dedup (on the REDACTED text) → per-source cap
+
+    The C4 line filter stays a standalone operator
+    (``text.line_filter_batch``): the documents-table contract is
+    single-line word streams (no '\n', no terminal punctuation), so
+    a line gate would be vacuous here; the gates that DO discriminate
+    on this corpus are token count and Gopher-style top-bigram share
+    (p90 = 68 permille at sf0.01 → the 60-permille default rejects a
+    real tail).  Order matters (gates run on the redacted text) and
+    is mirrored exactly in the SQL twin.
+
+    Shuffle inventory: redaction + signals + gates are ONE pure map;
+    exact dedup = content groupby + hash semi-join; the per-source
+    frequency cap = grouped_topk map-side heads."""
+    from collections import Counter
+
+    from ..functions import dedup
+    from ..functions.joins import hash_join
+    from ..functions.text import (
+        _EMAIL_RE,
+        _LONG_DIGITS_RE,
+        _WORD_RE,
+        _WS_SPLIT,
+    )
+    from ..functions.topk import grouped_topk
+
+    def stage_map(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        keep, ntok_out, red_out = [], [], []
+        for t in texts:
+            red = _LONG_DIGITS_RE.sub(
+                "<DIGITS>", _EMAIL_RE.sub("<EMAIL>", t or ""))
+            toks = len(_WS_SPLIT.findall(red))
+            w = _WORD_RE.findall(red.lower())
+            if len(w) >= 2:
+                bg_pm = (max(Counter(zip(w, w[1:])).values())
+                         * 1000) // (len(w) - 1)
+            else:
+                bg_pm = 0
+            keep.append(toks >= min_tokens
+                        and bg_pm <= max_top_bigram_pm)
+            ntok_out.append(toks)
+            red_out.append(red)
+        out = pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "lang": b.column("lang"),
+            "clean_text": pa.array(red_out, pa.string()),
+            "n_tokens": pa.array(ntok_out, pa.int64()),
+        })
+        return out.filter(pa.array(keep))
+
+    gated = docs_ds.map_batches(stage_map, batch_format="pyarrow")
+    keep_ids = dedup.dedup_exact(
+        gated, col="clean_text",
+        id_col="doc_id").select_columns(["doc_id"])
+    survivors = hash_join(gated, keep_ids, on="doc_id", how="semi",
+                          num_partitions=num_partitions)
+    return grouped_topk(
+        survivors.select_columns(["doc_id", "source", "lang",
+                                  "n_tokens"]),
+        ["source"], "doc_id", per_source_cap, descending=False,
+        num_partitions=8)

@@ -665,3 +665,36 @@ def test_text_twins_python_duckdb_equivalence_fuzz():
             ") AS BIGINT)", [t, t]).fetchone()[0]
 
     check()
+
+
+def test_curate_corpus_v2_pipeline(ray_session):
+    """v2 chain: PII redaction feeds the gates (an email-only doc
+    must dedup IDENTICALLY to its redacted twin), token + top-bigram
+    gates drop thin/repetitive docs, per-source cap keeps the K
+    lowest ids with rank."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.pipelines.curate import curate_corpus_v2
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel "
+             "india juliet kilo lima mike november oscar papa "
+             "quebec romeo sierra tango")          # 20 distinct tokens
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            words + " mail bob@example.com here",   # kept (23 tokens)
+            words + " mail eve@other.org here",     # redacts to SAME
+                                                    # text as 1 -> dup
+            "spam ham " * 30,                       # bigram pm 1000
+            "too short",                            # < 20 tokens
+            words + " unique tail row",             # kept
+        ], pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s2"],
+                           pa.string()),
+    })
+    out = (curate_corpus_v2(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 5]
+    assert list(out["rank"]) == [1, 1]
+    assert list(out["source"]) == ["s1", "s2"]

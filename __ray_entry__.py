@@ -641,6 +641,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return final.map_batches(finish, batch_format="pyarrow")
 
+    def q_q3_shipping(sf_dir: str):
+        """TPC-H Q3 shape (segment-filtered shipping revenue top-10):
+        the multi-join composition.  Plan: the customer dim table is a
+        BOUNDED broadcast (segment keys via pc.is_in — never a
+        shuffle); lineitem revenue is PRE-AGGREGATED per orderkey
+        before the large-large join (the shuffle moves one row per
+        orderkey, not one per lineitem); orders joins via the shuffled
+        hash_join; the final top-10 is map-side topk, no global
+        sort."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        from arabic_ocr_ray.functions.joins import hash_join
+        from arabic_ocr_ray.functions.topk import topk
+
+        cut = pa.scalar(np.datetime64("1998-06-01T00:00:00", "us"),
+                        pa.timestamp("us"))
+        cust = _rp(os.path.join(sf_dir, "customer.parquet"),
+                   columns=["c_custkey", "c_mktsegment"]).to_pandas()
+        keys_ref = ray.put(pa.array(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"],
+            pa.int64()))
+
+        def ofilt(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.less(b.column("o_orderdate"), cut),
+                pc.is_in(b.column("o_custkey"),
+                         value_set=ray.get(keys_ref)))
+            return b.filter(m).select(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        orders_f = _rp(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"]).map_batches(
+            ofilt, batch_format="pyarrow")
+
+        def lpart(b: pa.Table) -> pa.Table:
+            d = b.filter(pc.greater(b.column("l_shipdate"), cut))
+            rev = (np.asarray(d.column("l_extendedprice"),
+                              dtype=np.float64)
+                   * (1.0 - np.asarray(d.column("l_discount"),
+                                       dtype=np.float64)))
+            return pa.table({
+                "l_orderkey": d.column("l_orderkey"),
+                "rev": pa.array(rev, pa.float64()),
+            })
+
+        rev = (_rp(os.path.join(sf_dir, "lineitem.parquet"),
+                   columns=["l_orderkey", "l_extendedprice",
+                            "l_discount", "l_shipdate"])
+               .map_batches(lpart, batch_format="pyarrow")
+               .groupby("l_orderkey", num_partitions=16)
+               .aggregate(Sum("rev", alias_name="rev")))
+        joined = hash_join(rev, orders_f, on="l_orderkey",
+                           right_on="o_orderkey", how="inner",
+                           num_partitions=16)
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "revenue": pc.round(b.column("rev"), 2),
+                "o_orderdate": b.column("o_orderdate"),
+                "o_orderpriority": b.column("o_orderpriority"),
+            })
+
+        return topk(joined.map_batches(finish, batch_format="pyarrow"),
+                    "revenue", 10, descending=True,
+                    tie_cols=("o_orderdate", "l_orderkey"))
+
     def q_top_orders(sf_dir: str, k: int = 10):
         """Top-k WITHOUT a global sort: per-block top-k partials
         (map-side combine) → one tiny driver merge of ≤ k×blocks rows —
@@ -1103,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "q1_pricing": q_q1_pricing,
         "top_orders": q_top_orders,
+        "q3_shipping": q_q3_shipping,
         "segment_order_stats": q_segment_order_stats,
         "order_customer_join": q_order_customer_join,
         "events_hourly": q_events_hourly,
@@ -1393,6 +1466,18 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_discount), 4) AS avg_disc, "
             "count(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_shipping": (
+            "SELECT l_orderkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue, o_orderdate, o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
         ),
         "top_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

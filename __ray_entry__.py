@@ -713,6 +713,165 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "revenue", 10, descending=True,
                     tie_cols=("o_orderdate", "l_orderkey"))
 
+    def q_q5_local_supplier(sf_dir: str):
+        """TPC-H Q5 shape (local-supplier revenue per nation) — the
+        deepest multi-join composition: six tables.  Plan: region ⋈
+        nation collapse to a TINY broadcast dict (25 keys); customer
+        and supplier rows are pre-filtered by that bounded key set
+        (pc.is_in); the two large-large joins (orders⋈customer,
+        lineitem⋈supplier-keys) are shuffled hash_joins — no driver
+        key sets; the final join co-partitions on orderkey, the
+        same-nation predicate and revenue fold run map-side, and the
+        per-nation rollup is an 8-partition groupby over 25 keys."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        from arabic_ocr_ray.functions.joins import hash_join
+
+        lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"),
+                       pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"),
+                       pa.timestamp("us"))
+        nat = _rp(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        reg = _rp(os.path.join(sf_dir, "region.parquet")).to_pandas()
+        asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+        nat = nat[nat["n_regionkey"].isin(asia)]
+        nk2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        nk_ref = ray.put(pa.array(sorted(nk2name), pa.int64()))
+
+        def cfilt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("c_nationkey"),
+                                     value_set=ray.get(nk_ref)))
+
+        cust_f = _rp(os.path.join(sf_dir, "customer.parquet"),
+                     columns=["c_custkey", "c_nationkey"]).map_batches(
+            cfilt, batch_format="pyarrow")
+
+        def ofilt(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                        pc.less(b.column("o_orderdate"), hi))
+            return b.filter(m).select(["o_custkey", "o_orderkey"])
+
+        orders_f = _rp(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_orderkey", "o_custkey",
+                                "o_orderdate"]).map_batches(
+            ofilt, batch_format="pyarrow")
+        j1 = hash_join(orders_f, cust_f, on="o_custkey",
+                       right_on="c_custkey", how="inner",
+                       num_partitions=16)
+
+        def sfilt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("s_nationkey"),
+                                     value_set=ray.get(nk_ref)))
+
+        supp_f = _rp(os.path.join(sf_dir, "supplier.parquet"),
+                     columns=["s_suppkey", "s_nationkey"]).map_batches(
+            sfilt, batch_format="pyarrow")
+
+        def lrev(b: pa.Table) -> pa.Table:
+            rev = (np.asarray(b.column("l_extendedprice"),
+                              dtype=np.float64)
+                   * (1.0 - np.asarray(b.column("l_discount"),
+                                       dtype=np.float64)))
+            return pa.table({
+                "l_suppkey": b.column("l_suppkey"),
+                "l_orderkey": b.column("l_orderkey"),
+                "rev": pa.array(rev, pa.float64()),
+            })
+
+        li = _rp(os.path.join(sf_dir, "lineitem.parquet"),
+                 columns=["l_orderkey", "l_suppkey",
+                          "l_extendedprice",
+                          "l_discount"]).map_batches(
+            lrev, batch_format="pyarrow")
+        j2 = hash_join(li, supp_f, on="l_suppkey",
+                       right_on="s_suppkey", how="inner",
+                       num_partitions=16)
+        j3 = hash_join(j2, j1, on="l_orderkey",
+                       right_on="o_orderkey", how="inner",
+                       num_partitions=16)
+
+        def local_only(b: pa.Table) -> pa.Table:
+            d = b.filter(pc.equal(b.column("s_nationkey"),
+                                  b.column("c_nationkey")))
+            return d.select(["s_nationkey", "rev"])
+
+        per_nat = (j3.map_batches(local_only, batch_format="pyarrow")
+                   .groupby("s_nationkey", num_partitions=8)
+                   .aggregate(Sum("rev", alias_name="rev")))
+
+        def finish(b: pa.Table) -> pa.Table:
+            names = [nk2name[k] for k in
+                     b.column("s_nationkey").to_pylist()]
+            return pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "revenue": pc.round(b.column("rev"), 2),
+            })
+
+        return per_nat.map_batches(finish, batch_format="pyarrow")
+
+    def q_q14_promo_revenue(sf_dir: str):
+        """TPC-H Q14 shape (promo revenue for one ship-month): the
+        lineitem ⋈ part large-large join — part travels as a shuffled
+        column (at 10^12 rows the part dim is NOT broadcastable), the
+        month filter prunes lineitem at the read, and the final
+        global sums fold map-side (one partial row per block, driver
+        tree-sum, rounding ONLY after the full fold)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from arabic_ocr_ray.functions.joins import hash_join
+
+        lo = pa.scalar(np.datetime64("1996-09-01T00:00:00", "us"),
+                       pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1996-10-01T00:00:00", "us"),
+                       pa.timestamp("us"))
+
+        def lrev(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                        pc.less(b.column("l_shipdate"), hi))
+            d = b.filter(m)
+            rev = (np.asarray(d.column("l_extendedprice"),
+                              dtype=np.float64)
+                   * (1.0 - np.asarray(d.column("l_discount"),
+                                       dtype=np.float64)))
+            return pa.table({
+                "l_partkey": d.column("l_partkey"),
+                "rev": pa.array(rev, pa.float64()),
+            })
+
+        li = _rp(os.path.join(sf_dir, "lineitem.parquet"),
+                 columns=["l_partkey", "l_extendedprice",
+                          "l_discount", "l_shipdate"]).map_batches(
+            lrev, batch_format="pyarrow")
+        parts = _rp(os.path.join(sf_dir, "part.parquet"),
+                    columns=["p_partkey", "p_type"])
+        j = hash_join(li, parts, on="l_partkey",
+                      right_on="p_partkey", how="inner",
+                      num_partitions=16)
+
+        def partial(b: pa.Table) -> pa.Table:
+            rev = np.asarray(b.column("rev"), dtype=np.float64)
+            promo = np.asarray(
+                pc.equal(b.column("p_type"), "PROMO"), dtype=bool)
+            return pa.table({
+                "promo_rev": pa.array([float(rev[promo].sum())],
+                                      pa.float64()),
+                "total_rev": pa.array([float(rev.sum())],
+                                      pa.float64()),
+            })
+
+        parts_df = (j.map_batches(partial, batch_format="pyarrow")
+                    .to_pandas())
+        return pd.DataFrame({
+            "promo_rev": [round(parts_df["promo_rev"].sum(), 2)],
+            "total_rev": [round(parts_df["total_rev"].sum(), 2)],
+        })
+
     def q_top_orders(sf_dir: str, k: int = 10):
         """Top-k WITHOUT a global sort: per-block top-k partials
         (map-side combine) → one tiny driver merge of ≤ k×blocks rows —
@@ -1176,6 +1335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": q_q1_pricing,
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
+        "q5_local_supplier": q_q5_local_supplier,
+        "q14_promo_revenue": q_q14_promo_revenue,
         "segment_order_stats": q_segment_order_stats,
         "order_customer_join": q_order_customer_join,
         "events_hourly": q_events_hourly,
@@ -1466,6 +1627,29 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_discount), 4) AS avg_disc, "
             "count(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q14_promo_revenue": (
+            "SELECT round(sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) "
+            "AS promo_rev, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS total_rev FROM lineitem, part "
+            "WHERE l_partkey = p_partkey "
+            "AND l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l_shipdate < TIMESTAMP '1996-10-01'"
+        ),
+        "q5_local_supplier": (
+            "SELECT n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey "
+            "AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "q3_shipping": (
             "SELECT l_orderkey, "

@@ -223,6 +223,10 @@ def main() -> None:
     entrymod.queries()["q1_pricing"](SF_DIR).to_pandas()
     queries["q1"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
+    entrymod.queries()["q5_local_supplier"](SF_DIR).to_pandas()
+    queries["q5"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "pages_extraction_wall_sec",
         "value": queries["extract"],

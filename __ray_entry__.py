@@ -459,13 +459,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _rp(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
 
-    def q_emb_near_dup(sf_dir: str):
-        """Planted-truth harness: the driver's gaussian embeddings have
-        no ≥0.95-cosine pairs (max pairwise cosine 0.51 at sf0.01 — the
-        r1 oracle row was a vacuous 0-vs-0), so the query input is the
-        table UNION exact copies of every 50th vector under
-        vec_id+1_000_000, mirrored verbatim in the oracle SQL.  The
-        expected output is exactly the (original, copy) pairs."""
+    def _emb_planted_aug(sf_dir: str):
+        """The shared planted-copy harness (see q_emb_near_dup):
+        embeddings UNION exact copies of every 50th vector at
+        vec_id+1_000_000 — ONE definition for the three queries and
+        kept in lockstep with the three oracle SQL mirrors."""
         import numpy as np
         import pyarrow as pa
 
@@ -481,17 +479,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "embedding": d.column("embedding"),
             })
 
-        aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
+        return emb.union(emb.map_batches(planted,
+                                         batch_format="pyarrow"))
+
+    def q_emb_near_dup(sf_dir: str):
+        """Planted-truth harness: the driver's gaussian embeddings have
+        no ≥0.95-cosine pairs (max pairwise cosine 0.51 at sf0.01 — the
+        r1 oracle row was a vacuous 0-vs-0), so the query input is the
+        table UNION exact copies of every 50th vector under
+        vec_id+1_000_000, mirrored verbatim in the oracle SQL.  The
+        expected output is exactly the (original, copy) pairs."""
         return _typed(
-            dedup.embedding_near_dup_pairs(aug, threshold=0.95),
+            dedup.embedding_near_dup_pairs(_emb_planted_aug(sf_dir),
+                                           threshold=0.95),
             {"a": "int64", "b": "int64", "cos_x1000": "int64"})
 
     def q_curate_v2(sf_dir: str):
-        """Second composed flagship: PII redaction -> C4 line filter
-        -> repetition gates -> exact dedup on the CLEANED text ->
-        per-source frequency cap (pipelines/curate.py:
-        curate_corpus_v2); one pure map for all per-row stages, then
-        content groupby + semi-join + grouped_topk heads."""
+        """Second composed flagship: PII redaction -> token +
+        top-bigram repetition gates -> exact dedup on the REDACTED
+        text -> per-source frequency cap (pipelines/curate.py:
+        curate_corpus_v2 — the C4 line filter stays a standalone
+        operator; this corpus is single-line, see the pipeline
+        docstring); one pure map for all per-row stages, then content
+        groupby + semi-join + grouped_topk heads."""
         from arabic_ocr_ray.pipelines.curate import curate_corpus_v2
 
         docs = _rp(os.path.join(sf_dir, "documents.parquet"),
@@ -506,26 +516,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ``a`` is dropped (the planted copies sit at id+1e6, so
         dropping ``b`` would touch no real doc and the row would be
         vacuous); survivors keep their metadata columns."""
-        import numpy as np
-        import pyarrow as pa
-
         from arabic_ocr_ray.functions.joins import hash_join
 
-        emb = _emb(sf_dir)
-
-        def planted(b: pa.Table) -> pa.Table:
-            ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-            d = b.filter(pa.array(ids % 50 == 0))
-            return pa.table({
-                "vec_id": pa.array(
-                    np.asarray(d.column("vec_id"), dtype=np.int64)
-                    + 1_000_000, pa.int64()),
-                "embedding": d.column("embedding"),
-            })
-
-        aug = emb.union(emb.map_batches(planted,
-                                        batch_format="pyarrow"))
-        pairs = dedup.embedding_near_dup_pairs(aug, threshold=0.95)
+        pairs = dedup.embedding_near_dup_pairs(
+            _emb_planted_aug(sf_dir), threshold=0.95)
         drop = pairs.select_columns(["a"])
         docs = _rp(os.path.join(sf_dir, "documents.parquet"),
                    columns=["doc_id", "lang", "source"])
@@ -537,24 +531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gather path: ids-only LSH shuffle, vectors gathered to verify
         partitions (the 100 TB shape — see
         dedup.embedding_near_dup_pairs).  Shares the oracle SQL."""
-        import numpy as np
-        import pyarrow as pa
-
-        emb = _emb(sf_dir)
-
-        def planted(b: pa.Table) -> pa.Table:
-            ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-            d = b.filter(pa.array(ids % 50 == 0))
-            return pa.table({
-                "vec_id": pa.array(
-                    np.asarray(d.column("vec_id"), dtype=np.int64)
-                    + 1_000_000, pa.int64()),
-                "embedding": d.column("embedding"),
-            })
-
-        aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
         return _typed(
-            dedup.embedding_near_dup_pairs(aug, threshold=0.95,
+            dedup.embedding_near_dup_pairs(_emb_planted_aug(sf_dir),
+                                           threshold=0.95,
                                            gather=True),
             {"a": "int64", "b": "int64", "cos_x1000": "int64"})
 
@@ -643,52 +622,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_q3_shipping(sf_dir: str):
         """TPC-H Q3 shape (segment-filtered shipping revenue top-10):
-        the multi-join composition.  Plan: the customer dim table is a
-        BOUNDED broadcast (segment keys via pc.is_in — never a
-        shuffle); lineitem revenue is PRE-AGGREGATED per orderkey
-        before the large-large join (the shuffle moves one row per
-        orderkey, not one per lineitem); orders joins via the shuffled
-        hash_join; the final top-10 is map-side topk, no global
-        sort."""
+        the multi-join composition.  Plan: the segment-filtered
+        customer keys reach orders via the SHUFFLED semi hash_join —
+        customer scales with the corpus, so its keys are never a
+        driver set or broadcast; lineitem revenue is PRE-AGGREGATED
+        per orderkey before the large-large join (the shuffle moves
+        one row per orderkey, not one per lineitem); the final top-10
+        is map-side topk, no global sort.  Revenue folds as the EXACT
+        integer rev_e4 = cents x (100 - discount_pct) — prices and
+        discounts are 2-decimal, so the sum is order-independent and
+        the oracle can never drift by a rounding ulp."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
-        import ray
 
         from arabic_ocr_ray.functions.joins import hash_join
         from arabic_ocr_ray.functions.topk import topk
 
         cut = pa.scalar(np.datetime64("1998-06-01T00:00:00", "us"),
                         pa.timestamp("us"))
-        cust = _rp(os.path.join(sf_dir, "customer.parquet"),
-                   columns=["c_custkey", "c_mktsegment"]).to_pandas()
-        keys_ref = ray.put(pa.array(
-            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"],
-            pa.int64()))
+
+        def cfilt(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b.column("c_mktsegment"),
+                                      "BUILDING"))
+                    .select(["c_custkey"]))
+
+        cust_b = _rp(os.path.join(sf_dir, "customer.parquet"),
+                     columns=["c_custkey", "c_mktsegment"]).map_batches(
+            cfilt, batch_format="pyarrow")
 
         def ofilt(b: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.less(b.column("o_orderdate"), cut),
-                pc.is_in(b.column("o_custkey"),
-                         value_set=ray.get(keys_ref)))
-            return b.filter(m).select(
-                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+            return b.filter(pc.less(b.column("o_orderdate"), cut))
 
         orders_f = _rp(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate",
                      "o_orderpriority"]).map_batches(
             ofilt, batch_format="pyarrow")
+        j0 = hash_join(orders_f, cust_b, on="o_custkey",
+                       right_on="c_custkey", how="semi",
+                       num_partitions=16).select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
 
         def lpart(b: pa.Table) -> pa.Table:
             d = b.filter(pc.greater(b.column("l_shipdate"), cut))
-            rev = (np.asarray(d.column("l_extendedprice"),
-                              dtype=np.float64)
-                   * (1.0 - np.asarray(d.column("l_discount"),
-                                       dtype=np.float64)))
+            cents = np.rint(np.asarray(d.column("l_extendedprice"),
+                                       dtype=np.float64)
+                            * 100.0).astype(np.int64)
+            dpct = np.rint(np.asarray(d.column("l_discount"),
+                                      dtype=np.float64)
+                           * 100.0).astype(np.int64)
             return pa.table({
                 "l_orderkey": d.column("l_orderkey"),
-                "rev": pa.array(rev, pa.float64()),
+                "rev_e4": pa.array(cents * (100 - dpct), pa.int64()),
             })
 
         rev = (_rp(os.path.join(sf_dir, "lineitem.parquet"),
@@ -696,15 +682,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             "l_discount", "l_shipdate"])
                .map_batches(lpart, batch_format="pyarrow")
                .groupby("l_orderkey", num_partitions=16)
-               .aggregate(Sum("rev", alias_name="rev")))
-        joined = hash_join(rev, orders_f, on="l_orderkey",
+               .aggregate(Sum("rev_e4", alias_name="rev_e4")))
+        joined = hash_join(rev, j0, on="l_orderkey",
                            right_on="o_orderkey", how="inner",
                            num_partitions=16)
 
         def finish(b: pa.Table) -> pa.Table:
             return pa.table({
                 "l_orderkey": b.column("l_orderkey"),
-                "revenue": pc.round(b.column("rev"), 2),
+                "revenue": pc.round(
+                    pc.divide(pc.cast(b.column("rev_e4"),
+                                      pa.float64()), 10000.0), 2),
                 "o_orderdate": b.column("o_orderdate"),
                 "o_orderpriority": b.column("o_orderpriority"),
             })
@@ -716,19 +704,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_q5_local_supplier(sf_dir: str):
         """TPC-H Q5 shape (local-supplier revenue per nation) — the
         deepest multi-join composition: six tables.  Plan: region ⋈
-        nation collapse to a TINY broadcast dict (25 keys); customer
-        and supplier rows are pre-filtered by that bounded key set
-        (pc.is_in); the two large-large joins (orders⋈customer,
+        nation collapse to a TINY broadcast key set (25 nations —
+        genuinely bounded, unlike customer keys); customer and
+        supplier rows are pre-filtered by it via semi_join_broadcast;
+        the two large-large joins (orders⋈customer,
         lineitem⋈supplier-keys) are shuffled hash_joins — no driver
         key sets; the final join co-partitions on orderkey, the
-        same-nation predicate and revenue fold run map-side, and the
-        per-nation rollup is an 8-partition groupby over 25 keys."""
+        same-nation predicate and the EXACT integer revenue fold
+        (rev_e4 = cents x (100 − discount_pct), order-independent)
+        run map-side, and the per-nation rollup is an 8-partition
+        groupby over 25 keys."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray
 
-        from arabic_ocr_ray.functions.joins import hash_join
+        from arabic_ocr_ray.functions.joins import (
+            hash_join,
+            semi_join_broadcast,
+        )
 
         lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"),
                        pa.timestamp("us"))
@@ -741,13 +735,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nk2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
         nk_ref = ray.put(pa.array(sorted(nk2name), pa.int64()))
 
-        def cfilt(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b.column("c_nationkey"),
-                                     value_set=ray.get(nk_ref)))
-
-        cust_f = _rp(os.path.join(sf_dir, "customer.parquet"),
-                     columns=["c_custkey", "c_nationkey"]).map_batches(
-            cfilt, batch_format="pyarrow")
+        cust_f = semi_join_broadcast(
+            _rp(os.path.join(sf_dir, "customer.parquet"),
+                columns=["c_custkey", "c_nationkey"]),
+            "c_nationkey", nk_ref)
 
         def ofilt(b: pa.Table) -> pa.Table:
             m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
@@ -762,23 +753,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        right_on="c_custkey", how="inner",
                        num_partitions=16)
 
-        def sfilt(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b.column("s_nationkey"),
-                                     value_set=ray.get(nk_ref)))
-
-        supp_f = _rp(os.path.join(sf_dir, "supplier.parquet"),
-                     columns=["s_suppkey", "s_nationkey"]).map_batches(
-            sfilt, batch_format="pyarrow")
+        supp_f = semi_join_broadcast(
+            _rp(os.path.join(sf_dir, "supplier.parquet"),
+                columns=["s_suppkey", "s_nationkey"]),
+            "s_nationkey", nk_ref)
 
         def lrev(b: pa.Table) -> pa.Table:
-            rev = (np.asarray(b.column("l_extendedprice"),
-                              dtype=np.float64)
-                   * (1.0 - np.asarray(b.column("l_discount"),
-                                       dtype=np.float64)))
+            cents = np.rint(np.asarray(b.column("l_extendedprice"),
+                                       dtype=np.float64)
+                            * 100.0).astype(np.int64)
+            dpct = np.rint(np.asarray(b.column("l_discount"),
+                                      dtype=np.float64)
+                           * 100.0).astype(np.int64)
             return pa.table({
                 "l_suppkey": b.column("l_suppkey"),
                 "l_orderkey": b.column("l_orderkey"),
-                "rev": pa.array(rev, pa.float64()),
+                "rev_e4": pa.array(cents * (100 - dpct), pa.int64()),
             })
 
         li = _rp(os.path.join(sf_dir, "lineitem.parquet"),
@@ -796,18 +786,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def local_only(b: pa.Table) -> pa.Table:
             d = b.filter(pc.equal(b.column("s_nationkey"),
                                   b.column("c_nationkey")))
-            return d.select(["s_nationkey", "rev"])
+            return d.select(["s_nationkey", "rev_e4"])
 
         per_nat = (j3.map_batches(local_only, batch_format="pyarrow")
                    .groupby("s_nationkey", num_partitions=8)
-                   .aggregate(Sum("rev", alias_name="rev")))
+                   .aggregate(Sum("rev_e4", alias_name="rev_e4")))
 
         def finish(b: pa.Table) -> pa.Table:
             names = [nk2name[k] for k in
                      b.column("s_nationkey").to_pylist()]
             return pa.table({
                 "n_name": pa.array(names, pa.string()),
-                "revenue": pc.round(b.column("rev"), 2),
+                "revenue": pc.round(
+                    pc.divide(pc.cast(b.column("rev_e4"),
+                                      pa.float64()), 10000.0), 2),
             })
 
         return per_nat.map_batches(finish, batch_format="pyarrow")
@@ -817,8 +809,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lineitem ⋈ part large-large join — part travels as a shuffled
         column (at 10^12 rows the part dim is NOT broadcastable), the
         month filter prunes lineitem at the read, and the final
-        global sums fold map-side (one partial row per block, driver
-        tree-sum, rounding ONLY after the full fold)."""
+        global sums fold map-side as EXACT integers (rev_e4 = cents x
+        (100 − discount_pct); one partial row per block, driver
+        tree-sum over ints — order-independent, so the rounded
+        oracle comparison can never drift)."""
         import numpy as np
         import pandas as pd
         import pyarrow as pa
@@ -835,13 +829,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             m = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
                         pc.less(b.column("l_shipdate"), hi))
             d = b.filter(m)
-            rev = (np.asarray(d.column("l_extendedprice"),
-                              dtype=np.float64)
-                   * (1.0 - np.asarray(d.column("l_discount"),
-                                       dtype=np.float64)))
+            cents = np.rint(np.asarray(d.column("l_extendedprice"),
+                                       dtype=np.float64)
+                            * 100.0).astype(np.int64)
+            dpct = np.rint(np.asarray(d.column("l_discount"),
+                                      dtype=np.float64)
+                           * 100.0).astype(np.int64)
             return pa.table({
                 "l_partkey": d.column("l_partkey"),
-                "rev": pa.array(rev, pa.float64()),
+                "rev_e4": pa.array(cents * (100 - dpct), pa.int64()),
             })
 
         li = _rp(os.path.join(sf_dir, "lineitem.parquet"),
@@ -855,21 +851,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       num_partitions=16)
 
         def partial(b: pa.Table) -> pa.Table:
-            rev = np.asarray(b.column("rev"), dtype=np.float64)
+            rev = np.asarray(b.column("rev_e4"), dtype=np.int64)
             promo = np.asarray(
                 pc.equal(b.column("p_type"), "PROMO"), dtype=bool)
             return pa.table({
-                "promo_rev": pa.array([float(rev[promo].sum())],
-                                      pa.float64()),
-                "total_rev": pa.array([float(rev.sum())],
-                                      pa.float64()),
+                "promo_e4": pa.array([int(rev[promo].sum())],
+                                     pa.int64()),
+                "total_e4": pa.array([int(rev.sum())], pa.int64()),
             })
 
         parts_df = (j.map_batches(partial, batch_format="pyarrow")
                     .to_pandas())
         return pd.DataFrame({
-            "promo_rev": [round(parts_df["promo_rev"].sum(), 2)],
-            "total_rev": [round(parts_df["total_rev"].sum(), 2)],
+            "promo_rev": [round(int(parts_df["promo_e4"].sum())
+                                / 10000.0, 2)],
+            "total_rev": [round(int(parts_df["total_e4"].sum())
+                                / 10000.0, 2)],
         })
 
     def q_top_orders(sf_dir: str, k: int = 10):
@@ -1629,10 +1626,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "q14_promo_revenue": (
-            "SELECT round(sum(CASE WHEN p_type = 'PROMO' "
-            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) "
-            "AS promo_rev, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' "
+            "THEN CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "ELSE 0 END) AS DOUBLE) / 10000, 2) AS promo_rev, "
+            "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000, 2) "
             "AS total_rev FROM lineitem, part "
             "WHERE l_partkey = p_partkey "
             "AND l_shipdate >= TIMESTAMP '1996-09-01' "
@@ -1640,7 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q5_local_supplier": (
             "SELECT n_name, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000, 2) "
             "AS revenue "
             "FROM customer, orders, lineitem, supplier, nation, region "
             "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
@@ -1653,7 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q3_shipping": (
             "SELECT l_orderkey, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000, 2) "
             "AS revenue, o_orderdate, o_orderpriority "
             "FROM customer, orders, lineitem "
             "WHERE c_mktsegment = 'BUILDING' "

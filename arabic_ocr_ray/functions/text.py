@@ -302,6 +302,15 @@ _EMAIL_RE = re.compile(
 _LONG_DIGITS_RE = re.compile(r"[0-9]{7,}")
 
 
+def redact(text: str) -> str:
+    """The ORDER-SENSITIVE redaction composition (emails first, so an
+    email's digits never double-count) in one shared place — the
+    batch operator and the curate-v2 pipeline both call this, keeping
+    every Python site in lockstep with the nested-regexp SQL twins."""
+    return _LONG_DIGITS_RE.sub(
+        "<DIGITS>", _EMAIL_RE.sub("<EMAIL>", text or ""))
+
+
 def redact_pii_batch(batch: pa.Table) -> pa.Table:
     """→ (doc_id, n_emails, n_digit_runs, redacted_text): emails →
     '<EMAIL>', 7+-digit runs → '<DIGITS>'.  Exact SQL twin: nested

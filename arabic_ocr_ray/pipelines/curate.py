@@ -88,7 +88,8 @@ def curate_corpus(docs_ds, min_tokens: int = 5, max_digit_pm: int = 300,
 def curate_corpus_v2(docs_ds, min_tokens: int = 20,
                      max_top_bigram_pm: int = 60,
                      per_source_cap: int = 10,
-                     num_partitions: int = 16):
+                     num_partitions: int = 16,
+                     checkpoint_dir: str | None = None):
     """→ Dataset(doc_id, source, lang, n_tokens, rank) — the second
     composed curation chain, built from the late-r3 operators:
 
@@ -106,25 +107,25 @@ def curate_corpus_v2(docs_ds, min_tokens: int = 20,
 
     Shuffle inventory: redaction + signals + gates are ONE pure map;
     exact dedup = content groupby + hash semi-join; the per-source
-    frequency cap = grouped_topk map-side heads."""
+    frequency cap = grouped_topk map-side heads.  Like v1, the gated
+    set feeds TWO consumers (the dedup key scan and the semi-join
+    left side), so it is pinned — ``checkpoint_dir`` writes it as
+    partitioned parquet and re-reads (the 100 TB resume boundary);
+    without it the object store pin is used (fixture scale).  Leaving
+    it lazy would re-run the regex+Counter map, the costliest per-row
+    stage, once per consumer."""
     from collections import Counter
 
     from ..functions import dedup
     from ..functions.joins import hash_join
-    from ..functions.text import (
-        _EMAIL_RE,
-        _LONG_DIGITS_RE,
-        _WORD_RE,
-        _WS_SPLIT,
-    )
+    from ..functions.text import _WORD_RE, _WS_SPLIT, redact
     from ..functions.topk import grouped_topk
 
     def stage_map(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         keep, ntok_out, red_out = [], [], []
         for t in texts:
-            red = _LONG_DIGITS_RE.sub(
-                "<DIGITS>", _EMAIL_RE.sub("<EMAIL>", t or ""))
+            red = redact(t)
             toks = len(_WS_SPLIT.findall(red))
             w = _WORD_RE.findall(red.lower())
             if len(w) >= 2:
@@ -146,6 +147,13 @@ def curate_corpus_v2(docs_ds, min_tokens: int = 20,
         return out.filter(pa.array(keep))
 
     gated = docs_ds.map_batches(stage_map, batch_format="pyarrow")
+    if checkpoint_dir is not None:
+        from ..sources.parquet import read_parquet_clean
+
+        gated.write_parquet(checkpoint_dir)
+        gated = read_parquet_clean(checkpoint_dir)
+    else:
+        gated = gated.materialize()
     keep_ids = dedup.dedup_exact(
         gated, col="clean_text",
         id_col="doc_id").select_columns(["doc_id"])

@@ -295,3 +295,50 @@ def test_anti_join_bloom_mixed_key_types(ray_session):
                            on="k", right_on="k2")
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert list(out["k"]) == [6]
+
+
+def test_hash_join_matches_pandas_random(ray_session):
+    """Randomized parity: hash_join inner/semi/anti vs the pandas
+    reference on tables with duplicate, missing and disjoint keys."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.joins import hash_join
+
+    for seed in range(4):
+        rng = np.random.RandomState(200 + seed)
+        nl, nr = rng.randint(1, 60), rng.randint(0, 60)
+        left = pd.DataFrame({
+            "id": np.arange(nl, dtype=np.int64),
+            "k": rng.randint(0, 15, nl).astype(np.int64),
+        })
+        right = pd.DataFrame({
+            "k2": rng.randint(5, 25, nr).astype(np.int64),
+            "v": rng.randint(0, 100, nr).astype(np.int64),
+        })
+        lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+        inner = hash_join(lds, rds, on="k", right_on="k2",
+                          how="inner", num_partitions=7).to_pandas()
+        exp_inner = (left.merge(right, left_on="k", right_on="k2")
+                     [["k", "id", "v"]].sort_values(["id", "v"])
+                     .reset_index(drop=True))
+        assert len(inner) == len(exp_inner)
+        if len(inner):
+            inner = (inner[["k", "id", "v"]]
+                     .sort_values(["id", "v"]).reset_index(drop=True))
+            pd.testing.assert_frame_equal(inner, exp_inner,
+                                          check_dtype=False)
+
+        rkeys = set(right["k2"])
+
+        def ids(df):
+            # an all-empty Ray result arrives column-less
+            return sorted(df["id"]) if len(df) else []
+
+        semi = ids(hash_join(lds, rds, on="k", right_on="k2",
+                             how="semi").to_pandas())
+        anti = ids(hash_join(lds, rds, on="k", right_on="k2",
+                             how="anti").to_pandas())
+        assert semi == sorted(left.loc[left["k"].isin(rkeys), "id"])
+        assert anti == sorted(left.loc[~left["k"].isin(rkeys), "id"])
+        assert len(semi) + len(anti) == nl

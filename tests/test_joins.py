@@ -342,3 +342,11 @@ def test_hash_join_matches_pandas_random(ray_session):
         assert semi == sorted(left.loc[left["k"].isin(rkeys), "id"])
         assert anti == sorted(left.loc[~left["k"].isin(rkeys), "id"])
         assert len(semi) + len(anti) == nl
+
+        # string keys take the crc32 partition path — same contract
+        sl = left.assign(k=left["k"].map("key{}".format))
+        sr = right.assign(k2=right["k2"].map("key{}".format))
+        ssemi = ids(hash_join(rd.from_pandas(sl), rd.from_pandas(sr),
+                              on="k", right_on="k2",
+                              how="semi").to_pandas())
+        assert ssemi == semi

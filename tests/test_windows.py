@@ -170,11 +170,20 @@ def test_global_quantile_exact_matches_duckdb(ray_session):
     rng = np.random.RandomState(9)
     vals = rng.randint(0, 40, size=501).astype("int64")  # heavy dups
     t = pa.table({"n_chars": pa.array(vals, pa.int64())})
+    tf = pa.table({"n_chars": pa.array(
+        np.round(rng.rand(301) * 7, 3), pa.float64())})  # float domain
     con = duckdb.connect()
     con.register("t", t.to_pandas())
     ds = rd.from_arrow(t)
+    con.register("tf", tf.to_pandas())
+    dsf = rd.from_arrow(tf)
     for q in (0.0, 0.25, 0.5, 0.9, 0.95, 1.0):
         got = global_quantile_exact(ds, "n_chars", q)
         exp = con.execute(
             "SELECT quantile_cont(n_chars, ?) FROM t", [q]).fetchone()[0]
         assert got == exp, (q, got, exp)
+        gotf = global_quantile_exact(dsf, "n_chars", q)
+        expf = con.execute(
+            "SELECT quantile_cont(n_chars, ?) FROM tf",
+            [q]).fetchone()[0]
+        assert gotf == expf, (q, gotf, expf)

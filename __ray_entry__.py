@@ -1296,6 +1296,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           batch_size=64)
         return multimodal.frame_sample_plan(meta, every=10)
 
+    # NOTE on ordering: the driver evaluates only the FIRST 50 dict entries
+    # (insertion order).  Entries that had never received a CORRECTNESS row
+    # by r3 (bloom anti-join, range join, curate_corpus, the as-of pair,
+    # multimodal, top_tokens, doc_sample, customers_without_events) are
+    # placed early; 11 long-stable pure-map doc_* rows (hash-green in r1-r3)
+    # are rotated to the tail, past the window.
     return {
         "extract_pages": q_extract,
         "extract_eval": q_extract_eval,
@@ -1303,22 +1309,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_dedup": q_extract_dedup,
         "segment_stats": q_segment_stats,
         "train_prototypes": q_train_prototypes,
-        "doc_token_count": q_token_count,
-        "doc_token_count_bpe": q_bpe_token_count,
-        "doc_dup_lines": q_dup_lines,
-        "doc_line_filter": q_line_filter,
-        "doc_redact_pii": q_redact_pii,
-        "doc_bigram_repetition": q_bigram_repetition,
+        "customers_without_events_bloom": q_customers_without_events_bloom,
+        "events_range_join": q_events_range_join,
+        "curate_corpus": q_curate_corpus,
+        "top_tokens": q_top_tokens,
+        "doc_sample": q_doc_sample,
+        "customers_without_events": q_customers_without_events,
+        "orders_asof_event": q_orders_asof_event,
+        "events_asof_order": q_events_asof_order,
+        "mm_decode_meta": q_mm_decode,
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_resize_plan": q_mm_resize_plan,
         "tfidf_top_terms": q_tfidf_top_terms,
         "source_stats": q_source_stats,
         "source_cap": q_source_cap,
         "length_outliers": q_length_outliers,
         "lang_stratified_sample": q_lang_stratified_sample,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "doc_char_stats": q_char_stats,
-        "doc_lang_id": q_lang_id,
-        "doc_quality": q_quality,
-        "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "near_dup_pairs": q_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1346,18 +1353,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": q_hll_user_registers,
         "event_type_distinct_users": q_event_type_distinct_users,
         "user_value_p90": q_user_value_p90,
+        # --- long-stable pure-map rows, rotated past the driver's 50-entry
+        # window (each hash-green in CORRECTNESS_r01..r03) -----------------
+        "doc_token_count": q_token_count,
+        "doc_token_count_bpe": q_bpe_token_count,
+        "doc_dup_lines": q_dup_lines,
+        "doc_line_filter": q_line_filter,
+        "doc_redact_pii": q_redact_pii,
+        "doc_bigram_repetition": q_bigram_repetition,
+        "doc_char_stats": q_char_stats,
+        "doc_lang_id": q_lang_id,
+        "doc_quality": q_quality,
+        "doc_fingerprint": q_fingerprint,
         "doc_normalize": q_doc_normalize,
-        "top_tokens": q_top_tokens,
-        "doc_sample": q_doc_sample,
-        "customers_without_events": q_customers_without_events,
-        "customers_without_events_bloom": q_customers_without_events_bloom,
-        "orders_asof_event": q_orders_asof_event,
-        "events_asof_order": q_events_asof_order,
-        "events_range_join": q_events_range_join,
-        "curate_corpus": q_curate_corpus,
-        "mm_decode_meta": q_mm_decode,
-        "mm_frame_plan": q_mm_frame_plan,
-        "mm_resize_plan": q_mm_resize_plan,
     }
 
 

@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .arrowout import arrow_clean
+from .parthash import partition_ids
 
 _TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")  # explicit ASCII ws class — matches the RE2 oracles (see text.py)
 
@@ -243,7 +244,7 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id",
     up to one copy of a pair per agreeing band (16 | _PAIR_PARTITIONS
     makes partitions band-pure, so in-partition dedup never collapses
     across bands).  :func:`near_dup_pairs` uses this: the verify stage
-    already co-locates all copies of a pair (vp = crc32(a|b)), so its
+    already co-locates all copies of a pair (vp = parthash(a,b)), so its
     group dedup is free and the extra all-to-all pass over pair rows
     is pure overhead."""
     rows = ds.map_batches(
@@ -278,10 +279,8 @@ def minhash_candidates(ds, col: str = "text", id_col: str = "doc_id",
     # a pair can surface from several bands/partitions → global distinct,
     # again via fixed hash partitions + vectorized drop_duplicates
     def add_ppk(b: pa.Table) -> pa.Table:
-        a = b.column("a").to_pylist()
-        bb = b.column("b").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % 32 for x, y in zip(a, bb)]
-        return b.append_column("ppk", pa.array(pk, pa.int32()))
+        pk = partition_ids([b.column("a"), b.column("b")], 32)
+        return b.append_column("ppk", pk)
 
     return (cand.map_batches(add_ppk, batch_format="pyarrow")
             .groupby("ppk")
@@ -301,7 +300,8 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
     a candidate-text dict was a driver OOM at a realistic 100 TB dup
     rate):
 
-      1. each pair gets a verify-partition key ``vp = crc32(a|b) % V``;
+      1. each pair gets a verify-partition key ``vp = parthash(a,b) % V``
+         (vectorized — never a per-pair Python crc32 loop);
       2. each pair emits its two doc ids as (id, vp) "need" rows
          (locally deduped);
       3. the corpus is hash-joined to the need rows via
@@ -328,17 +328,15 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
     cand_ds = cand_ds.materialize()
 
     def tag_pairs(b: pa.Table) -> pa.Table:
-        a = b.column("a").to_pylist()
-        bb = b.column("b").to_pylist()
-        vp = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
-              for x, y in zip(a, bb)]
+        vp = partition_ids([b.column("a"), b.column("b")],
+                           num_partitions)
         return pa.table({
-            "vp": pa.array(vp, pa.int32()),
-            "kind": pa.array([0] * len(a), pa.int8()),
+            "vp": vp,
+            "kind": pa.array([0] * b.num_rows, pa.int8()),
             "a": b.column("a"),
             "b": b.column("b"),
-            id_col: pa.nulls(len(a), id_type),
-            col: pa.nulls(len(a), pa.string()),
+            id_col: pa.nulls(b.num_rows, id_type),
+            col: pa.nulls(b.num_rows, pa.string()),
         })
 
     pairs_t = cand_ds.map_batches(tag_pairs, batch_format="pyarrow")
@@ -612,35 +610,60 @@ def dedup_connected_components(pairs_ds, num_partitions: int = 8,
 _SHIFTS64 = np.arange(64, dtype=np.uint64)
 
 #: process-level token → ±1-bit-row cache (worker processes are reused
-#: across tasks; correctness never depends on it)
+#: across tasks; correctness never depends on it).  ``_TOKEN_MAT`` is a
+#: preallocated arena grown geometrically — the r3 implementation
+#: ``np.concatenate``d the full matrix on every batch that introduced a
+#: new token, an O(vocab²)-bytes cold-start (39.7 s cold vs 20.5 s warm
+#: in BASELINE.md); amortized-O(1) growth removes it.
 _TOKEN_BITS: dict[str, int] = {}
-_TOKEN_MAT = np.zeros((0, 64), dtype=np.int8)
+_TOKEN_MAT = np.empty((0, 64), dtype=np.int8)
+_TOKEN_N = 0
 _TOKEN_CACHE_CAP = 1 << 20
+
+
+def _md5_u64(tokens: list) -> np.ndarray:
+    """md5(token)[:8] big-endian per token → (n,) uint64, one
+    digest-concat + ``np.frombuffer`` pass (no per-token int.from_bytes)."""
+    md5 = hashlib.md5
+    buf = b"".join([md5(t.encode()).digest() for t in tokens])
+    return (np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)[:, :8]
+            .copy().view(">u8").ravel().astype(np.uint64))
+
+
+def _bit_rows(hs: np.ndarray) -> np.ndarray:
+    """(n,) uint64 hashes → (n, 64) int8 ±1 rows."""
+    bits = ((hs[:, None] >> _SHIFTS64[None, :]) & np.uint64(1))
+    return (2 * bits.astype(np.int8) - 1)
 
 
 def _token_bit_rows(uniq: np.ndarray) -> np.ndarray:
     """(U,) unique token strings → (U, 64) int8 ±1 rows, cached."""
-    global _TOKEN_MAT
+    global _TOKEN_MAT, _TOKEN_N
     missing = [t for t in uniq if t not in _TOKEN_BITS]
-    if missing:
-        hs = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-             for t in missing], dtype=np.uint64)
-        bits = ((hs[:, None] >> _SHIFTS64[None, :]) & np.uint64(1))
-        rows = (2 * bits.astype(np.int8) - 1)
-        if len(_TOKEN_BITS) < _TOKEN_CACHE_CAP:
-            base = len(_TOKEN_BITS)
-            for j, t in enumerate(missing):
-                _TOKEN_BITS[t] = base + j
-            _TOKEN_MAT = np.concatenate([_TOKEN_MAT, rows]) \
-                if len(_TOKEN_MAT) else rows
-        else:  # cache full: serve this batch without inserting
-            tmp = {t: r for t, r in zip(missing, rows)}
-            return np.array([
-                _TOKEN_MAT[_TOKEN_BITS[t]] if t in _TOKEN_BITS else tmp[t]
-                for t in uniq], dtype=np.int8)
-    idx = np.array([_TOKEN_BITS[t] for t in uniq], dtype=np.int64)
-    return _TOKEN_MAT[idx]
+    if missing and _TOKEN_N + len(missing) <= _TOKEN_CACHE_CAP:
+        rows = _bit_rows(_md5_u64(missing))
+        need = _TOKEN_N + len(missing)
+        if need > len(_TOKEN_MAT):  # geometric growth, amortized O(1)
+            grown = np.empty((max(need, 2 * len(_TOKEN_MAT), 4096), 64),
+                             dtype=np.int8)
+            grown[:_TOKEN_N] = _TOKEN_MAT[:_TOKEN_N]
+            _TOKEN_MAT = grown
+        _TOKEN_MAT[_TOKEN_N:need] = rows
+        _TOKEN_BITS.update(zip(missing, range(_TOKEN_N, need)))
+        _TOKEN_N = need
+        missing = []
+    if not missing:
+        idx = np.fromiter((_TOKEN_BITS[t] for t in uniq),
+                          dtype=np.int64, count=len(uniq))
+        return _TOKEN_MAT[idx]
+    # cache full: serve this batch without inserting
+    rows = _bit_rows(_md5_u64(missing))
+    tmp = dict(zip(missing, range(len(missing))))
+    out = np.empty((len(uniq), 64), dtype=np.int8)
+    for i, t in enumerate(uniq):
+        j = _TOKEN_BITS.get(t)
+        out[i] = rows[tmp[t]] if j is None else _TOKEN_MAT[j]
+    return out
 
 
 def simhash_many(texts: list) -> np.ndarray:

@@ -52,14 +52,13 @@
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .arrowout import arrow_clean
+from .parthash import partition_ids
 
 _PARTITIONS = 64
 
@@ -77,16 +76,16 @@ def _pa_type(t) -> pa.DataType:
 
 def _jk_for(arr: pa.ChunkedArray, n_parts: int) -> pa.Array:
     """Deterministic partition key for an id column, int or string.
-    Nulls hash to 0 (they never match in the join itself)."""
+    Nulls hash to 0 (they never match in the join itself).  Both the
+    int and string paths are vectorized (`parthash` — the r3 string
+    path was a per-row ``to_pylist()`` + crc32 loop over FULL join
+    inputs for url-keyed joins)."""
     if pa.types.is_integer(arr.type):
         v = np.asarray(pc.fill_null(arr, 0).combine_chunks()
                        .cast(pa.int64()), dtype=np.int64)
         h = (v * np.int64(-7046029254386353131)) >> np.int64(32)
         return pa.array((h % n_parts).astype(np.int32))
-    vals = arr.to_pylist()
-    return pa.array(
-        [0 if x is None else zlib.crc32(str(x).encode()) % n_parts
-         for x in vals], pa.int32())
+    return partition_ids(arr, n_parts)
 
 
 def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,

@@ -38,18 +38,57 @@ _HLL_CACHE: dict = {}
 _HLL_CACHE_CAP = 1 << 20
 
 
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact elementwise ``int.bit_length`` for uint64 (6 shift
+    passes — no float log2, whose 53-bit mantissa mis-rounds near
+    power-of-two boundaries above 2^53)."""
+    bl = np.zeros(len(w), dtype=np.int64)
+    v = w.astype(np.uint64, copy=True)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << shift)
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl += (v > 0)
+    return bl
+
+
 def _bucket_rho(value) -> tuple[int, int]:
     """Deterministic (register index, rho) for one value."""
-    key = str(value)
-    hit = _HLL_CACHE.get(key)
-    if hit is not None:
-        return hit
-    hx = hashlib.md5(key.encode()).hexdigest()
-    idx = int(hx[0:2], 16)
-    w = int(hx[2:17], 16)
-    rho = _RHO_CAP if w == 0 else 60 - w.bit_length() + 1
-    if len(_HLL_CACHE) < _HLL_CACHE_CAP:
-        _HLL_CACHE[key] = (idx, rho)
+    idx, rho = _bucket_rho_many([value])
+    return int(idx[0]), int(rho[0])
+
+
+def _bucket_rho_many(values) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (register index, rho) for a sequence of values:
+    cache lookups per value, ONE md5 digest-concat + numpy parse pass
+    for the misses (the r3 per-distinct-value Python md5+hex loop)."""
+    keys = [str(v) for v in values]
+    n = len(keys)
+    idx = np.empty(n, dtype=np.int64)
+    rho = np.empty(n, dtype=np.int64)
+    get = _HLL_CACHE.get
+    miss = []
+    for i, k in enumerate(keys):
+        hit = get(k)
+        if hit is None:
+            miss.append(i)
+        else:
+            idx[i], rho[i] = hit
+    if miss:
+        md5 = hashlib.md5
+        buf = b"".join([md5(keys[i].encode()).digest() for i in miss])
+        d = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+        midx = d[:, 0].astype(np.int64)            # hex[0:2]
+        # hex[2:17] = 15 nibbles: bytes 1..8 big-endian, drop low nibble
+        w = (d[:, 1:9].copy().view(">u8").ravel().astype(np.uint64)
+             >> np.uint64(4))
+        mrho = 61 - _bit_length_u64(w)             # w==0 → 61 = _RHO_CAP
+        idx[miss] = midx
+        rho[miss] = mrho
+        if len(_HLL_CACHE) < _HLL_CACHE_CAP:
+            _HLL_CACHE.update(zip(
+                (keys[i] for i in miss),
+                zip(midx.tolist(), mrho.tolist())))
     return idx, rho
 
 
@@ -60,22 +99,19 @@ def hll_registers(ds, key_col: str, val_col: str):
 
     def partial(b: pa.Table) -> pa.Table:
         # local distinct via one vectorized drop_duplicates (C-speed),
-        # python only over the distinct (key, value) pairs — md5 is
-        # cached process-wide on top
+        # batched md5 over the distinct values, C-speed groupby-max
         df = (b.select([key_col, val_col]).to_pandas()
               .drop_duplicates([key_col, val_col]))
-        regs: dict = {}        # (key, idx) → rho max
-        for k, v in zip(df[key_col], df[val_col]):
-            idx, rho = _bucket_rho(v)
-            kk = (k, idx)
-            if rho > regs.get(kk, 0):
-                regs[kk] = rho
-        items = sorted(regs.items())
+        idx, rho = _bucket_rho_many(df[val_col].tolist())
+        regs = (pd.DataFrame({key_col: df[key_col].to_numpy(),
+                              "reg_idx": idx, "reg_val": rho})
+                .groupby([key_col, "reg_idx"], sort=True)["reg_val"]
+                .max().reset_index())
         return pa.table({
-            key_col: pa.array([k for (k, _), _ in items],
+            key_col: pa.array(regs[key_col],
                               type=b.schema.field(key_col).type),
-            "reg_idx": pa.array([i for (_, i), _ in items], pa.int64()),
-            "reg_val": pa.array([r for _, r in items], pa.int64()),
+            "reg_idx": pa.array(regs["reg_idx"], pa.int64()),
+            "reg_val": pa.array(regs["reg_val"], pa.int64()),
         })
 
     return (ds.map_batches(partial, batch_format="pyarrow")

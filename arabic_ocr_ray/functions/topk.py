@@ -14,13 +14,11 @@ table for a k-row answer; these operators move at most
 
 from __future__ import annotations
 
-import zlib
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from .arrowout import arrow_clean
+from .parthash import partition_ids
 
 _PARTITIONS = 32
 
@@ -37,8 +35,14 @@ def _sorted_head(df: pd.DataFrame, group_cols, sort_col: str, k: int,
 
 
 def topk(ds, sort_col: str, k: int, descending: bool = True,
-         tie_cols: tuple = ()):
-    """Global top-k → small pandas DataFrame (≤ k rows)."""
+         tie_cols: tuple = (), combine_partitions: int = 8):
+    """Global top-k → small pandas DataFrame (≤ k rows).
+
+    Two combine levels: per-block partials → one fixed-width
+    repartition + per-block head (tree combine) → driver head.  The
+    driver sees ≤ ``combine_partitions × k`` rows regardless of input
+    block count (at ~10⁶ blocks / 100 TB, a single-level combine would
+    ship blocks × k ≈ 10⁷ rows to the driver)."""
     def partial(b: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(
             _sorted_head(b.to_pandas(), (), sort_col, k, descending,
@@ -46,7 +50,9 @@ def topk(ds, sort_col: str, k: int, descending: bool = True,
         ).replace_schema_metadata(None)
 
     merged = (ds.map_batches(partial, batch_format="pyarrow")
-              .to_pandas())  # ≤ k × blocks rows
+              .repartition(combine_partitions)  # ≤ k×blocks tiny rows
+              .map_batches(partial, batch_format="pyarrow")
+              .to_pandas())  # ≤ k × combine_partitions rows
     return (_sorted_head(merged, (), sort_col, k, descending, tie_cols)
             .reset_index(drop=True))
 
@@ -56,8 +62,8 @@ def grouped_topk(ds, group_cols, sort_col: str, k: int,
                  num_partitions: int = _PARTITIONS,
                  with_rank: bool = True):
     """→ Dataset(group_cols..., other cols..., rank) — top-k rows per
-    group.  Shuffle key: ``crc32(group) % num_partitions`` over the
-    ≤ blocks × groups × k partial rows only."""
+    group.  Shuffle key: ``parthash(group cols) % num_partitions`` over
+    the ≤ blocks × groups × k partial rows only."""
     group_cols = list(group_cols)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -67,12 +73,9 @@ def grouped_topk(ds, group_cols, sort_col: str, k: int,
         ).replace_schema_metadata(None)
 
     def add_pk(b: pa.Table) -> pa.Table:
-        key = b.column(group_cols[0]).to_pylist()
-        for c in group_cols[1:]:
-            key = [f"{a}|{x}" for a, x in
-                   zip(key, b.column(c).to_pylist())]
-        pk = [zlib.crc32(str(x).encode()) % num_partitions for x in key]
-        return b.append_column("pk", pa.array(pk, pa.int32()))
+        pk = partition_ids([b.column(c) for c in group_cols],
+                           num_partitions)
+        return b.append_column("pk", pk)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["pk"])

@@ -28,6 +28,21 @@ def test_topk_global(ray_session):
     pd.testing.assert_frame_equal(out, exp[out.columns])
 
 
+def test_topk_tree_combine(ray_session):
+    """The driver must see ≤ combine_partitions × k rows regardless of
+    block count — and the answer must match a plain sort."""
+    import ray.data as rd
+
+    t = _tbl(n=2000, seed=9)
+    for parts in (1, 3, 16):
+        out = topk(rd.from_arrow(t).repartition(40), "val", 5,
+                   tie_cols=("key",), combine_partitions=parts)
+        exp = (t.to_pandas().sort_values(["val", "key"],
+                                         ascending=[False, True])
+               .head(5).reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, exp[out.columns])
+
+
 def test_grouped_topk(ray_session):
     import ray.data as rd
 

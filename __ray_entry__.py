@@ -688,11 +688,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            num_partitions=16)
 
         def finish(b: pa.Table) -> pa.Table:
+            # NO final rounding: the integer e4 fold is exact, and the
+            # single IEEE division by 10000 is bit-identical to the
+            # oracle's CAST(sum_e4 AS DOUBLE)/10000 (a final round(,2)
+            # would reintroduce half-to-even vs half-away tie drift on
+            # exactly-representable .XX5 doubles)
             return pa.table({
                 "l_orderkey": b.column("l_orderkey"),
-                "revenue": pc.round(
-                    pc.divide(pc.cast(b.column("rev_e4"),
-                                      pa.float64()), 10000.0), 2),
+                "revenue": pc.divide(pc.cast(b.column("rev_e4"),
+                                             pa.float64()), 10000.0),
                 "o_orderdate": b.column("o_orderdate"),
                 "o_orderpriority": b.column("o_orderpriority"),
             })
@@ -795,11 +799,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def finish(b: pa.Table) -> pa.Table:
             names = [nk2name[k] for k in
                      b.column("s_nationkey").to_pylist()]
+            # no final round(,2): see q3 finish() — the single IEEE
+            # division matches the oracle bit-for-bit
             return pa.table({
                 "n_name": pa.array(names, pa.string()),
-                "revenue": pc.round(
-                    pc.divide(pc.cast(b.column("rev_e4"),
-                                      pa.float64()), 10000.0), 2),
+                "revenue": pc.divide(pc.cast(b.column("rev_e4"),
+                                             pa.float64()), 10000.0),
             })
 
         return per_nat.map_batches(finish, batch_format="pyarrow")
@@ -811,8 +816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         month filter prunes lineitem at the read, and the final
         global sums fold map-side as EXACT integers (rev_e4 = cents x
         (100 − discount_pct); one partial row per block, driver
-        tree-sum over ints — order-independent, so the rounded
-        oracle comparison can never drift)."""
+        tree-sum over ints — order-independent, and the only float op
+        is one final IEEE division, so the oracle comparison can never
+        drift)."""
         import numpy as np
         import pandas as pd
         import pyarrow as pa
@@ -862,11 +868,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         parts_df = (j.map_batches(partial, batch_format="pyarrow")
                     .to_pandas())
+        # no final round(,2): see q3 finish() — one IEEE division of
+        # the exact integer sum matches the oracle bit-for-bit
         return pd.DataFrame({
-            "promo_rev": [round(int(parts_df["promo_e4"].sum())
-                                / 10000.0, 2)],
-            "total_rev": [round(int(parts_df["total_e4"].sum())
-                                / 10000.0, 2)],
+            "promo_rev": [int(parts_df["promo_e4"].sum()) / 10000.0],
+            "total_rev": [int(parts_df["total_e4"].sum()) / 10000.0],
         })
 
     def q_top_orders(sf_dir: str, k: int = 10):
@@ -1634,11 +1640,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "q14_promo_revenue": (
-            "SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' "
+            # no round(,2) finish on either side: the e4 integer sum is
+            # exact and the single /10000 DOUBLE division is the same
+            # IEEE op the engine performs (round()'s half-away ties vs
+            # pyarrow's half-even would otherwise drift by 0.01)
+            "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' "
             "THEN CAST(round(l_extendedprice * 100) AS BIGINT) * "
             "(100 - CAST(round(l_discount * 100) AS BIGINT)) "
-            "ELSE 0 END) AS DOUBLE) / 10000, 2) AS promo_rev, "
-            "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000, 2) "
+            "ELSE 0 END) AS DOUBLE) / 10000 AS promo_rev, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
             "AS total_rev FROM lineitem, part "
             "WHERE l_partkey = p_partkey "
             "AND l_shipdate >= TIMESTAMP '1996-09-01' "
@@ -1646,7 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q5_local_supplier": (
             "SELECT n_name, "
-            "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000, 2) "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
             "AS revenue "
             "FROM customer, orders, lineitem, supplier, nation, region "
             "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
@@ -1659,7 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q3_shipping": (
             "SELECT l_orderkey, "
-            "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000, 2) "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
             "AS revenue, o_orderdate, o_orderpriority "
             "FROM customer, orders, lineitem "
             "WHERE c_mktsegment = 'BUILDING' "

@@ -118,7 +118,15 @@ def anti_join_bloom(left_ds, right_ds, on: str,
     probing the bitmap.  Read amplification beats shuffle
     amplification when the match rate is high; when the left side is
     re-read-expensive and mostly non-matching, use plain
-    ``hash_join(how="anti")`` instead."""
+    ``hash_join(how="anti")`` instead.
+
+    DETERMINISM REQUIREMENT: because ``left_ds`` executes twice, its
+    plan must yield the same rows on both passes — a plain read or
+    deterministic map chain qualifies; a plan containing ``limit()``,
+    sampling, or other nondeterministic operators can give the two
+    branches different row sets (duplicating or dropping output rows
+    vs ``hash_join(how="anti")``).  Materialize such inputs first
+    (``left_ds = left_ds.materialize()``) before calling."""
     import ray
 
     from .joins import hash_join

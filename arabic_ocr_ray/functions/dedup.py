@@ -530,7 +530,14 @@ def dedup_connected_components(pairs_ds, num_partitions: int = 8,
         tbls = [t for t in ray.get(edges.to_arrow_refs())
                 if t.num_rows]
         if not tbls:
-            id_type = pa.int64()
+            # typed empty from the INPUT's id type (string-id graphs
+            # must not emit an int64-schema empty that mismatches
+            # non-empty runs for union/join consumers)
+            sch = pairs_ds.schema()
+            id_type = sch.types[sch.names.index("a")]
+            if not isinstance(id_type, pa.DataType):
+                from .joins import _pa_type
+                id_type = _pa_type(id_type)
             return rd.from_arrow(pa.table({
                 "doc_id": pa.array([], id_type),
                 "cluster_id": pa.array([], id_type)}))

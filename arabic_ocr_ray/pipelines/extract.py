@@ -267,14 +267,13 @@ def run_extract(
         # covering old + new rows: from the stat sidecars if they
         # were complete before the run, else from the output itself
         partials.count()
-        import ray.data as rd
-
-        src = stats_root if had_stats else out_dir
-        from ..state.lineage import write_lineage_from
-
-        write_lineage_from(
-            rd.read_parquet(src, columns=stat_cols),
-            out_dir, num_partitions=num_partitions)
+        # use_sidecars must reflect the PRE-run state: if the old
+        # output predates the sidecar layout, this run's new sidecars
+        # alone would miss every pre-existing row.  The sidecar path
+        # also folds in any orphaned data files (crash between the
+        # data and sidecar renames of an earlier run).
+        write_lineage(out_dir, num_partitions=num_partitions,
+                      use_sidecars=had_stats)
 
     stats = rd.read_parquet(
         os.path.join(out_dir, "_lineage", "manifest.parquet")

@@ -199,20 +199,63 @@ def write_lineage_from(stats_ds, out_dir: str,
     os.replace(tmp, os.path.join(path, "manifest.parquet"))
 
 
-def write_lineage(out_dir: str, num_partitions: int | None = None) -> None:
+def orphan_data_files(out_dir: str) -> list[str]:
+    """``data_<digest>.parquet`` files with no matching
+    ``stats_<digest>.parquet`` sidecar.  ``run_extract.write_block``
+    renames the data file BEFORE its stat sidecar (data-first: a crash
+    between the two renames can never LOSE rows, only orphan them from
+    the sidecar view); this detects the orphans so a lineage rebuild
+    counts their rows and a resume skips their urls instead of
+    re-extracting them into duplicates."""
+    sdir = urls_dir(out_dir)
+    have = set()
+    if os.path.isdir(sdir):
+        have = {f[len("stats_"):-len(".parquet")]
+                for f in os.listdir(sdir)
+                if f.startswith("stats_") and f.endswith(".parquet")}
+    out = []
+    for f in sorted(os.listdir(out_dir)):
+        if f.startswith("data_") and f.endswith(".parquet"):
+            digest = f[len("data_"):-len(".parquet")]
+            if digest not in have:
+                out.append(os.path.join(out_dir, f))
+    return out
+
+
+def write_lineage(out_dir: str, num_partitions: int | None = None,
+                  use_sidecars: bool | None = None) -> None:
     """(Re)build lineage from data already ON DISK: prefers the tiny
-    per-block stat sidecars (``_lineage/urls``, ~70 B/doc) and falls
-    back to a pruned re-read of the output itself (outputs written by
-    other means).  ``run_extract``'s fresh-run path never calls this —
-    it folds manifest partials into the write pass with no shuffle;
-    this form serves resume-time (re)builds and standalone
-    regeneration."""
+    per-block stat sidecars (``_lineage/urls``, ~70 B/doc) plus a
+    pruned read of any ORPHANED data files (sidecar rename lost to a
+    crash — see :func:`orphan_data_files`), and falls back to a pruned
+    re-read of the whole output (outputs written by other means).
+    ``run_extract``'s fresh-run path never calls this — it folds
+    manifest partials into the write pass with no shuffle; this form
+    serves resume-time (re)builds and standalone regeneration."""
     import ray.data as rd
 
-    src = urls_dir(out_dir) if has_stat_sidecars(out_dir) else out_dir
+    if use_sidecars is None:
+        use_sidecars = has_stat_sidecars(out_dir)
+    if use_sidecars:
+        sdir = urls_dir(out_dir)
+        # explicit file list: read_parquet can't mix a directory path
+        # with the orphan FILE paths below
+        srcs = [os.path.join(sdir, f) for f in sorted(os.listdir(sdir))
+                if f.endswith(".parquet")]
+        orphans = orphan_data_files(out_dir)
+        if orphans:
+            import logging
+
+            logging.getLogger("arabic_ocr_ray").warning(
+                "lineage: %d data file(s) lack a stat sidecar "
+                "(crash between renames?); folding their rows into "
+                "the rebuild", len(orphans))
+            srcs += orphans
+    else:
+        srcs = [out_dir]
     stats_ds = rd.read_parquet(
-        src, columns=["url", "part", "status",
-                      "html_bytes", "n_content_spans"])
+        srcs, columns=["url", "part", "status",
+                       "html_bytes", "n_content_spans"])
     write_lineage_from(stats_ds, out_dir, num_partitions)
 
 

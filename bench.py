@@ -227,6 +227,19 @@ def main() -> None:
     entrymod.queries()["q5_local_supplier"](SF_DIR).to_pandas()
     queries["q5"] = round(time.monotonic() - t0, 3)
 
+    # multi-join family (regressions here were invisible before r4)
+    t0 = time.monotonic()
+    entrymod.queries()["q3_shipping"](SF_DIR)
+    queries["q3"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    entrymod.queries()["q14_promo_revenue"](SF_DIR)
+    queries["q14"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    entrymod.queries()["events_range_join"](SF_DIR).count()
+    queries["range_join"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "pages_extraction_wall_sec",
         "value": queries["extract"],
@@ -279,8 +292,8 @@ def scaling() -> None:
     mode = os.environ.get("GRAFT_SCALING_MODE", "dense")
     total = os.cpu_count() or hi
 
-    def measure(ncpu: int, reps: int) -> list:
-        burn = (total - ncpu) if mode == "dense" else 0
+    def measure(ncpu: int, reps: int, smode: str | None = None) -> list:
+        burn = (total - ncpu) if (smode or mode) == "dense" else 0
         code = ("import time\nx=0\nwhile True:\n"
                 "  for i in range(100000):\n"
                 "    x=(x*1000003+i)&0xFFFFFFFFFFFFFFFF")
@@ -295,12 +308,21 @@ def scaling() -> None:
             for p in procs:
                 p.wait()
 
+    import statistics
+
     runs_lo = measure(lo, rep_lo)
     runs_hi = measure(hi, rep_hi)
     r_lo = max(runs_lo, key=lambda r: r["docs_per_s"])
     r_hi = max(runs_hi, key=lambda r: r["docs_per_s"])
     eff = (r_hi["docs_per_s"] / r_lo["docs_per_s"]) / (hi / lo)
-    print(json.dumps({
+    # ADVICE r3: max-of-N per end + a burner-loaded low end bias the
+    # headline upward — report median-of-N alongside max, and one
+    # PLAIN-mode (no burners) sample pair so BASELINE.md comparisons
+    # are never mode-dependent
+    med_lo = statistics.median(r["docs_per_s"] for r in runs_lo)
+    med_hi = statistics.median(r["docs_per_s"] for r in runs_hi)
+    eff_median = (med_hi / med_lo) / (hi / lo)
+    out = {
         "sf": r_lo["sf"],
         "docs": r_lo["docs"],
         f"docs_per_s_{lo}": r_lo["docs_per_s"],
@@ -308,11 +330,21 @@ def scaling() -> None:
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(eff_median, 3),
         "repeats": [rep_lo, rep_hi],
         "mode": mode,
         f"runs_{lo}": [r["docs_per_s"] for r in runs_lo],
         f"runs_{hi}": [r["docs_per_s"] for r in runs_hi],
-    }))
+    }
+    if mode == "dense" and os.environ.get("GRAFT_SCALING_PLAIN",
+                                          "1") != "0":
+        p_lo = measure(lo, 1, smode="plain")[0]
+        p_hi = measure(hi, 1, smode="plain")[0]
+        out["scaling_efficiency_plain"] = round(
+            (p_hi["docs_per_s"] / p_lo["docs_per_s"]) / (hi / lo), 3)
+        out[f"plain_docs_per_s_{lo}"] = p_lo["docs_per_s"]
+        out[f"plain_docs_per_s_{hi}"] = p_hi["docs_per_s"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -437,6 +437,22 @@ def test_connected_components_distributed_string_ids(ray_session):
     assert out.loc[["u/x", "u/y"], "cluster_id"].tolist() == ["u/x"] * 2
 
 
+def test_connected_components_empty_pairs_keeps_id_type(ray_session):
+    """ADVICE r3: an EMPTY pair set must emit the input's id type
+    (string), not a hardcoded int64 — consumers that union results
+    across runs would otherwise hit a schema mismatch."""
+    import ray.data as rd
+
+    for id_type in (pa.string(), pa.int64()):
+        pairs = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type)})
+        out = dedup.dedup_connected_components(rd.from_arrow(pairs))
+        sch = out.schema()
+        assert out.count() == 0
+        assert sch.types[sch.names.index("doc_id")] == id_type
+        assert sch.types[sch.names.index("cluster_id")] == id_type
+
+
 def test_simhash_pairs_match_bruteforce_with_caps(ray_session,
                                                   monkeypatch):
     """simhash_dup_pairs ≡ brute force under the cap contract: a pair

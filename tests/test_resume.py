@@ -191,3 +191,52 @@ def test_superseded_error_rows_compacted(ray_session, tmp_path):
     side = pq.read_table(str(out / "_lineage" / "done_urls"
                              / "part=3.parquet"))
     assert sorted(side.column("url").to_pylist()) == ["a", "b"]
+
+
+def test_orphaned_data_file_reconciled_on_resume(ray_session,
+                                                 default_model, tmp_path):
+    """ADVICE r3: write_block renames the data parquet before its stat
+    sidecar; a crash between the two leaves an ORPHANED data file whose
+    urls the sidecar-derived done-set would miss — the resume rebuild
+    must fold the orphan's rows back in (no duplicate re-extraction,
+    manifest counts exact)."""
+    import os
+
+    from arabic_ocr_ray.state.lineage import orphan_data_files
+
+    full = pages_table(60, seed=14)
+    part_path = str(tmp_path / "pages_part.parquet")
+    full_path = str(tmp_path / "pages_full.parquet")
+    pq.write_table(full.slice(0, 30), part_path, row_group_size=10)
+    pq.write_table(full, full_path, row_group_size=10)
+    out = str(tmp_path / "out")
+
+    m1 = run_extract(part_path, out, batch_size=8, concurrency=2,
+                     num_partitions=8)
+    assert m1["docs"] == 30
+
+    # simulate the crash: delete ONE block's stat sidecar (its data
+    # file survives)
+    sdir = os.path.join(out, "_lineage", "urls")
+    victim = sorted(f for f in os.listdir(sdir)
+                    if f.startswith("stats_"))[0]
+    digest = victim[len("stats_"):-len(".parquet")]
+    orphan_path = os.path.join(out, f"data_{digest}.parquet")
+    assert os.path.exists(orphan_path)
+    orphan_urls = set(pq.read_table(orphan_path, columns=["url"])
+                      .column("url").to_pylist())
+    assert orphan_urls
+    os.remove(os.path.join(sdir, victim))
+    assert orphan_data_files(out) == [orphan_path]
+
+    # resumed run: the orphan's urls must be SKIPPED, not re-extracted
+    m2 = run_extract(full_path, out, batch_size=8, concurrency=2,
+                     num_partitions=8)
+    assert m2["resume_mode"] == "partition"
+    assert m2["skipped_resume"] == 30
+
+    tbl = _read_out(out)
+    assert tbl.num_rows == 60          # no duplicates
+    assert len(set(tbl.column("url").to_pylist())) == 60
+    lin = read_lineage(out)
+    assert sum(lin.column("docs").to_pylist()) == 60

@@ -233,19 +233,23 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
     f_app = flags.append
     m_app = match.append
     tag_info = _tag_info
+    tag_cache_get = _TAG_INFO.get  # inline the hit path (~95% of tags)
     block_tags = BLOCK_TAGS
     void_tags = VOID_TAGS
 
+    n_tok = 0     # == len(weights); counter beats 1M len() calls
+    depth = 0     # == len(stack)
     for m in _TAG_OR_TEXT_RE.finditer(doc):
-        tag_body, text = m.group(1, 2)
-        if tag_body is not None:
-            body = tag_body.strip()
+        if m.lastindex == 1:  # tag (single-group fetch beats group(1,2))
+            body = m.group(1).strip()
             if body.startswith(("!", "?")):
                 continue  # doctype / processing instruction: no token
-            closing, name, self_closing = tag_info(body)
+            info = tag_cache_get(body)
+            closing, name, self_closing = info if info is not None \
+                else tag_info(body)
             if not name:
                 continue
-            idx = len(weights)
+            idx = n_tok
             # Depth convention: an element's open and close tokens carry
             # its *inside* depth (same depth as its text content), so a
             # nested element is one contiguous deeper excursion —
@@ -254,17 +258,18 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                 # Error recovery: pop through a matching open if one is
                 # on the stack, else ignore the stray close.
                 found = -1
-                for si in range(len(stack) - 1, -1, -1):
+                for si in range(depth - 1, -1, -1):
                     if stack[si][0] == name:
                         found = si
                         break
                 if found < 0:
                     continue
-                while len(stack) > found:
+                while depth > found:
                     popped_tag, open_idx = stack.pop()
+                    depth -= 1
                     if popped_tag == "a":
                         link_depth -= 1
-                    if len(stack) == found:  # the matching open
+                    if depth == found:  # the matching open
                         match[open_idx] = idx
                         partner = open_idx
                 w_app(0)
@@ -280,7 +285,7 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                 opens = name not in void_tags and not self_closing
                 is_a = name == "a"
                 w_app(0)
-                d_app(len(stack) + 1 if opens else len(stack))
+                d_app(depth + 1 if opens else depth)
                 t_app(""); g_app(name)
                 f_app(
                     (_F_OPEN if opens else 0)
@@ -291,9 +296,12 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                 m_app(-1)
                 if opens:
                     stack.append((name, idx))
+                    depth += 1
                     if is_a:
                         link_depth += 1
+            n_tok = idx + 1
         else:
+            text = m.group(2)
             if "&" in text:  # entity fast path: unescape is a no-op
                 text = _htmlmod.unescape(text)  # without an ampersand
             t = " ".join(text.split())  # ≡ _WS_RE.sub(" ", ·).strip()
@@ -302,10 +310,11 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
             if normalize_ar:
                 t = t.replace(COMPOSITE, COMPOSITE_SENTINEL)
             w_app(len(t))
-            d_app(len(stack))
+            d_app(depth)
             t_app(t); g_app("")
             f_app(_F_INLINK if link_depth else 0)
             m_app(-1)
+            n_tok += 1
 
     w = np.asarray(weights, dtype=np.int32)
     k = np.where(w > 0, TEXT, MARKUP).astype(np.int8)

@@ -643,64 +643,82 @@ def _bit_rows(hs: np.ndarray) -> np.ndarray:
     return (2 * bits.astype(np.int8) - 1)
 
 
-def _token_bit_rows(uniq: np.ndarray) -> np.ndarray:
-    """(U,) unique token strings → (U, 64) int8 ±1 rows, cached."""
-    global _TOKEN_MAT, _TOKEN_N
-    missing = [t for t in uniq if t not in _TOKEN_BITS]
-    if missing and _TOKEN_N + len(missing) <= _TOKEN_CACHE_CAP:
-        rows = _bit_rows(_md5_u64(missing))
-        need = _TOKEN_N + len(missing)
-        if need > len(_TOKEN_MAT):  # geometric growth, amortized O(1)
-            grown = np.empty((max(need, 2 * len(_TOKEN_MAT), 4096), 64),
-                             dtype=np.int8)
-            grown[:_TOKEN_N] = _TOKEN_MAT[:_TOKEN_N]
-            _TOKEN_MAT = grown
-        _TOKEN_MAT[_TOKEN_N:need] = rows
-        _TOKEN_BITS.update(zip(missing, range(_TOKEN_N, need)))
-        _TOKEN_N = need
-        missing = []
-    if not missing:
-        idx = np.fromiter((_TOKEN_BITS[t] for t in uniq),
-                          dtype=np.int64, count=len(uniq))
-        return _TOKEN_MAT[idx]
-    # cache full: serve this batch without inserting
-    rows = _bit_rows(_md5_u64(missing))
-    tmp = dict(zip(missing, range(len(missing))))
-    out = np.empty((len(uniq), 64), dtype=np.int8)
-    for i, t in enumerate(uniq):
-        j = _TOKEN_BITS.get(t)
-        out[i] = rows[tmp[t]] if j is None else _TOKEN_MAT[j]
-    return out
-
-
 def simhash_many(texts: list) -> np.ndarray:
-    """Vectorized simhash for a batch → (n,) uint64."""
-    all_toks: list[str] = []
-    bounds = [0]
-    for t in texts:
-        all_toks.extend(_TOKEN_RE.findall((t or "").lower()))
-        bounds.append(len(all_toks))
-    out = np.zeros(len(texts), dtype=np.uint64)
-    if not all_toks:
+    """Vectorized simhash for a batch → (n,) uint64.
+
+    Token ids come straight from the process-level cache dict (one
+    ``dict.get`` per occurrence) — the r3 path materialized every
+    occurrence as a Python string array and ``np.unique``d it, whose
+    object-dtype argsort was ~40 % of the stage's core-seconds.  Only
+    genuinely NEW tokens pay md5 (batched digest-concat)."""
+    global _TOKEN_MAT, _TOKEN_N
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    tb_get = _TOKEN_BITS.get
+    findall = _TOKEN_RE.findall
+    ids_list: list[int] = []
+    app = ids_list.append
+    bounds = np.empty(n + 1, dtype=np.int64)
+    bounds[0] = 0
+    miss: dict[str, int] = {}
+    m_get = miss.get
+    total = 0
+    for di, t in enumerate(texts):
+        toks = findall((t or "").lower())
+        total += len(toks)
+        bounds[di + 1] = total
+        for tok in toks:
+            i = tb_get(tok)
+            if i is None:
+                i = m_get(tok)
+                if i is None:  # provisional negative id
+                    i = miss[tok] = -len(miss) - 1
+            app(i)
+    if total == 0:
         return out
-    uniq, inv = np.unique(np.array(all_toks), return_inverse=True)
-    starts = np.asarray(bounds[:-1])
-    ends = np.asarray(bounds[1:])
-    lens = ends - starts
+    ids = np.array(ids_list, dtype=np.int64)
+    if miss:
+        mtoks = list(miss.keys())
+        rows_miss = _bit_rows(_md5_u64(mtoks))
+        if _TOKEN_N + len(mtoks) <= _TOKEN_CACHE_CAP:
+            need = _TOKEN_N + len(mtoks)
+            if need > len(_TOKEN_MAT):  # geometric growth — the r3
+                # full-matrix np.concatenate per batch was an
+                # O(vocab²)-bytes cold start (39.7 vs 20.5 s warm)
+                grown = np.empty(
+                    (max(need, 2 * len(_TOKEN_MAT), 4096), 64),
+                    dtype=np.int8)
+                grown[:_TOKEN_N] = _TOKEN_MAT[:_TOKEN_N]
+                _TOKEN_MAT = grown
+            _TOKEN_MAT[_TOKEN_N:need] = rows_miss
+            _TOKEN_BITS.update(zip(mtoks, range(_TOKEN_N, need)))
+            _TOKEN_N = need
+            M = _TOKEN_MAT[:_TOKEN_N]
+        else:  # cache full: serve without inserting
+            M = (np.concatenate([_TOKEN_MAT[:_TOKEN_N], rows_miss])
+                 if _TOKEN_N else rows_miss)
+        # provisional -k-1 → _TOKEN_N_before + k (= M row index)
+        base = M.shape[0] - len(mtoks)
+        neg = ids < 0
+        ids[neg] = base + (-ids[neg] - 1)
+    else:
+        M = _TOKEN_MAT[:_TOKEN_N]
+    lens = np.diff(bounds)
     nz = lens > 0
     # collapse repeated (doc, token) occurrences to counts first —
     # stopword repetition roughly halves the expensive add pass —
     # then one weighted cumsum-diff segmented sum (np.add.reduceat on
     # the per-occurrence matrix measured ~10× slower)
-    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
-    U = len(uniq)
-    ukey, ucount = np.unique(doc_idx * U + inv, return_counts=True)
-    rows = (_token_bit_rows(uniq)[ukey % U].astype(np.int32)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    stride = np.int64(M.shape[0] if M.shape[0] else 1)
+    ukey, ucount = np.unique(doc_idx * stride + ids,
+                             return_counts=True)
+    rows = (M[ukey % stride].astype(np.int32)
             * ucount[:, None].astype(np.int32))   # (D, 64)
-    udoc = ukey // U
+    udoc = ukey // stride
     # per-doc segment boundaries inside the sorted (doc, token) rows
-    seg_starts = np.searchsorted(udoc, np.arange(len(texts)))
-    seg_ends = np.searchsorted(udoc, np.arange(len(texts)) + 1)
+    seg_starts = np.searchsorted(udoc, np.arange(n))
+    seg_ends = np.searchsorted(udoc, np.arange(n) + 1)
     csum = np.zeros((len(rows) + 1, 64), dtype=np.int32)
     np.cumsum(rows, axis=0, dtype=np.int32, out=csum[1:])
     acc = csum[seg_ends[nz]] - csum[seg_starts[nz]]

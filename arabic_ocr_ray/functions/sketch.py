@@ -151,18 +151,42 @@ CMS_WIDTH = 1024
 _CMS_CACHE: dict = {}
 
 
-def _cms_bucket(row: int, token: str) -> int:
+def _cms_bucket(row: int, token: str, width: int = CMS_WIDTH) -> int:
     """Deterministic bucket: first 8 md5 hex chars of ``row|token``
     mod width — mirrored EXACTLY by the SQL twin's instr() hex fold."""
-    key = (row, token)
-    hit = _CMS_CACHE.get(key)
-    if hit is not None:
-        return hit
-    hx = hashlib.md5(f"{row}|{token}".encode()).hexdigest()
-    b = int(hx[:8], 16) % CMS_WIDTH
-    if len(_CMS_CACHE) < _HLL_CACHE_CAP:
-        _CMS_CACHE[key] = b
-    return b
+    return int(_cms_buckets_many(row, [token], width)[0])
+
+
+def _cms_buckets_many(row: int, tokens: list,
+                      width: int = CMS_WIDTH) -> np.ndarray:
+    """Vectorized buckets for one sketch row: cache lookups, then ONE
+    md5 digest-concat + numpy parse pass for the misses (same batching
+    as :func:`_bucket_rho_many`).  The cache stores the RAW 32-bit
+    value; ``% width`` applies at lookup (r3's ``_cms_bucket`` silently
+    ignored a non-default ``width``)."""
+    n = len(tokens)
+    raw = np.empty(n, dtype=np.int64)
+    get = _CMS_CACHE.get
+    miss = []
+    for i, t in enumerate(tokens):
+        hit = get((row, t))
+        if hit is None:
+            miss.append(i)
+        else:
+            raw[i] = hit
+    if miss:
+        md5 = hashlib.md5
+        pre = f"{row}|"
+        buf = b"".join([md5((pre + tokens[i]).encode()).digest()
+                        for i in miss])
+        d = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+        # int(hexdigest[:8], 16) == first 4 digest bytes big-endian
+        b = d[:, :4].copy().view(">u4").ravel().astype(np.int64)
+        raw[miss] = b
+        if len(_CMS_CACHE) < _HLL_CACHE_CAP:
+            _CMS_CACHE.update(zip(((row, tokens[i]) for i in miss),
+                                  b.tolist()))
+    return raw % width
 
 
 def cms_table(ds, col: str = "text", depth: int = CMS_DEPTH,
@@ -189,15 +213,23 @@ def cms_table(ds, col: str = "text", depth: int = CMS_DEPTH,
         c: Counter = Counter()
         for t in b.column(col).to_pylist():
             c.update(_WS_SPLIT.findall((t or "").lower()))
-        acc: Counter = Counter()
-        for tok, n in c.items():
-            for d in range(depth):
-                acc[(d, _cms_bucket(d, tok))] += n
-        items = sorted(acc.items())
+        toks = list(c.keys())
+        ns = np.fromiter(c.values(), dtype=np.int64, count=len(toks))
+        rows_out, buckets_out, n_out = [], [], []
+        for d in range(depth):
+            # vectorized bucket lookup + dense bincount fold (the r3
+            # per-(token,row) Python dict accumulate)
+            dense = np.zeros(width, dtype=np.int64)
+            if toks:
+                np.add.at(dense, _cms_buckets_many(d, toks, width), ns)
+            nz = np.flatnonzero(dense)
+            rows_out.append(np.full(len(nz), d, dtype=np.int64))
+            buckets_out.append(nz.astype(np.int64))
+            n_out.append(dense[nz])
         return pa.table({
-            "row": pa.array([k[0] for k, _ in items], pa.int64()),
-            "bucket": pa.array([k[1] for k, _ in items], pa.int64()),
-            "n": pa.array([v for _, v in items], pa.int64()),
+            "row": pa.array(np.concatenate(rows_out)),
+            "bucket": pa.array(np.concatenate(buckets_out)),
+            "n": pa.array(np.concatenate(n_out)),
         })
 
     # depth x width <= 4096 keys: cap the shuffle width (project

@@ -122,17 +122,21 @@ _SH_C2 = np.int64(5871781006564002453)
 
 
 def _token_crc_array(toks: list[str]) -> np.ndarray:
-    out = np.empty(len(toks), dtype=np.int64)
     cache = _TOKEN_CRC
+    get = cache.get
+    crc = zlib.crc32
     grow = len(cache) < _TOKEN_CRC_CAP
-    for j, t in enumerate(toks):
-        h = cache.get(t)
+    vals: list[int] = []
+    app = vals.append
+    for t in toks:
+        h = get(t)
         if h is None:
-            h = zlib.crc32(t.encode())
+            h = crc(t.encode())
             if grow:
                 cache[t] = h
-        out[j] = h
-    return out
+        app(h)
+    # one bulk list→array conversion beats per-element numpy stores
+    return np.array(vals, dtype=np.int64)
 
 
 def shingle_hashes_fast(text: str, k: int = 3) -> np.ndarray:

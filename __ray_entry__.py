@@ -455,6 +455,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _typed(dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3),
                       {"a": "int64", "b": "int64", "hamming": "int64"})
 
+    def q_jaccard_dup(sf_dir: str):
+        """EXACT n-gram-Jaccard self-join (prefix filter, 100% recall —
+        the deterministic complement to MinHash-LSH): every pair with
+        trigram Jaccard ≥ 0.7, no minimum-shingle gate."""
+        return _typed(dedup.jaccard_dup_pairs(_docs(sf_dir), threshold=0.7),
+                      {"a": "int64", "b": "int64", "jaccard_x1000": "int64"})
+
     def _emb(sf_dir: str):
         return _rp(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
@@ -1318,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "events_range_join": q_events_range_join,
         "curate_corpus": q_curate_corpus,
+        "jaccard_dup_pairs": q_jaccard_dup,
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
         "customers_without_events": q_customers_without_events,
@@ -1732,6 +1740,33 @@ def oracle_sql() -> dict[str, str]:
             r" JOIN cnt cb ON cb.doc_id = i.b"
             r" WHERE ca.n >= 5 AND cb.n >= 5"
             r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
+        "jaccard_dup_pairs": (
+            # EXACT self-join twin: same trigram-Jaccard CTE as
+            # near_dup_pairs but with NO minimum-shingle gate and
+            # threshold 0.7 — the engine's prefix-filter candidates
+            # guarantee 100% recall, so the oracle is the full
+            # quadratic join's answer, not an LSH approximation
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+')"
+            r" AS toks FROM documents"
+            r"), sh AS ("
+            r" SELECT DISTINCT doc_id,"
+            r" toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s"
+            r" FROM tk, unnest(generate_series(1, len(toks) - 2)) AS u(i)"
+            r"), cnt AS ("
+            r" SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id"
+            r"), inter AS ("
+            r" SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i"
+            r" FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            r" GROUP BY 1, 2"
+            r") SELECT i.a, i.b,"
+            r" CAST((i.i * 1000) // (ca.n + cb.n - i.i) AS BIGINT)"
+            r" AS jaccard_x1000"
+            r" FROM inter i JOIN cnt ca ON ca.doc_id = i.a"
+            r" JOIN cnt cb ON cb.doc_id = i.b"
+            r" WHERE i.i * 1000 >= 700 * (ca.n + cb.n - i.i)"
         ),
         "near_dup_clusters": (
             # recursive-CTE transitive closure over the SAME verified

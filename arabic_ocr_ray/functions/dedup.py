@@ -444,6 +444,164 @@ def near_dup_pairs(ds, threshold: float = 0.8,
         ds, threshold, col, id_col)
 
 
+# --- exact n-gram-Jaccard similarity self-join (prefix filter) ------------
+
+def _prefix_filter_candidates(ds, threshold: float, col: str,
+                              id_col: str, k: int = 3,
+                              num_partitions: int = _PAIR_PARTITIONS):
+    """→ Dataset(a, b) candidate pairs, EXACT recall.
+
+    All-Pairs / PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08 — public algorithms): order each doc's distinct
+    k-gram shingles by GLOBAL document frequency ascending (rarest
+    first), keep only the first ``n - ceil(t*n) + 1`` shingles (the
+    prefix), and hash-partition prefix rows by shingle.  Any pair with
+    true Jaccard ≥ t shares at least one shingle in both prefixes, so
+    the shingle-keyed self-merge has 100% recall — no LSH probability.
+    A length filter (``min(n_a,n_b) ≥ t·max(n_a,n_b)``) prunes the
+    merge output before the exact verify.
+
+    Shuffle shape (every stage a fixed-partition fold, no per-key
+    dispatch): explode (doc, shingle) → df groupby → df hash_join back
+    → per-doc prefix fold → shingle-keyed pair merge.  The df ordering
+    is what keeps prefix buckets small at scale: a shingle shared by
+    many docs has high df, so it lands in a prefix only for docs where
+    ~everything is common.  Buckets over MAX_BUCKET are processed
+    anyway (exactness contract) but logged.
+    """
+    thr_x1000 = int(round(threshold * 1000))
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(col).to_pylist()
+        id_type = b.schema.field(id_col).type
+        out_ids: list = []
+        sh_arrays: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            if len(toks) < k:
+                continue  # no k-grams — matches the SQL twin exactly
+            h = _token_crc_array(toks)
+            with np.errstate(over="ignore"):
+                combo = (h[:-2] * _SH_C1) ^ (h[1:-1] * _SH_C2) ^ h[2:]
+            sh = np.unique(combo)
+            out_ids.extend([i] * len(sh))
+            sh_arrays.append(sh)
+        shv = (np.concatenate(sh_arrays) if sh_arrays
+               else np.empty(0, dtype=np.int64))
+        return pa.table({
+            id_col: pa.array(out_ids, id_type),
+            "sh": pa.array(shv, pa.int64()),
+        })
+
+    ex = ds.select_columns([id_col, col]).map_batches(
+        explode, batch_format="pyarrow")
+    # the explode feeds two consumers (df count + join-back); pin it so
+    # the shingle scan does not run twice
+    ex = ex.materialize()
+
+    def add_spk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "spk", partition_ids([b.column("sh")], num_partitions))
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        t = (g.select(["sh", "spk"]).group_by("sh")
+             .aggregate([("spk", "count")]))
+        return pa.table({"sh": t.column("sh"),
+                         "df": t.column("spk_count").cast(pa.int64())})
+
+    df_tbl = (ex.map_batches(add_spk, batch_format="pyarrow")
+              .groupby("spk").map_groups(df_fold, batch_format="pyarrow"))
+
+    from .joins import hash_join
+
+    with_df = hash_join(ex, df_tbl, on="sh", num_partitions=num_partitions)
+
+    def add_dpk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "dpk", partition_ids([b.column(id_col)], num_partitions))
+
+    def prefix_fold(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            g, sort_keys=[(id_col, "ascending"), ("df", "ascending"),
+                          ("sh", "ascending")])
+        g = g.take(idx)
+        ids = np.asarray(g.column(id_col).to_pandas())
+        if len(ids) == 0:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             id_col: g.column(id_col),
+                             "n": pa.array([], pa.int64())})
+        # run-length boundaries over the id-sorted rows (order-agnostic,
+        # works for string ids too); integer-exact prefix length
+        # n - ceil(t*n) + 1
+        change = np.empty(len(ids), dtype=bool)
+        change[0] = True
+        change[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(ids)))
+        p = counts - (thr_x1000 * counts + 999) // 1000 + 1
+        rank = np.arange(len(ids)) - np.repeat(starts, counts)
+        keep = rank < np.repeat(p, counts)
+        kept = g.filter(pa.array(keep))
+        return pa.table({
+            "sh": kept.column("sh"),
+            id_col: kept.column(id_col),
+            "n": pa.array(np.repeat(counts, counts)[keep], pa.int64()),
+        })
+
+    prefixes = (with_df.map_batches(add_dpk, batch_format="pyarrow")
+                .groupby("dpk")
+                .map_groups(prefix_fold, batch_format="pyarrow"))
+
+    def add_ppk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ppk", partition_ids([b.column("sh")], num_partitions))
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("sh")[id_col].transform("size")
+        # exactness contract: oversized buckets are processed, not
+        # dropped — but logged so a skew blowup is visible
+        _log_capped(g, sizes, MAX_BUCKET,
+                    "prefix_filter (processed, not dropped)")
+        g2 = g.loc[sizes >= 2, ["sh", id_col, "n"]]
+        if g2.empty:
+            return pd.DataFrame({"a": g2[id_col], "b": g2[id_col]})
+        m = g2.merge(g2, on="sh", suffixes=("_x", "_y"))
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        # length filter: J ≥ t ⟹ min(n_a,n_b) ≥ t·max(n_a,n_b)
+        lo = np.minimum(m["n_x"], m["n_y"])
+        hi = np.maximum(m["n_x"], m["n_y"])
+        m = m[lo * 1000 >= thr_x1000 * hi]
+        out = (m[[f"{id_col}_x", f"{id_col}_y"]]
+               .drop_duplicates())
+        out.columns = ["a", "b"]
+        return out
+
+    return (prefixes.map_batches(add_ppk, batch_format="pyarrow")
+            .groupby("ppk")
+            .map_groups(arrow_clean(pair_fold),
+                        batch_format="pandas"))
+
+
+def jaccard_dup_pairs(ds, threshold: float = 0.7,
+                      col: str = "text", id_col: str = "doc_id"):
+    """EXACT n-gram Jaccard similarity self-join → (a, b,
+    jaccard_x1000), every pair with Jaccard ≥ threshold, guaranteed
+    (prefix-filter candidates have 100% recall — the deterministic
+    alternative to :func:`near_dup_pairs`' probabilistic MinHash-LSH;
+    use it when a dedup sweep must be provably complete).  No minimum
+    shingle-count gate: every doc with ≥ 3 tokens participates.
+
+    Same verified-pair contract as near_dup_pairs: candidates flow to
+    :func:`verify_pairs_jaccard` without their own dedup shuffle (the
+    verify partition co-locates all copies of a pair)."""
+    return verify_pairs_jaccard(
+        _prefix_filter_candidates(ds, threshold, col, id_col),
+        ds, threshold, col, id_col)
+
+
 #: Pair graphs at or below this many (directed) edges are solved with
 #: one driver-side union-find instead of the distributed loop: ONE
 #: Ray sort-shuffle round costs more wall-clock than scanning 2M edges

@@ -508,6 +508,79 @@ def test_simhash_pairs_match_bruteforce_with_caps(ray_session,
     assert got == exp and len(exp) > 0
 
 
+def _brute_jaccard_pairs(texts, thr_x1000, ids=None):
+    """Quadratic reference: integer trigram Jaccard over every pair of
+    docs with ≥ 3 tokens (the engine's participation rule)."""
+    import itertools
+
+    ids = list(range(len(texts))) if ids is None else ids
+    sets = {}
+    for i, t in zip(ids, texts):
+        if len(t.lower().split()) >= 3:  # test corpus is plain-ASCII
+            sets[i] = dedup.shingles(t)
+    exp = {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[i], sets[j]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter * 1000 >= thr_x1000 * union:
+            exp[(i, j)] = inter * 1000 // union
+    return exp
+
+
+def test_jaccard_dup_pairs_exact_recall_randomized(ray_session):
+    """Prefix-filter self-join ≡ brute force — EXACT recall is the
+    operator's contract (unlike LSH there is no probabilistic miss):
+    random word-soup docs with planted mutation families at several
+    similarity levels, including short docs near the 3-token floor."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(40)]
+    texts = []
+    for fam in range(6):
+        base = list(rng.choice(words, 25 + fam * 5))
+        for copy in range(3):
+            t = base[:]
+            for _ in range(copy * 2):  # 0, 2, 4 token mutations
+                t[rng.randint(len(t))] = words[rng.randint(len(words))]
+            texts.append(" ".join(t))
+    for i in range(25):  # noise + short docs
+        texts.append(" ".join(rng.choice(words, rng.randint(1, 8))))
+
+    out = (dedup.jaccard_dup_pairs(
+               rd.from_arrow(_docs_table(texts)), threshold=0.7)
+           .to_pandas())
+    got = {(a, b): j for a, b, j in
+           zip(out["a"], out["b"], out["jaccard_x1000"])}
+    exp = _brute_jaccard_pairs(texts, 700)
+    assert got == exp
+    assert len(out) == len(got)  # no duplicate pair rows
+    assert len(exp) >= 5  # the planted families actually pair
+
+
+def test_jaccard_dup_pairs_string_ids(ray_session):
+    import ray.data as rd
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "the quick brown fox jumps over the lazy cat today",
+             "completely different words in this entry altogether now",
+             "the quick brown fox jumps over the lazy dog today"]
+    ids = [f"u{i:02d}" for i in range(len(texts))]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = dedup.jaccard_dup_pairs(ds, threshold=0.6).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    exp = set(_brute_jaccard_pairs(texts, 600, ids=ids))
+    assert got == exp
+    assert ("u00", "u03") in got  # identical pair at J=1.0
+    j_dup = out.set_index(["a", "b"]).loc[("u00", "u03"),
+                                          "jaccard_x1000"]
+    assert int(j_dup) == 1000
+
+
 def test_curate_corpus_pipeline(ray_session):
     """Composed curation: gate drops short + digit-heavy docs, exact
     dedup keeps min id, near-dup drops the greater id of a >=0.8

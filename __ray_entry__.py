@@ -455,6 +455,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _typed(dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3),
                       {"a": "int64", "b": "int64", "hamming": "int64"})
 
+    def q_doc_decontaminate(sf_dir: str):
+        """Train/test decontamination sweep: docs sharing any verbatim
+        8-token gram with the held-out benchmark suite (doc_id % 10
+        == 0 — a deterministic stand-in for an eval set), with the
+        count of distinct contaminated grams.  Benchmark gram set is
+        broadcast once (ray.put); the corpus side streams."""
+        import numpy as np
+        import pyarrow as pa
+
+        docs = _docs(sf_dir)
+
+        def side(want_bench: bool):
+            def f(b: pa.Table) -> pa.Table:
+                ids = np.asarray(b.column("doc_id"), np.int64)
+                m = (ids % 10 == 0) if want_bench else (ids % 10 != 0)
+                return b.filter(pa.array(m))
+            return f
+
+        ref = dedup.benchmark_gram_ref(
+            docs.map_batches(side(True), batch_format="pyarrow"), k=8)
+        return _typed(
+            dedup.contamination_hits(
+                docs.map_batches(side(False), batch_format="pyarrow"),
+                ref, k=8),
+            {"doc_id": "int64", "n_hits": "int64"})
+
+    def q_mixture_resample(sf_dir: str):
+        """Domain-mixing resample: deterministic LCG-hash sampling to
+        target per-source permille weights — integer-exact rates, so
+        the SQL twin reproduces the exact surviving row set."""
+        from arabic_ocr_ray.functions import sampling
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "source"])
+        out = sampling.mixture_resample(
+            docs, {"src0": 40, "src1": 25, "src2": 10})
+        return _typed(out, {"doc_id": "int64", "source": "object"})
+
     def q_jaccard_dup(sf_dir: str):
         """EXACT n-gram-Jaccard self-join (prefix filter, 100% recall —
         the deterministic complement to MinHash-LSH): every pair with
@@ -1326,6 +1364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "curate_corpus": q_curate_corpus,
         "jaccard_dup_pairs": q_jaccard_dup,
+        "doc_decontaminate": q_doc_decontaminate,
+        "mixture_resample": q_mixture_resample,
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
         "customers_without_events": q_customers_without_events,
@@ -1740,6 +1780,47 @@ def oracle_sql() -> dict[str, str]:
             r" JOIN cnt cb ON cb.doc_id = i.b"
             r" WHERE ca.n >= 5 AND cb.n >= 5"
             r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
+        "mixture_resample": (
+            # integer-exact twin of sampling.mixture_resample:
+            # rate_s = min(1000, w_s·T // n_s), keep iff
+            # LCG(doc_id) % 1000 < rate_s
+            r"WITH w(source, wp) AS ("
+            r" VALUES ('src0', 40), ('src1', 25), ('src2', 10)"
+            r"), cnt AS ("
+            r" SELECT source, count(*) AS n,"
+            r" (SELECT count(*) FROM documents) AS t"
+            r" FROM documents GROUP BY 1"
+            r"), rates AS ("
+            r" SELECT c.source,"
+            r" least(1000, (w.wp * c.t) // c.n) AS rate"
+            r" FROM cnt c JOIN w USING (source)"
+            r") SELECT d.doc_id, d.source FROM documents d"
+            r" JOIN rates r USING (source)"
+            r" WHERE ((d.doc_id * 1103515245 + 12345) % 2147483648)"
+            r" % 1000 < r.rate"
+        ),
+        "doc_decontaminate": (
+            # distinct 8-gram join between the benchmark suite
+            # (doc_id % 10 == 0) and the rest of the corpus; n_hits =
+            # distinct contaminated grams per doc
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+') AS toks FROM documents"
+            r"), bg AS ("
+            r" SELECT DISTINCT "
+            + " || ' ' || ".join(f"toks[i+{j}]" for j in range(8)) +
+            r" AS g FROM tk,"
+            r" unnest(generate_series(1, len(toks) - 7)) AS u(i)"
+            r" WHERE doc_id % 10 = 0"
+            r"), dg AS ("
+            r" SELECT DISTINCT doc_id, "
+            + " || ' ' || ".join(f"toks[i+{j}]" for j in range(8)) +
+            r" AS g FROM tk,"
+            r" unnest(generate_series(1, len(toks) - 7)) AS u(i)"
+            r" WHERE doc_id % 10 <> 0"
+            r") SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits"
+            r" FROM dg JOIN bg USING (g) GROUP BY 1"
         ),
         "jaccard_dup_pairs": (
             # EXACT self-join twin: same trigram-Jaccard CTE as

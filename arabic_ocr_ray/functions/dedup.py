@@ -585,6 +585,104 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
                         batch_format="pandas"))
 
 
+# --- benchmark decontamination --------------------------------------------
+
+_FNV_P = np.int64(1099511628211)
+
+
+def ngram_hashes(text: str, k: int = 8) -> np.ndarray:
+    """Distinct k-gram hashes for one doc — cached per-token crc32,
+    vectorized FNV fold over the k-token window.  Docs with fewer than
+    k tokens have no k-grams (matches the SQL twin's generate_series)."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    m = len(toks) - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    h = _token_crc_array(toks)
+    with np.errstate(over="ignore"):
+        acc = h[0:m].copy()
+        for j in range(1, k):
+            acc = acc * _FNV_P ^ h[j:j + m]
+    return np.unique(acc)
+
+
+def _gram_rows(b: pa.Table, col: str, k: int) -> pa.Table:
+    out = [ngram_hashes(t, k) for t in b.column(col).to_pylist()]
+    g = np.unique(np.concatenate(out)) if out else np.empty(0, np.int64)
+    return pa.table({"g": pa.array(g, pa.int64())})
+
+
+def benchmark_gram_ref(bench_ds, k: int = 8, col: str = "text"):
+    """Benchmark suite → ray.put'd SORTED array of its distinct k-gram
+    hashes.  BOUNDED-SMALL-SIDE CONTRACT: a benchmark/eval suite is
+    thousands of docs — its gram set (≤ tokens count) fits comfortably
+    in the object store and is broadcast ONCE (ray.put), never
+    re-shipped per batch.  The corpus side streams."""
+    import ray
+
+    parts = (bench_ds.map_batches(lambda b: _gram_rows(b, col, k),
+                                  batch_format="pyarrow")
+             .take_all())
+    vals = np.asarray([r["g"] for r in parts], dtype=np.int64)
+    return ray.put(np.unique(vals))
+
+
+def contamination_hits(ds, bench_gram_ref, k: int = 8,
+                       col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset(doc_id, n_hits): corpus docs sharing ≥ 1 distinct
+    k-gram with the benchmark suite, with the count of distinct
+    contaminated grams — the standard train/test decontamination sweep
+    (n-gram collision against held-out benchmarks).  Pure streaming
+    map: the benchmark gram set arrives via the object store
+    (zero-copy numpy view in every task), membership is one
+    searchsorted per doc.  Hash-collision tolerance is the same
+    documented contract as the Jaccard operators (64-bit fold)."""
+    import ray
+
+    def f(b: pa.Table) -> pa.Table:
+        grams = ray.get(bench_gram_ref)  # local object-store hit
+        ids = b.column(id_col)
+        id_type = b.schema.field(id_col).type
+        out_id, out_n = [], []
+        for i, t in zip(ids.to_pylist(), b.column(col).to_pylist()):
+            dg = ngram_hashes(t, k)
+            if len(dg) == 0 or len(grams) == 0:
+                continue
+            pos = np.searchsorted(grams, dg)
+            pos[pos == len(grams)] = 0
+            n = int(np.count_nonzero(grams[pos] == dg))
+            if n:
+                out_id.append(i)
+                out_n.append(n)
+        return pa.table({id_col: pa.array(out_id, id_type),
+                         "n_hits": pa.array(out_n, pa.int64())})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def decontaminate(ds, bench_gram_ref, k: int = 8, col: str = "text",
+                  id_col: str = "doc_id"):
+    """→ ds minus contaminated docs (full schema preserved), streaming:
+    each batch drops its own contaminated rows — no shuffle, no join."""
+    import ray
+
+    def f(b: pa.Table) -> pa.Table:
+        grams = ray.get(bench_gram_ref)
+        keep = []
+        for t in b.column(col).to_pylist():
+            dg = ngram_hashes(t, k)
+            if len(dg) == 0 or len(grams) == 0:
+                keep.append(True)
+                continue
+            pos = np.searchsorted(grams, dg)
+            pos[pos == len(grams)] = 0
+            keep.append(not bool(np.any(grams[pos] == dg)))
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def jaccard_dup_pairs(ds, threshold: float = 0.7,
                       col: str = "text", id_col: str = "doc_id"):
     """EXACT n-gram Jaccard similarity self-join → (a, b,

@@ -581,6 +581,75 @@ def test_jaccard_dup_pairs_string_ids(ray_session):
     assert int(j_dup) == 1000
 
 
+def test_decontamination_planted(ray_session):
+    """contamination_hits finds exactly the docs sharing a verbatim
+    8-token window with the benchmark; a 7-token overlap does NOT
+    count; short docs (< 8 tokens) never hit; decontaminate drops
+    precisely the hit docs with full schema preserved."""
+    import ray.data as rd
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    texts = [
+        "x1 x2 b2 b3 b4 b5 b6 b7 b8 b9 y1",      # 8-gram hit (b2..b9)
+        "x1 b3 b4 b5 b6 b7 b8 b9 z9 z8",          # only 7 shared — miss
+        "q1 q2 q3 q4 q5 q6 q7 q8 q9",             # unrelated
+        "b1 b2 b3 b4 b5 b6 b7",                   # short (<8 toks)
+        bench_text,                                # exact copy: 3 hits
+    ]
+    corpus = rd.from_arrow(_docs_table(texts))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([bench_text], pa.string()),
+    }))
+    ref = dedup.benchmark_gram_ref(bench, k=8)
+    hits = (dedup.contamination_hits(corpus, ref, k=8).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(zip(hits["doc_id"], hits["n_hits"])) == [(0, 1), (4, 3)]
+
+    survivors = dedup.decontaminate(corpus, ref, k=8).to_pandas()
+    assert sorted(survivors["doc_id"]) == [1, 2, 3]
+    assert list(survivors.columns) == ["doc_id", "text"]
+
+
+def test_mixture_resample_deterministic_and_proportional(ray_session):
+    from arabic_ocr_ray.functions import sampling
+    import ray.data as rd
+
+    n = 3000
+    srcs = ["a", "b", "c"]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([srcs[i % 3] for i in range(n)], pa.string()),
+        "payload": pa.array([f"p{i}" for i in range(n)], pa.string()),
+    })
+    weights = {"a": 200, "b": 50}  # c dropped entirely
+    out1 = (sampling.mixture_resample(rd.from_arrow(t), weights)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out2 = (sampling.mixture_resample(rd.from_arrow(t), weights)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out1.equals(out2)  # bit-deterministic
+    assert list(out1.columns) == ["doc_id", "source", "payload"]
+    assert set(out1["source"]) <= {"a", "b"}
+
+    # integer rate law: rate = min(1000, w*T//n_s); n_s = 1000, T = 3000
+    counts = out1["source"].value_counts()
+    rate_a = min(1000, 200 * n // 1000)  # 600‰
+    rate_b = min(1000, 50 * n // 1000)   # 150‰
+    assert abs(counts.get("a", 0) - rate_a) < 60   # LCG ≈ uniform
+    assert abs(counts.get("b", 0) - rate_b) < 40
+
+    # exact row membership law, recomputed by hand
+    ids = np.arange(n, dtype=np.int64)
+    h = ((ids * 1103515245 + 12345) % 2147483648) % 1000
+    exp_a = set(ids[(ids % 3 == 0) & (h < rate_a)])
+    assert set(out1.loc[out1["source"] == "a", "doc_id"]) == exp_a
+
+    # cap: weight big enough → keep every row of the source
+    full = sampling.mixture_rates({"a": 10, "b": 990},
+                                  {"a": 999, "b": 1})
+    assert full["a"] == 1000 and full["b"] == 1
+
+
 def test_curate_corpus_pipeline(ray_session):
     """Composed curation: gate drops short + digit-heavy docs, exact
     dedup keeps min id, near-dup drops the greater id of a >=0.8

@@ -493,6 +493,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs, {"src0": 40, "src1": 25, "src2": 10})
         return _typed(out, {"doc_id": "int64", "source": "object"})
 
+    def q_cross_snapshot_dups(sf_dir: str):
+        """Incremental dedup: near-dup pairs BETWEEN two snapshots
+        only (base = even doc ids, new = odd) — "which new docs
+        already exist in the corpus", the snapshot-over-snapshot
+        crawl-dedup shape."""
+        import numpy as np
+        import pyarrow as pa
+
+        docs = _docs(sf_dir)
+
+        def parity(want: int):
+            def f(b: pa.Table) -> pa.Table:
+                ids = np.asarray(b.column("doc_id"), np.int64)
+                return b.filter(pa.array(ids % 2 == want))
+            return f
+
+        base = docs.map_batches(parity(0), batch_format="pyarrow")
+        new = docs.map_batches(parity(1), batch_format="pyarrow")
+        return _typed(
+            dedup.near_dup_pairs_bipartite(new, base, threshold=0.8),
+            {"a": "int64", "b": "int64", "jaccard_x1000": "int64"})
+
     def q_jaccard_dup(sf_dir: str):
         """EXACT n-gram-Jaccard self-join (prefix filter, 100% recall —
         the deterministic complement to MinHash-LSH): every pair with
@@ -1364,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "curate_corpus": q_curate_corpus,
         "jaccard_dup_pairs": q_jaccard_dup,
+        "cross_snapshot_dups": q_cross_snapshot_dups,
         "doc_decontaminate": q_doc_decontaminate,
         "mixture_resample": q_mixture_resample,
         "top_tokens": q_top_tokens,
@@ -1772,6 +1795,34 @@ def oracle_sql() -> dict[str, str]:
             r"), inter AS ("
             r" SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i"
             r" FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            r" GROUP BY 1, 2"
+            r") SELECT i.a, i.b,"
+            r" CAST((i.i * 1000) // (ca.n + cb.n - i.i) AS BIGINT)"
+            r" AS jaccard_x1000"
+            r" FROM inter i JOIN cnt ca ON ca.doc_id = i.a"
+            r" JOIN cnt cb ON cb.doc_id = i.b"
+            r" WHERE ca.n >= 5 AND cb.n >= 5"
+            r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
+        "cross_snapshot_dups": (
+            # same trigram-Jaccard contract as near_dup_pairs
+            # (MIN_SHINGLES ≥ 5, J ≥ 0.8, integer math) restricted to
+            # cross-side pairs: a from the base (even ids), b from the
+            # new snapshot (odd ids)
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+')"
+            r" AS toks FROM documents"
+            r"), sh AS ("
+            r" SELECT DISTINCT doc_id,"
+            r" toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s"
+            r" FROM tk, unnest(generate_series(1, len(toks) - 2)) AS u(i)"
+            r"), cnt AS ("
+            r" SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id"
+            r"), inter AS ("
+            r" SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i"
+            r" FROM sh a JOIN sh b ON a.s = b.s"
+            r" AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"
             r" GROUP BY 1, 2"
             r") SELECT i.a, i.b,"
             r" CAST((i.i * 1000) // (ca.n + cb.n - i.i) AS BIGINT)"

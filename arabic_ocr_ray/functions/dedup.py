@@ -585,6 +585,73 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
                         batch_format="pandas"))
 
 
+def minhash_candidates_bipartite(new_ds, base_ds, col: str = "text",
+                                 id_col: str = "doc_id"):
+    """→ Dataset(a=base id, b=new id) CROSS-corpus candidate pairs —
+    the incremental-dedup shape (new snapshot vs existing corpus):
+    both sides band identically, union with a side tag, and each
+    bucket emits only base×new pairs (never in-side pairs).  Bucket
+    partitioning, caps and logging are shared with
+    :func:`minhash_candidates`; the verify stage dedups pair copies
+    globally, so no distinct shuffle here (same contract as
+    ``distinct=False``)."""
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side", pa.array(np.full(b.num_rows, side, np.int8)))
+        return f
+
+    rows = (base_ds.map_batches(
+                lambda b: _band_rows_batch(b, col, id_col),
+                batch_format="pyarrow")
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(new_ds.map_batches(
+                lambda b: _band_rows_batch(b, col, id_col),
+                batch_format="pyarrow")
+                .map_batches(tag(1), batch_format="pyarrow")))
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        bh = np.asarray(b.column("band_hash"), dtype=np.int64)
+        bd = np.asarray(b.column("band"), dtype=np.int64)
+        pk = (bh * 16 + bd) % _PAIR_PARTITIONS
+        return b.append_column("pk", pa.array(pk, pa.int32()))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = ["band", "band_hash"]
+        sizes = g.groupby(key)[id_col].transform("size")
+        _log_capped(g, sizes, MAX_BUCKET, "minhash_candidates_bipartite")
+        g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET),
+                   key + [id_col, "side"]]
+        gb = g2.loc[g2["side"] == 0, key + [id_col]]
+        gn = g2.loc[g2["side"] == 1, key + [id_col]]
+        if gb.empty or gn.empty:
+            e = gb.head(0)
+            return pd.DataFrame({"a": e[id_col], "b": e[id_col]})
+        m = gb.merge(gn, on=key, suffixes=("_x", "_y"))
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        out.columns = ["a", "b"]
+        return out
+
+    return (rows.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("pk").map_groups(arrow_clean(pairs_part),
+                                      batch_format="pandas"))
+
+
+def near_dup_pairs_bipartite(new_ds, base_ds, threshold: float = 0.8,
+                             col: str = "text", id_col: str = "doc_id"):
+    """Incremental near-dedup: (a=base doc, b=new doc, jaccard_x1000)
+    for every cross-corpus pair with Jaccard ≥ threshold — "which docs
+    of the NEW snapshot already exist (nearly) in the base corpus".
+    In-side duplicates are deliberately NOT reported (run
+    :func:`near_dup_pairs` per side for those).  Verification reads
+    texts from the union of both sides through the same shuffle-side
+    exact-Jaccard path as the self-join."""
+    cand = minhash_candidates_bipartite(new_ds, base_ds, col, id_col)
+    return verify_pairs_jaccard(cand, base_ds.union(new_ds),
+                                threshold, col, id_col)
+
+
 # --- benchmark decontamination --------------------------------------------
 
 _FNV_P = np.int64(1099511628211)

@@ -581,6 +581,37 @@ def test_jaccard_dup_pairs_string_ids(ray_session):
     assert int(j_dup) == 1000
 
 
+def test_near_dup_bipartite_cross_side_only(ray_session):
+    """Bipartite near-dup reports base×new pairs ONLY: a planted
+    in-base duplicate pair and an in-new duplicate pair must NOT
+    appear; the planted cross pair must, with (a=base id, b=new id)
+    orientation."""
+    import ray.data as rd
+
+    base_doc = ("data processing engines shuffle partition and aggregate "
+                "large tables of records across many worker nodes " * 3)
+    texts_base = [base_doc, base_doc + "extra",          # in-base dup pair
+                  "some other base content entirely different words here "
+                  "spread over many distinct tokens for shingles"]
+    texts_new = [base_doc.replace("nodes", "hosts"),     # cross dup w/ 0,1
+                 "fresh new snapshot doc with its own unrelated phrasing "
+                 "and vocabulary that matches nothing in the base set",
+                 "fresh new snapshot doc with its own unrelated phrasing "
+                 "and vocabulary that matches nothing in the base corpus"]
+    base = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts_base, pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(texts_new, pa.string())}))
+    out = (dedup.near_dup_pairs_bipartite(new, base, threshold=0.6)
+           .to_pandas())
+    got = set(zip(out["a"], out["b"]))
+    assert got == {(0, 10), (1, 10)}  # cross pairs only
+    # in-side dups (0,1) and (11,12) excluded by construction
+    assert len(out) == len(got)
+
+
 def test_decontamination_planted(ray_session):
     """contamination_hits finds exactly the docs sharing a verbatim
     8-token window with the benchmark; a 7-token overlap does NOT

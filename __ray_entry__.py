@@ -509,8 +509,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return b.filter(pa.array(ids % 2 == want))
             return f
 
-        base = docs.map_batches(parity(0), batch_format="pyarrow")
-        new = docs.map_batches(parity(1), batch_format="pyarrow")
+        # each side stands in for a PHYSICAL snapshot table (its own
+        # parquet read in production); materializing the derived
+        # fixture splits keeps the banding/verify consumers from
+        # re-executing the parity scan 3× (and trims the task fan-out
+        # that tickles a Ray task-manager race under 32-CPU sweeps)
+        base = docs.map_batches(parity(0),
+                                batch_format="pyarrow").materialize()
+        new = docs.map_batches(parity(1),
+                               batch_format="pyarrow").materialize()
         return _typed(
             dedup.near_dup_pairs_bipartite(new, base, threshold=0.8),
             {"a": "int64", "b": "int64", "jaccard_x1000": "int64"})

@@ -80,3 +80,40 @@ def test_fold_sessions_matches_bruteforce(rows):
         assert out.loc[uid, "n_events"] == len(t)
         assert out.loc[uid, "n_sessions"] == len(sess_lens)
         assert out.loc[uid, "max_session_events"] == max(sess_lens)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(st.lists(st.integers(0, 30), min_size=1, max_size=40),
+                min_size=2, max_size=12),
+       st.sampled_from([600, 700, 800, 900]))
+def test_prefix_filter_recall_law(sets, thr_x1000):
+    """The exactness core of dedup.jaccard_dup_pairs, property-tested
+    without Ray: under ANY global total order (here df asc, id asc —
+    the operator's order), every pair with integer Jaccard ≥ t shares
+    an element inside BOTH prefixes of length n - ceil(t*n) + 1, and
+    passes the length filter min(n_a,n_b)*1000 >= t*max(n_a,n_b)."""
+    import itertools
+
+    from collections import Counter
+
+    uniq = [sorted(set(s)) for s in sets]
+    df = Counter(x for s in uniq for x in set(s))
+    prefixes = []
+    for s in uniq:
+        ordered = sorted(s, key=lambda x: (df[x], x))
+        n = len(ordered)
+        p = n - (thr_x1000 * n + 999) // 1000 + 1
+        prefixes.append(set(ordered[:p]))
+    for (i, a), (j, b) in itertools.combinations(enumerate(uniq), 2):
+        sa, sb = set(a), set(b)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union == 0 or inter * 1000 < thr_x1000 * union:
+            continue
+        # length filter must keep the pair
+        lo, hi = sorted((len(sa), len(sb)))
+        assert lo * 1000 >= thr_x1000 * hi
+        # prefix filter must surface the pair as a candidate
+        assert prefixes[i] & prefixes[j], (
+            f"recall miss: sets {i},{j} J*1000="
+            f"{inter * 1000 // union} thr={thr_x1000}")

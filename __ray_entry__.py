@@ -493,6 +493,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs, {"src0": 40, "src1": 25, "src2": 10})
         return _typed(out, {"doc_id": "int64", "source": "object"})
 
+    def q_paragraph_dedup(sf_dir: str):
+        """Corpus-wide paragraph dedup (FineWeb/CCNet shape) over the
+        extracted-pages fixture: boilerplate paragraphs repeating
+        across pages keep their globally-first occurrence (min (url,
+        pos)), every later occurrence is dropped, documents reassemble
+        in position order.  One para-keyed shuffle (count + keeper
+        election + drop fused in a single fold), one url-keyed
+        reassembly shuffle — no count table, no join-back."""
+        from arabic_ocr_ray.functions import paragraphs
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "text"])
+        return paragraphs.dedup_paragraphs(
+            pages, col="text", id_col="url", mode="keep_first")
+
+    def q_url_canonical_dedup(sf_dir: str):
+        """Canonical-URL dedup over a deterministically-derived messy
+        snapshot (the fixture serves clean urls, so the query plants
+        the crawl noise itself: utm params for idx%3==0, fragments for
+        idx%5==0, an uppercase-host + unchanged-path spelling for
+        idx%7==0).  url_dedup = pure canonicalization map + ONE
+        canon-keyed groupby electing min spelling + variant count."""
+        import pyarrow as pa
+
+        from arabic_ocr_ray.functions import urls
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url"])
+
+        def variants(b: pa.Table) -> pa.Table:
+            out = []
+            for u in b.column("url").to_pylist():
+                idx = int(u.rsplit("/", 1)[1])
+                out.append(u)
+                if idx % 3 == 0:
+                    out.append(u + "?utm_source=bench&utm_id=7")
+                if idx % 5 == 0:
+                    out.append(u + "#frag")
+                if idx % 7 == 0:
+                    out.append("HTTPS://FIXTURE.TEST"
+                               + u[len("https://fixture.test"):])
+            return pa.table({"url": pa.array(out, pa.string())})
+
+        messy = pages.map_batches(variants, batch_format="pyarrow")
+        return _typed(urls.url_dedup(messy),
+                      {"canon_url": "object", "url": "object",
+                       "n_variants": "int64"})
+
     def q_cross_snapshot_dups(sf_dir: str):
         """Incremental dedup: near-dup pairs BETWEEN two snapshots
         only (base = even doc ids, new = odd) — "which new docs
@@ -1396,6 +1444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "doc_decontaminate": q_doc_decontaminate,
         "mixture_resample": q_mixture_resample,
+        "doc_paragraph_dedup": q_paragraph_dedup,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
         "customers_without_events": q_customers_without_events,
@@ -1857,6 +1907,54 @@ def oracle_sql() -> dict[str, str]:
             r" JOIN rates r USING (source)"
             r" WHERE ((d.doc_id * 1103515245 + 12345) % 2147483648)"
             r" % 1000 < r.rate"
+        ),
+        "doc_paragraph_dedup": (
+            # window-function twin of paragraphs.dedup_paragraphs
+            # (keep_first): explode on chr(10) with positions, keep a
+            # non-empty paragraph iff it is unique or the globally-
+            # first (url, pos) occurrence; empty paragraphs always
+            # survive; reassemble in position order (docs with zero
+            # survivors vanish via GROUP BY)
+            f"WITH p AS ("
+            f" SELECT url,"
+            f" generate_subscripts(string_split(text, chr(10)), 1)"
+            f" AS pos,"
+            f" unnest(string_split(text, chr(10))) AS para"
+            f" FROM read_parquet('{pages}')"
+            f"), r AS ("
+            f" SELECT url, pos, para,"
+            f" count(*) OVER (PARTITION BY para) AS n,"
+            f" row_number() OVER (PARTITION BY para"
+            f"  ORDER BY url, pos) AS rn"
+            f" FROM p WHERE para <> ''"
+            f") SELECT url,"
+            f" string_agg(para, chr(10) ORDER BY pos) AS text"
+            f" FROM ("
+            f"  SELECT url, pos, para FROM r WHERE n = 1 OR rn = 1"
+            f"  UNION ALL"
+            f"  SELECT url, pos, para FROM p WHERE para = ''"
+            f" ) GROUP BY url"
+        ),
+        "url_canonical_dedup": (
+            # the derived messy spellings (utm idx%3, fragment idx%5,
+            # uppercase-host idx%7) all canonicalize back to the clean
+            # fixture url, so the expected groups are computable
+            # directly: canon = base, n_variants = 1 + planted count,
+            # min spelling = the uppercase one when present ('H' < 'h'
+            # in binary collation, and base is a prefix of the utm /
+            # fragment variants)
+            f"SELECT url AS canon_url,"
+            f" CASE WHEN CAST(right(url, 8) AS BIGINT) % 7 = 0"
+            f" THEN 'HTTPS://FIXTURE.TEST' || substr(url, 21)"
+            f" ELSE url END AS url,"
+            f" CAST(1"
+            f" + CASE WHEN CAST(right(url, 8) AS BIGINT) % 3 = 0"
+            f"   THEN 1 ELSE 0 END"
+            f" + CASE WHEN CAST(right(url, 8) AS BIGINT) % 5 = 0"
+            f"   THEN 1 ELSE 0 END"
+            f" + CASE WHEN CAST(right(url, 8) AS BIGINT) % 7 = 0"
+            f"   THEN 1 ELSE 0 END AS BIGINT) AS n_variants"
+            f" FROM read_parquet('{pages}')"
         ),
         "doc_decontaminate": (
             # distinct 8-gram join between the benchmark suite

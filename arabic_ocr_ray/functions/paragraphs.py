@@ -1,0 +1,188 @@
+"""Corpus-wide paragraph-level deduplication (FineWeb/CCNet-style).
+
+The web-curation operator the per-page extractor cannot express: a
+boilerplate paragraph (cookie banner, nav stub, licence blurb) looks
+like content on every SINGLE page and only reveals itself by repeating
+ACROSS pages.  This module removes such repeats corpus-wide and
+reassembles each document's surviving text.
+
+Contract (shared verbatim by the DuckDB SQL twin):
+
+- paragraphs = ``text.split('\\n')`` EXACTLY, keeping empty segments
+  (the reassembled text of an untouched document is byte-identical);
+- empty paragraphs (``''``) never participate in dup counting and are
+  always kept (they encode blank-line spacing, not content);
+- ``mode="keep_first"``: the globally-first occurrence — min
+  ``(id, pos)`` under the id column's natural order — of each repeated
+  paragraph survives; every later occurrence is dropped;
+- ``mode="drop_all"``: every occurrence of a paragraph seen more than
+  ``max_occurrences`` times corpus-wide is dropped;
+- a document whose every paragraph is dropped disappears from the
+  output (SQL ``GROUP BY`` over survivors); survivors rejoin with
+  ``'\\n'``.
+
+Shuffle inventory (the 100 TB shape):
+
+1. explode → ``(id, pos, para)`` rows — pure map, vectorized repeat/
+   arange index math, one Python ``str.split`` per document.
+2. ONE para-keyed fixed-partition shuffle: every occurrence of a
+   paragraph co-locates, so occurrence counting, keeper election and
+   the drop decision all happen inside a single ``map_groups`` fold —
+   no separate count table, no join-back, and NO broadcast (the
+   dup-paragraph set is unbounded at web scale: boilerplate grows with
+   the crawl, unlike the bounded benchmark set in
+   ``dedup.benchmark_gram_ref``).  Empty paragraphs are keyed by
+   id-hash instead of para-hash — at web scale ``''`` is the hottest
+   string in the corpus, and the always-keep rule needs no
+   co-location, so the would-be mega-partition spreads evenly.
+3. ONE id-keyed fixed-partition shuffle reassembles survivors in
+   ``pos`` order.
+
+Paragraph text rides both shuffles (exactness — no hash-collision
+risk; the 128-bit-fingerprint variant that ships ``(h, id, pos)`` and
+anti-joins a drop list back would save bandwidth at the price of a
+collision bound).  Skew note: a mega-boilerplate paragraph inflates
+its fold partition linearly in its occurrence count with O(1) work per
+row; that is log-worthy, not salt-worthy — the keeper election is
+exactly the computation that NEEDS all occurrences co-located.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .arrowout import arrow_clean
+from .parthash import partition_ids
+
+_PARTITIONS = 64
+
+
+def explode_paragraphs(batch: pa.Table, col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """→ one ``(id, pos, para)`` row per '\\n'-split segment (empty
+    segments included — they carry blank-line spacing through the
+    round trip)."""
+    texts = batch.column(col).to_pylist()
+    parts = [(t or "").split("\n") for t in texts]
+    counts = np.fromiter((len(p) for p in parts), dtype=np.int64,
+                         count=len(parts))
+    total = int(counts.sum())
+    idx = np.repeat(np.arange(len(parts), dtype=np.int64), counts)
+    # per-doc 0..c-1 position, vectorized: global arange minus each
+    # row's doc start offset
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = np.arange(total, dtype=np.int64) - starts
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(idx)),
+        "pos": pa.array(pos, pa.int64()),
+        "para": pa.array(list(itertools.chain.from_iterable(parts)),
+                         pa.string()),
+    })
+
+
+def dedup_paragraphs(ds, col: str = "text", id_col: str = "doc_id",
+                     mode: str = "keep_first", max_occurrences: int = 1,
+                     num_partitions: int = _PARTITIONS):
+    """→ Dataset(id_col, col) — corpus-wide paragraph dedup + document
+    reassembly.  See module docstring for contract and shuffle shape."""
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"mode={mode!r}")
+
+    def explode_key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = explode_paragraphs(b, col=col, id_col=id_col)
+        para_jk = np.asarray(
+            partition_ids([t.column("para")], num_partitions))
+        id_jk = np.asarray(
+            partition_ids([t.column(id_col)], num_partitions))
+        is_empty = pc.equal(t.column("para"), "").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__jk", pa.array(np.where(is_empty, id_jk, para_jk),
+                             pa.int32()))
+
+    def fold_part(df: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of every non-empty paragraph keyed here are
+        # co-located, so a partition-local decision IS the global one
+        df = df.reset_index(drop=True)
+        ne = df["para"].to_numpy() != ""
+        keep = np.ones(len(df), dtype=bool)
+        sub = df[ne]
+        if len(sub):
+            if mode == "keep_first":
+                s = sub.sort_values(["para", id_col, "pos"],
+                                    kind="mergesort")
+                dup = s.duplicated("para", keep="first").to_numpy()
+                keep[s.index.to_numpy()[dup]] = False
+            else:
+                n = sub.groupby("para")["para"].transform("size")
+                keep[sub.index.to_numpy()[
+                    n.to_numpy() > max_occurrences]] = False
+        return df.loc[keep, [id_col, "pos", "para"]]
+
+    kept = (ds.map_batches(explode_key, batch_format="pyarrow")
+            .groupby("__jk", num_partitions=num_partitions)
+            .map_groups(arrow_clean(fold_part), batch_format="pandas"))
+
+    def add_rk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__rk", partition_ids([b.column(id_col)], num_partitions))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        g = df.groupby(id_col, sort=True)["para"].agg("\n".join)
+        return pd.DataFrame({id_col: g.index.to_numpy(), col: g.values})
+
+    return (kept.map_batches(add_rk, batch_format="pyarrow")
+            .groupby("__rk", num_partitions=num_partitions)
+            .map_groups(arrow_clean(reassemble), batch_format="pandas"))
+
+
+def common_paragraphs(ds, min_docs: int = 2, col: str = "text",
+                      id_col: str = "doc_id",
+                      num_partitions: int = _PARTITIONS):
+    """→ Dataset(para, n_occurrences, n_docs) — the corpus's repeated-
+    paragraph inventory (the boilerplate report a curation run reads
+    before choosing ``max_occurrences``).  Same single para-keyed
+    shuffle as :func:`dedup_paragraphs`; map-side partials pre-shrink
+    each batch to distinct paragraphs before the all-to-all."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = explode_paragraphs(b, col=col, id_col=id_col)
+        df = pd.DataFrame({
+            "para": np.asarray(t.column("para")),
+            "id": np.asarray(t.column(id_col)),
+        })
+        df = df[df["para"] != ""]
+        g = df.groupby("para", sort=True).agg(
+            n=("id", "size"), nd=("id", "nunique"))
+        out = pa.table({
+            "para": pa.array(g.index.to_numpy(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            # distinct-doc partials fold as a plain sum because a row
+            # is a WHOLE document: all of a doc's paragraphs land in
+            # the batch holding that row, so no doc can contribute to
+            # the same para's nd in two different batches
+            "nd": pa.array(g["nd"].to_numpy(), pa.int64()),
+        })
+        return out.append_column(
+            "__jk", partition_ids([out.column("para")], num_partitions))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("para", sort=True).agg(
+            n_occurrences=("n", "sum"), n_docs=("nd", "sum"))
+        g = g[g["n_docs"] >= min_docs]
+        return pd.DataFrame({
+            "para": g.index.to_numpy(),
+            "n_occurrences": g["n_occurrences"].to_numpy(),
+            "n_docs": g["n_docs"].to_numpy(),
+        })
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("__jk", num_partitions=num_partitions)
+            .map_groups(arrow_clean(fold), batch_format="pandas"))

@@ -1,0 +1,85 @@
+"""URL canonicalization + canonical-URL dedup (crawl-frontier hygiene).
+
+A web crawl reaches the same page under many spellings — tracking
+params, fragments, case-insensitive hosts, trailing slashes.  Exact
+text dedup catches SOME of these (when the bodies are byte-identical),
+but the curation pipeline wants to collapse them BEFORE fetching or
+extracting: a cheap, pure-string canonical form.
+
+Canonical form (documented contract, unit-tested; deliberately
+conservative — every rule below is semantics-preserving under
+RFC 3986 plus the de-facto utm_* convention):
+
+1. the fragment (first ``#`` onward) is dropped — never sent to the
+   server;
+2. scheme and host (authority) are lowercased — both case-insensitive
+   per RFC 3986 §6.2.2.1; path/query case is PRESERVED (significant);
+3. an explicit default port (``:80`` for http, ``:443`` for https) is
+   dropped;
+4. ``utm_*`` query parameters are removed (``&``-separated scan; the
+   ``?`` goes too when nothing survives); non-utm parameter ORDER is
+   preserved (re-sorting params is NOT semantics-preserving in
+   general);
+5. one trailing ``/`` is stripped (after rules 1–4).
+
+Scale shape: canonicalization is a pure per-row string map (zero
+shuffle, no state — plain task pool, not an actor pool);
+:func:`url_dedup` adds ONE canon-keyed shuffle whose per-group fold
+elects min-url + count, exactly the ``dedup_exact`` D1 pattern.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_DEFAULT_PORT = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_url(u: str) -> str:
+    """Apply the 5 canonicalization rules (module docstring)."""
+    u = u.split("#", 1)[0]
+    scheme, sep, rest = u.partition("://")
+    if sep:
+        slash = rest.find("/")
+        host, path = (rest, "") if slash < 0 else (rest[:slash],
+                                                   rest[slash:])
+        scheme = scheme.lower()
+        host = host.lower()
+        dp = _DEFAULT_PORT.get(scheme)
+        if dp and host.endswith(dp):
+            host = host[: -len(dp)]
+        u = scheme + sep + host + path
+    q = u.find("?")
+    if q >= 0 and "utm_" in u[q:]:
+        head, query = u[:q], u[q + 1:]
+        keep = [p for p in query.split("&") if not p.startswith("utm_")]
+        u = head + ("?" + "&".join(keep) if keep else "")
+    if u.endswith("/"):
+        u = u[:-1]
+    return u
+
+
+def canonicalize_batch(batch: pa.Table, col: str = "url",
+                       out_col: str = "canon_url") -> pa.Table:
+    """→ batch + ``out_col`` (canonical form of ``col``)."""
+    urls = batch.column(col).to_pylist()
+    return batch.append_column(
+        out_col, pa.array([canonicalize_url(u or "") for u in urls],
+                          pa.string()))
+
+
+def url_dedup(ds, col: str = "url"):
+    """→ Dataset(canon_url, url=min original spelling, n_variants) —
+    one row per canonical URL.  ONE canon-keyed shuffle (the D1
+    hash-partition + per-group min pattern of ``dedup.dedup_exact``);
+    the min-spelling winner is deterministic across runs and cluster
+    layouts."""
+    from ray.data.aggregate import Count, Min
+
+    canon = ds.map_batches(
+        lambda b: canonicalize_batch(b.select([col]), col=col),
+        batch_format="pyarrow")
+    return canon.groupby("canon_url").aggregate(
+        Min(col, alias_name=col),
+        Count(alias_name="n_variants"),
+    )

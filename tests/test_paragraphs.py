@@ -1,0 +1,172 @@
+"""Paragraph-level corpus dedup + URL canonicalization tests."""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from arabic_ocr_ray.functions import paragraphs, urls
+
+
+def _docs_table(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    id_arr = (pa.array(ids, pa.int64()) if isinstance(ids[0], int)
+              else pa.array(ids, pa.string()))
+    return pa.table({"doc_id": id_arr,
+                     "text": pa.array(texts, pa.string())})
+
+
+# ---------------- explode ---------------------------------------------------
+
+def test_explode_positions_and_empties():
+    t = _docs_table(["a\nb", "", "x\n\ny\n"])
+    out = paragraphs.explode_paragraphs(t)
+    assert out.column("doc_id").to_pylist() == [0, 0, 1, 2, 2, 2, 2]
+    assert out.column("pos").to_pylist() == [0, 1, 0, 0, 1, 2, 3]
+    assert out.column("para").to_pylist() == [
+        "a", "b", "", "x", "", "y", ""]
+
+
+# ---------------- dedup_paragraphs -----------------------------------------
+
+def _brute(rows, mode, max_occurrences=1):
+    """Pure-python twin of the documented contract."""
+    from collections import Counter
+
+    paras = [(i, p, t.split("\n")) for i, p, t in
+             [(r[0], None, r[1]) for r in rows]]
+    occ = Counter()
+    for _i, _p, ps in paras:
+        occ.update(p for p in ps if p != "")
+    # global first occurrence per para, by (id, pos)
+    first = {}
+    for i, _p, ps in sorted(paras, key=lambda x: x[0]):
+        for pos, p in enumerate(ps):
+            if p != "" and p not in first:
+                first[p] = (i, pos)
+    out = {}
+    for i, _p, ps in paras:
+        kept = []
+        for pos, p in enumerate(ps):
+            if p == "":
+                kept.append(p)
+            elif mode == "keep_first":
+                if occ[p] == 1 or first[p] == (i, pos):
+                    kept.append(p)
+            else:
+                if occ[p] <= max_occurrences:
+                    kept.append(p)
+        if kept:
+            out[i] = "\n".join(kept)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["keep_first", "drop_all"])
+def test_dedup_paragraphs_planted(ray_session, mode):
+    import ray.data as rd
+
+    boiler = "accept cookies to continue"
+    texts = [f"intro one\n{boiler}\nbody A",
+             f"{boiler}\nbody B",
+             "body C only",
+             boiler,               # doc that is ALL boilerplate
+             f"body D\n{boiler}"]
+    ds = rd.from_arrow(_docs_table(texts))
+    got = (paragraphs.dedup_paragraphs(ds, mode=mode)
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    want = _brute(list(enumerate(texts)), mode)
+    assert got == want
+    if mode == "keep_first":
+        assert got[0] == f"intro one\n{boiler}\nbody A"
+        assert got[1] == "body B"
+        assert 3 not in got          # fully-boilerplate doc vanishes
+    else:
+        assert boiler not in got[0]
+
+
+def test_dedup_paragraphs_roundtrip_untouched(ray_session):
+    """No repeats → byte-identical reassembly (incl. blank lines and
+    trailing newlines)."""
+    import ray.data as rd
+
+    texts = ["a\n\nb\n", "", "single", "x\ny\nz"]
+    ds = rd.from_arrow(_docs_table(texts))
+    got = (paragraphs.dedup_paragraphs(ds)
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    assert got == dict(enumerate(texts))
+
+
+def test_dedup_paragraphs_randomized_parity(ray_session):
+    import ray.data as rd
+
+    rng = random.Random(404)
+    vocab = [f"p{i}" for i in range(12)]
+    texts = ["\n".join(rng.choice(vocab + [""])
+                       for _ in range(rng.randint(1, 8)))
+             for _ in range(60)]
+    ds = rd.from_arrow(_docs_table(texts)).repartition(7)
+    for mode, k in (("keep_first", 1), ("drop_all", 2)):
+        got = (paragraphs.dedup_paragraphs(
+                   ds, mode=mode, max_occurrences=k, num_partitions=5)
+               .to_pandas().set_index("doc_id")["text"].to_dict())
+        assert got == _brute(list(enumerate(texts)), mode, k)
+
+
+def test_dedup_paragraphs_string_ids_keeper_order(ray_session):
+    """keep_first elects min (id, pos) under the id column's natural
+    (string) order."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table(
+        ["dup", "dup", "dup"], ids=["b", "a", "c"]))
+    got = (paragraphs.dedup_paragraphs(ds, mode="keep_first")
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    assert got == {"a": "dup"}
+
+
+def test_common_paragraphs_counts(ray_session):
+    import ray.data as rd
+
+    texts = ["x\ny", "x\nx\nz", "x", "y\n\n"]
+    ds = rd.from_arrow(_docs_table(texts)).repartition(3)
+    got = (paragraphs.common_paragraphs(ds, min_docs=2)
+           .to_pandas().set_index("para"))
+    assert got.loc["x", "n_occurrences"] == 4
+    assert got.loc["x", "n_docs"] == 3
+    assert got.loc["y", "n_occurrences"] == 2
+    assert got.loc["y", "n_docs"] == 2
+    assert "z" not in got.index and "" not in got.index
+
+
+# ---------------- urls -------------------------------------------------------
+
+def test_canonicalize_url_rules():
+    c = urls.canonicalize_url
+    assert c("HTTPS://Example.COM/Path#frag") == "https://example.com/Path"
+    assert c("http://example.com:80/a") == "http://example.com/a"
+    assert c("https://example.com:443/a/") == "https://example.com/a"
+    assert c("https://example.com:8080/a") == "https://example.com:8080/a"
+    # utm params dropped, non-utm order preserved, '?' dropped if empty
+    assert c("https://e.com/p?utm_source=x&id=5&utm_c=y&b=2") == \
+        "https://e.com/p?id=5&b=2"
+    assert c("https://e.com/p?utm_source=x") == "https://e.com/p"
+    assert c("https://e.com/p?xutm=1") == "https://e.com/p?xutm=1"
+    # path case preserved; root slash stripped
+    assert c("https://e.com/") == "https://e.com"
+    assert c("") == ""
+
+
+def test_url_dedup_groups(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"url": pa.array([
+        "https://E.com/a",
+        "https://e.com/a#x",
+        "https://e.com/a?utm_source=t",
+        "https://e.com/b",
+    ], pa.string())})
+    out = (urls.url_dedup(rd.from_arrow(t))
+           .to_pandas().set_index("canon_url"))
+    assert out.loc["https://e.com/a", "n_variants"] == 3
+    assert out.loc["https://e.com/a", "url"] == "https://E.com/a"
+    assert out.loc["https://e.com/b", "n_variants"] == 1

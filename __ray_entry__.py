@@ -541,6 +541,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       {"canon_url": "object", "url": "object",
                        "n_variants": "int64"})
 
+    def q_curate_v3(sf_dir: str):
+        """Web-pages curation flagship composing the r4 operators:
+        benchmark decontamination (bench suite = idx%13==0 pages) →
+        corpus-wide paragraph dedup (keep_first) → min-token gate on
+        the cleaned text.  Every stage bites at fixture scale
+        (sf0.01: 1000 → 909 → 868 → 778 docs)."""
+        import pyarrow as pa
+
+        from arabic_ocr_ray.pipelines.curate import curate_corpus_v3
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "text"])
+
+        def side(want_bench: bool):
+            def f(b: pa.Table) -> pa.Table:
+                idx = [int(u.rsplit("/", 1)[1])
+                       for u in b.column("url").to_pylist()]
+                m = [(i % 13 == 0) == want_bench for i in idx]
+                return b.filter(pa.array(m, pa.bool_()))
+            return f
+
+        bench = pages.map_batches(side(True), batch_format="pyarrow")
+        corpus = pages.map_batches(side(False), batch_format="pyarrow")
+        return curate_corpus_v3(corpus, bench, min_tokens=5)
+
     def q_cross_snapshot_dups(sf_dir: str):
         """Incremental dedup: near-dup pairs BETWEEN two snapshots
         only (base = even doc ids, new = odd) — "which new docs
@@ -1446,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_resample": q_mixture_resample,
         "doc_paragraph_dedup": q_paragraph_dedup,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "curate_corpus_v3": q_curate_v3,
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
         "customers_without_events": q_customers_without_events,
@@ -1955,6 +1981,57 @@ def oracle_sql() -> dict[str, str]:
             f" + CASE WHEN CAST(right(url, 8) AS BIGINT) % 7 = 0"
             f"   THEN 1 ELSE 0 END AS BIGINT) AS n_variants"
             f" FROM read_parquet('{pages}')"
+        ),
+        "curate_corpus_v3": (
+            # composed twin: decontamination gram-join on the RAW
+            # corpus (bench = idx%13==0), then the paragraph-dedup
+            # window twin over survivors, then the token gate
+            f"WITH tk AS ("
+            f" SELECT url, text, regexp_extract_all(lower(text),"
+            f" '[^ \\t\\n\\r\\f\\v]+') AS toks,"
+            f" CAST(right(url, 8) AS BIGINT) AS idx"
+            f" FROM read_parquet('{pages}')"
+            f"), bg AS ("
+            f" SELECT DISTINCT "
+            + " || ' ' || ".join(f"toks[i+{j}]" for j in range(8)) +
+            f" AS g FROM tk,"
+            f" unnest(generate_series(1, len(toks) - 7)) AS u(i)"
+            f" WHERE idx % 13 = 0"
+            f"), dg AS ("
+            f" SELECT DISTINCT url, "
+            + " || ' ' || ".join(f"toks[i+{j}]" for j in range(8)) +
+            f" AS g FROM tk,"
+            f" unnest(generate_series(1, len(toks) - 7)) AS u(i)"
+            f" WHERE idx % 13 <> 0"
+            f"), contaminated AS ("
+            f" SELECT DISTINCT url FROM dg JOIN bg USING (g)"
+            f"), corp AS ("
+            f" SELECT url, text FROM tk WHERE idx % 13 <> 0"
+            f" AND url NOT IN (SELECT url FROM contaminated)"
+            f"), p AS ("
+            f" SELECT url,"
+            f" generate_subscripts(string_split(text, chr(10)), 1)"
+            f" AS pos,"
+            f" unnest(string_split(text, chr(10))) AS para FROM corp"
+            f"), r AS ("
+            f" SELECT url, pos, para,"
+            f" count(*) OVER (PARTITION BY para) AS n,"
+            f" row_number() OVER (PARTITION BY para"
+            f"  ORDER BY url, pos) AS rn"
+            f" FROM p WHERE para <> ''"
+            f"), clean AS ("
+            f" SELECT url,"
+            f" string_agg(para, chr(10) ORDER BY pos) AS text"
+            f" FROM ("
+            f"  SELECT url, pos, para FROM r WHERE n = 1 OR rn = 1"
+            f"  UNION ALL"
+            f"  SELECT url, pos, para FROM p WHERE para = ''"
+            f" ) GROUP BY url"
+            f") SELECT url, text,"
+            f" CAST(len(regexp_extract_all(text,"
+            f" '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS n_tokens"
+            f" FROM clean WHERE len(regexp_extract_all(text,"
+            f" '[^ \\t\\n\\r\\f\\v]+')) >= 5"
         ),
         "doc_decontaminate": (
             # distinct 8-gram join between the benchmark suite

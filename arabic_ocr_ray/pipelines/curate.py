@@ -164,3 +164,46 @@ def curate_corpus_v2(docs_ds, min_tokens: int = 20,
                                   "n_tokens"]),
         ["source"], "doc_id", per_source_cap, descending=False,
         num_partitions=8)
+
+
+def curate_corpus_v3(pages_ds, bench_ds, k_gram: int = 8,
+                     min_tokens: int = 5, num_partitions: int = 16):
+    """→ Dataset(url, text, n_tokens) — the WEB-pages curation chain,
+    composed from the r4 corpus-level operators in the order a
+    crawl-curation run applies them:
+
+        benchmark decontamination → corpus-wide paragraph dedup
+        (keep_first) → minimum-token gate on the CLEANED text
+
+    Decontamination runs FIRST: a benchmark passage that also happens
+    to be boilerplate must drop the document (leak!) before the
+    paragraph pass could launder it into a unique-looking page.  The
+    token gate runs LAST so pages gutted down to navigation crumbs by
+    the paragraph pass are swept out.
+
+    Shuffle inventory: decontamination is a pure streaming filter
+    (benchmark gram set broadcast once via ray.put — bounded
+    eval-suite contract); paragraph dedup is the module's two
+    fixed-partition shuffles (para-keyed decision fold, id-keyed
+    reassembly); the gate is a pure map.  Nothing here pins or
+    materializes the corpus — the chain is a single streaming plan.
+    """
+    from ..functions import dedup, paragraphs
+    from ..functions.text import _WS_SPLIT
+
+    ref = dedup.benchmark_gram_ref(bench_ds, k=k_gram)
+    clean = dedup.decontaminate(pages_ds, ref, k=k_gram, col="text")
+    deduped = paragraphs.dedup_paragraphs(
+        clean, col="text", id_col="url", mode="keep_first",
+        num_partitions=num_partitions)
+
+    def gate(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        ntok = [len(_WS_SPLIT.findall(t or "")) for t in texts]
+        out = b.append_column("n_tokens", pa.array(ntok, pa.int64()))
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out.column("n_tokens"),
+                                           min_tokens))
+
+    return deduped.map_batches(gate, batch_format="pyarrow")

@@ -240,6 +240,18 @@ def main() -> None:
     entrymod.queries()["events_range_join"](SF_DIR).count()
     queries["range_join"] = round(time.monotonic() - t0, 3)
 
+    # corpus-wide paragraph dedup over the freshly-extracted corpus
+    # (FineWeb shape: two text-bearing fixed-partition shuffles); the
+    # 120k cap matches the near-dup slice so the 8-CPU run stays
+    # bounded
+    from arabic_ocr_ray.functions import paragraphs
+
+    t0 = time.monotonic()
+    paragraphs.dedup_paragraphs(
+        ext.limit(120_000), col="extracted_text",
+        id_col="url").count()
+    queries["para_dedup"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "pages_extraction_wall_sec",
         "value": queries["extract"],

@@ -170,3 +170,39 @@ def test_url_dedup_groups(ray_session):
     assert out.loc["https://e.com/a", "n_variants"] == 3
     assert out.loc["https://e.com/a", "url"] == "https://E.com/a"
     assert out.loc["https://e.com/b", "n_variants"] == 1
+
+
+# ---------------- curate_corpus_v3 -------------------------------------------
+
+def test_curate_corpus_v3_planted(ray_session):
+    """Each stage exercised: a leaked benchmark passage drops its doc
+    BEFORE the paragraph pass could dedup it away; boilerplate
+    paragraphs keep only their first occurrence; gutted docs fall to
+    the token gate."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.pipelines.curate import curate_corpus_v3
+
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    boiler = "accept all cookies now"
+    bench = rd.from_arrow(pa.table({
+        "url": pa.array(["b0"], pa.string()),
+        "text": pa.array([f"prefix {leak} suffix"], pa.string()),
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "url": pa.array(["u0", "u1", "u2", "u3"], pa.string()),
+        "text": pa.array([
+            f"{leak}\nlots of extra words here to pass any gate",
+            f"intro paragraph one\n{boiler}\nbody words for doc one",
+            f"{boiler}\nbody words for doc two go here",
+            boiler,  # gutted by the paragraph pass → gate sweeps it
+        ], pa.string()),
+    }))
+    out = (curate_corpus_v3(corpus, bench, min_tokens=5)
+           .to_pandas().set_index("url"))
+    assert "u0" not in out.index            # contaminated (8-gram hit)
+    assert out.loc["u1", "text"] == \
+        f"intro paragraph one\n{boiler}\nbody words for doc one"
+    assert out.loc["u2", "text"] == "body words for doc two go here"
+    assert "u3" not in out.index            # all-boilerplate → gate
+    assert out.loc["u2", "n_tokens"] == 7

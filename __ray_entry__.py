@@ -566,6 +566,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = pages.map_batches(side(False), batch_format="pyarrow")
         return curate_corpus_v3(corpus, bench, min_tokens=5)
 
+    def q_export_shards(sf_dir: str):
+        """Training-shard export manifest: deterministic LCG shard
+        assignment + reproducible in-shard pseudo-random order, one
+        atomic parquet file per shard (the resume unit).  The oracle
+        replicates the integer shard law; the order/resume contract is
+        pytest-gated (tests/test_export.py)."""
+        import shutil
+
+        from arabic_ocr_ray.pipelines.export import (
+            export_training_shards)
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "text", "n_chars"])
+        out_dir = os.path.join(
+            "/tmp/aor_export",
+            os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return _typed(
+            export_training_shards(docs, out_dir, n_shards=8,
+                                   size_col="n_chars"),
+            {"shard": "int64", "n_docs": "int64",
+             "sum_n_chars": "int64"})
+
     def q_cross_snapshot_dups(sf_dir: str):
         """Incremental dedup: near-dup pairs BETWEEN two snapshots
         only (base = even doc ids, new = odd) — "which new docs
@@ -1472,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup": q_paragraph_dedup,
         "url_canonical_dedup": q_url_canonical_dedup,
         "curate_corpus_v3": q_curate_v3,
+        "export_shards": q_export_shards,
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
         "customers_without_events": q_customers_without_events,
@@ -1981,6 +2005,14 @@ def oracle_sql() -> dict[str, str]:
             f" + CASE WHEN CAST(right(url, 8) AS BIGINT) % 7 = 0"
             f"   THEN 1 ELSE 0 END AS BIGINT) AS n_variants"
             f" FROM read_parquet('{pages}')"
+        ),
+        "export_shards": (
+            # integer shard law twin: shard = ((id*22695477 + 1)
+            # % 2^31) % 8 — exact int64 math on both engines
+            "SELECT ((doc_id * 22695477 + 1) % 2147483648) % 8"
+            " AS shard, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_n_chars"
+            " FROM documents GROUP BY 1"
         ),
         "curate_corpus_v3": (
             # composed twin: decontamination gram-join on the RAW

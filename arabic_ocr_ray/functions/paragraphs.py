@@ -49,8 +49,6 @@ exactly the computation that NEEDS all occurrences co-located.
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -65,13 +63,16 @@ def explode_paragraphs(batch: pa.Table, col: str = "text",
                        id_col: str = "doc_id") -> pa.Table:
     """→ one ``(id, pos, para)`` row per '\\n'-split segment (empty
     segments included — they carry blank-line spacing through the
-    round trip)."""
-    texts = batch.column(col).to_pylist()
-    parts = [(t or "").split("\n") for t in texts]
-    counts = np.fromiter((len(p) for p in parts), dtype=np.int64,
-                         count=len(parts))
+    round trip).  Fully vectorized: the split, the flatten and the
+    position math never touch a Python string (``pc.split_pattern``
+    over the Arrow buffer; a null text splits like ``''``)."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(batch.column(col), "").combine_chunks()
+    lists = pc.split_pattern(texts, "\n")
+    counts = np.asarray(pc.list_value_length(lists).cast(pa.int64()))
     total = int(counts.sum())
-    idx = np.repeat(np.arange(len(parts), dtype=np.int64), counts)
+    idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     # per-doc 0..c-1 position, vectorized: global arange minus each
     # row's doc start offset
     starts = np.repeat(np.cumsum(counts) - counts, counts)
@@ -79,18 +80,36 @@ def explode_paragraphs(batch: pa.Table, col: str = "text",
     return pa.table({
         id_col: batch.column(id_col).take(pa.array(idx)),
         "pos": pa.array(pos, pa.int64()),
-        "para": pa.array(list(itertools.chain.from_iterable(parts)),
-                         pa.string()),
+        "para": pc.list_flatten(lists),
     })
 
 
 def dedup_paragraphs(ds, col: str = "text", id_col: str = "doc_id",
                      mode: str = "keep_first", max_occurrences: int = 1,
-                     num_partitions: int = _PARTITIONS):
+                     num_partitions: int = _PARTITIONS,
+                     reassembly: str = "shuffle",
+                     max_broadcast_drops: int = 2_000_000):
     """→ Dataset(id_col, col) — corpus-wide paragraph dedup + document
-    reassembly.  See module docstring for contract and shuffle shape."""
+    reassembly.  See module docstring for contract and shuffle shape.
+
+    ``reassembly="shuffle"`` (default, unbounded-safe): the decision
+    fold emits surviving ``(id, pos, para)`` rows and an id-keyed
+    shuffle rebuilds documents — text rides two all-to-alls.
+
+    ``reassembly="broadcast"``: the fold emits only the DROPPED
+    ``(id, pos)`` keys; they broadcast once via ``ray.put`` and
+    reassembly becomes a pure map over the SOURCE rows (a document's
+    paragraphs are already co-located in its own row) — text rides
+    exactly ONE all-to-all.  BOUNDED-SMALL-SIDE CONTRACT (the same
+    one as ``bloom`` / the CC driver union-find): drops = occurrences
+    of repeated paragraphs beyond the keeper, typically a small
+    fraction of the corpus; raises above ``max_broadcast_drops``
+    instead of silently shipping an unbounded set."""
     if mode not in ("keep_first", "drop_all"):
         raise ValueError(f"mode={mode!r}")
+    if reassembly not in ("shuffle", "broadcast"):
+        raise ValueError(f"reassembly={reassembly!r}")
+    emit_drops = reassembly == "broadcast"
 
     def explode_key(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -123,11 +142,51 @@ def dedup_paragraphs(ds, col: str = "text", id_col: str = "doc_id",
                 n = sub.groupby("para")["para"].transform("size")
                 keep[sub.index.to_numpy()[
                     n.to_numpy() > max_occurrences]] = False
+        if emit_drops:
+            return df.loc[~keep, [id_col, "pos"]]
         return df.loc[keep, [id_col, "pos", "para"]]
 
-    kept = (ds.map_batches(explode_key, batch_format="pyarrow")
-            .groupby("__jk", num_partitions=num_partitions)
-            .map_groups(arrow_clean(fold_part), batch_format="pandas"))
+    decided = (ds.map_batches(explode_key, batch_format="pyarrow")
+               .groupby("__jk", num_partitions=num_partitions)
+               .map_groups(arrow_clean(fold_part),
+                           batch_format="pandas"))
+
+    if emit_drops:
+        import ray
+
+        drops = decided.materialize()
+        n_drops = drops.count()
+        if n_drops > max_broadcast_drops:
+            raise ValueError(
+                f"{n_drops} dropped paragraph occurrences exceed "
+                f"max_broadcast_drops={max_broadcast_drops}; use "
+                f"reassembly='shuffle' (unbounded-safe) instead")
+        dd = drops.to_pandas()
+        dropmap = ({} if dd.empty else
+                   {i: frozenset(g) for i, g in
+                    dd.groupby(id_col)["pos"]})
+        ref = ray.put(dropmap)
+
+        def rewrite(b: pa.Table) -> pa.Table:
+            dm = ray.get(ref)  # zero-copy local object-store hit
+            id_type = b.schema.field(id_col).type
+            out_i, out_t = [], []
+            for i, t in zip(b.column(id_col).to_pylist(),
+                            b.column(col).to_pylist()):
+                ps = dm.get(i)
+                if ps is None:  # untouched doc: fast path, no resplit
+                    out_i.append(i)
+                    out_t.append(t or "")
+                    continue
+                segs = [p for j, p in enumerate((t or "").split("\n"))
+                        if j not in ps]
+                if segs:  # all-dropped docs vanish (GROUP BY parity)
+                    out_i.append(i)
+                    out_t.append("\n".join(segs))
+            return pa.table({id_col: pa.array(out_i, id_type),
+                             col: pa.array(out_t, pa.string())})
+
+        return ds.map_batches(rewrite, batch_format="pyarrow")
 
     def add_rk(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -138,7 +197,7 @@ def dedup_paragraphs(ds, col: str = "text", id_col: str = "doc_id",
         g = df.groupby(id_col, sort=True)["para"].agg("\n".join)
         return pd.DataFrame({id_col: g.index.to_numpy(), col: g.values})
 
-    return (kept.map_batches(add_rk, batch_format="pyarrow")
+    return (decided.map_batches(add_rk, batch_format="pyarrow")
             .groupby("__rk", num_partitions=num_partitions)
             .map_groups(arrow_clean(reassemble), batch_format="pandas"))
 

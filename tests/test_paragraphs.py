@@ -206,3 +206,34 @@ def test_curate_corpus_v3_planted(ray_session):
     assert out.loc["u2", "text"] == "body words for doc two go here"
     assert "u3" not in out.index            # all-boilerplate → gate
     assert out.loc["u2", "n_tokens"] == 7
+
+
+def test_dedup_paragraphs_broadcast_parity(ray_session):
+    """broadcast reassembly (drop-key ray.put + pure source map) is
+    row-identical to the shuffled reassembly in both modes."""
+    import ray.data as rd
+
+    rng = random.Random(77)
+    vocab = [f"p{i}" for i in range(10)]
+    texts = ["\n".join(rng.choice(vocab + [""])
+                       for _ in range(rng.randint(1, 7)))
+             for _ in range(50)]
+    ds = rd.from_arrow(_docs_table(texts)).repartition(6)
+    for mode in ("keep_first", "drop_all"):
+        a = (paragraphs.dedup_paragraphs(ds, mode=mode,
+                                         num_partitions=5)
+             .to_pandas().set_index("doc_id")["text"].to_dict())
+        b = (paragraphs.dedup_paragraphs(ds, mode=mode,
+                                         num_partitions=5,
+                                         reassembly="broadcast")
+             .to_pandas().set_index("doc_id")["text"].to_dict())
+        assert a == b
+
+
+def test_dedup_paragraphs_broadcast_cap_raises(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table(["dup", "dup", "dup"]))
+    with pytest.raises(ValueError, match="max_broadcast_drops"):
+        paragraphs.dedup_paragraphs(ds, reassembly="broadcast",
+                                    max_broadcast_drops=1)

@@ -40,9 +40,15 @@ def canonicalize_url(u: str) -> str:
     u = u.split("#", 1)[0]
     scheme, sep, rest = u.partition("://")
     if sep:
-        slash = rest.find("/")
-        host, path = (rest, "") if slash < 0 else (rest[:slash],
-                                                   rest[slash:])
+        # authority ends at the first '/' OR '?' (a query can follow
+        # the host directly, path-less: https://e.com?x=1 — the query
+        # must not be case-folded or port-scanned)
+        cut = len(rest)
+        for ch in ("/", "?"):
+            p = rest.find(ch)
+            if 0 <= p < cut:
+                cut = p
+        host, path = rest[:cut], rest[cut:]
         scheme = scheme.lower()
         host = host.lower()
         dp = _DEFAULT_PORT.get(scheme)

@@ -154,6 +154,9 @@ def test_canonicalize_url_rules():
     # path case preserved; root slash stripped
     assert c("https://e.com/") == "https://e.com"
     assert c("") == ""
+    # path-less query: host folding must stop at '?', query case kept
+    assert c("HTTPS://E.com?Q=Mixed&utm_x=1") == "https://e.com?Q=Mixed"
+    assert c("https://e.com:443?a=1") == "https://e.com?a=1"
 
 
 def test_url_dedup_groups(ray_session):

@@ -566,6 +566,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = pages.map_batches(side(False), batch_format="pyarrow")
         return curate_corpus_v3(corpus, bench, min_tokens=5)
 
+    def q_common_paragraphs(sf_dir: str):
+        """Boilerplate inventory: paragraphs repeating across ≥ 2
+        distinct pages with occurrence/document counts — the report a
+        curation run reads before choosing dedup_paragraphs'
+        max_occurrences.  Map-side distinct partials → one para-keyed
+        fold."""
+        from arabic_ocr_ray.functions import paragraphs
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "text"])
+        return _typed(
+            paragraphs.common_paragraphs(pages, min_docs=2,
+                                         id_col="url"),
+            {"para": "object", "n_occurrences": "int64",
+             "n_docs": "int64"})
+
     def q_export_shards(sf_dir: str):
         """Training-shard export manifest: deterministic LCG shard
         assignment + reproducible in-shard pseudo-random order, one
@@ -1495,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup": q_paragraph_dedup,
         "url_canonical_dedup": q_url_canonical_dedup,
         "curate_corpus_v3": q_curate_v3,
+        "common_paragraphs": q_common_paragraphs,
         "export_shards": q_export_shards,
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
@@ -2005,6 +2022,18 @@ def oracle_sql() -> dict[str, str]:
             f" + CASE WHEN CAST(right(url, 8) AS BIGINT) % 7 = 0"
             f"   THEN 1 ELSE 0 END AS BIGINT) AS n_variants"
             f" FROM read_parquet('{pages}')"
+        ),
+        "common_paragraphs": (
+            # boilerplate inventory twin: explode on chr(10), count
+            # occurrences and distinct docs per non-empty paragraph
+            f"SELECT para,"
+            f" CAST(count(*) AS BIGINT) AS n_occurrences,"
+            f" CAST(count(DISTINCT url) AS BIGINT) AS n_docs"
+            f" FROM (SELECT url,"
+            f" unnest(string_split(text, chr(10))) AS para"
+            f" FROM read_parquet('{pages}'))"
+            f" WHERE para <> '' GROUP BY para"
+            f" HAVING count(DISTINCT url) >= 2"
         ),
         "export_shards": (
             # integer shard law twin: shard = ((id*22695477 + 1)

@@ -739,6 +739,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           index_dir=idx)
         return out.select_columns(["query_id", "neighbor_id", "rank"])
 
+    def q_knn_lsh(sf_dir: str):
+        """Sign-LSH bucketed kNN (zero-shuffle approximate path) over
+        the shared planted-copy harness: each query's exact copy has
+        IDENTICAL sign buckets in every table, so the k=1 result —
+        (q, q+1e6, rank 1, cos 1.0) — is reached with probability 1
+        THROUGH the LSH pruning, never around it (non-vacuous: the
+        filter drops the unrelated gaussian bulk).  Broader recall and
+        brute-force parity are pytest-gated."""
+        from arabic_ocr_ray.functions import ann as _ann
+
+        return _typed(
+            _ann.knn_lsh(_emb_planted_aug(sf_dir),
+                         [0, 50, 100, 150, 200], k=1),
+            {"query_id": "int64", "neighbor_id": "int64",
+             "rank": "int64", "cos_x1e9": "int64"})
+
     # ---------------- relational primitives ------------------------------
     def q_q1_pricing(sf_dir: str):
         import pandas as pd
@@ -1537,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_gather": q_emb_near_dup_gather,
         "knn_cosine": q_knn,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
         "q1_pricing": q_q1_pricing,
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -1825,6 +1842,17 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)"
             " AS rank FROM s) "
             f"SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {KNN_K}"
+        ),
+        "knn_lsh": (
+            # planted-copy top-1 twin: the exact copy (cos 1.0) is the
+            # guaranteed nearest neighbor, and identical vectors share
+            # every sign bucket, so the LSH path cannot miss it
+            "SELECT vec_id AS query_id,"
+            " vec_id + 1000000 AS neighbor_id,"
+            " CAST(1 AS BIGINT) AS rank,"
+            " CAST(1000000000 AS BIGINT) AS cos_x1e9"
+            " FROM embeddings"
+            " WHERE vec_id IN (0, 50, 100, 150, 200)"
         ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "

@@ -397,3 +397,104 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, n_clusters: int = 16,
                         id_col=id_col, col=col)
     return knn_ivf_probe(index_dir, query_ids, k=k, nprobe=nprobe,
                          id_col=id_col, col=col)
+
+
+# --- sign-LSH bucketed kNN (the shuffle-free approximate path) ------------
+
+def _lsh_planes(dim: int, n_planes: int, n_tables: int) -> list:
+    """Deterministic hyperplane tables (process-pure: seeded off the
+    table index, same on every worker and every run)."""
+    return [np.random.RandomState(0xA77 + t).randn(n_planes, dim)
+            for t in range(n_tables)]
+
+
+def _lsh_buckets(E: np.ndarray, planes: list) -> np.ndarray:
+    """(n, d) vectors → (n_tables, n) int64 sign-bucket ids."""
+    out = np.empty((len(planes), E.shape[0]), dtype=np.int64)
+    for t, P in enumerate(planes):
+        bits = (E @ P.T) > 0  # (n, n_planes)
+        out[t] = bits @ (1 << np.arange(P.shape[0], dtype=np.int64))
+    return out
+
+
+def knn_lsh(ds, query_ids: list[int], k: int = 5,
+            id_col: str = "vec_id", col: str = "embedding",
+            n_planes: int = 8, n_tables: int = 4):
+    """→ Dataset(query_id, neighbor_id, rank, cos_x1e9) — approximate
+    top-k cosine via sign-LSH candidate pruning, the ZERO-SHUFFLE
+    alternative scale path next to IVF:
+
+    - query vectors are gathered (distributed filter) and broadcast
+      together with their per-table sign buckets (``ray.put`` once);
+    - each corpus batch computes its own buckets and keeps only rows
+      colliding with a query bucket in ≥ 1 table — a pure streaming
+      filter that never moves a non-candidate row (IVF prunes IO via
+      the materialized cell layout; LSH prunes compute/ranking with NO
+      index build and NO data movement at all);
+    - survivors re-rank exactly (same float64/round-9/id-tie contract
+      and the same final merge as :func:`knn_bruteforce`, so the two
+      paths can never silently diverge on ranking).
+
+    Recall is the standard sign-LSH collision bound
+    ``1 - (1 - (1 - θ/π)^n_planes)^n_tables`` per neighbor at angle θ
+    — 1.0 for exact duplicates (identical signs in every table), high
+    for near-duplicates, and deliberately low for unrelated vectors
+    (that IS the pruning).  Raise ``n_tables`` for recall, raise
+    ``n_planes`` for selectivity; candidates per batch are re-ranked
+    vectorized, so an over-permissive config degrades smoothly toward
+    brute force."""
+    import ray
+
+    qvecs = gather_vectors(ds, query_ids, id_col, col)
+    qids = sorted(qvecs)
+    Q = _normalize(np.array([qvecs[i] for i in qids],
+                            dtype=np.float64))
+    planes = _lsh_planes(Q.shape[1], n_planes, n_tables)
+    qb = _lsh_buckets(Q, planes)  # (tables, q)
+    qref = ray.put((qids, Q, [np.unique(b) for b in qb]))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_, qbuckets = ray.get(qref)
+        ids = _ids_array(batch, id_col)
+        E = _normalize(vectors_matrix(batch.column(col)))
+        if E.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos_x1e9": pa.array([], pa.int64())})
+        planes_ = _lsh_planes(E.shape[1], n_planes, n_tables)
+        eb = _lsh_buckets(E, planes_)
+        cand = np.zeros(E.shape[0], dtype=bool)
+        for t in range(n_tables):
+            if len(qbuckets[t]) == 0:
+                continue
+            # qbuckets[t] is sorted (np.unique) → searchsorted probe
+            pos = np.searchsorted(qbuckets[t], eb[t])
+            pos[pos == len(qbuckets[t])] = 0
+            cand |= qbuckets[t][pos] == eb[t]
+        if not cand.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos_x1e9": pa.array([], pa.int64())})
+        ids, E = ids[cand], E[cand]
+        S = np.round(Q_ @ E.T, 9)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            row = S[qi]
+            mask = ids != qid
+            cand_ids, cand_s = ids[mask], row[mask]
+            order = np.lexsort((cand_ids, -cand_s))[: k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(cand_s[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cos_x1e9": pa.array([int(round(s * 1e9)) for s in out_s],
+                                 pa.int64()),
+        })
+
+    from .arrowout import arrow_clean
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        arrow_clean(_merge_topk(k)), batch_format="pandas")

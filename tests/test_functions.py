@@ -887,3 +887,55 @@ def test_curate_corpus_v2_pipeline(ray_session):
     assert list(out["doc_id"]) == [1, 5]
     assert list(out["rank"]) == [1, 1]
     assert list(out["source"]) == ["s1", "s2"]
+
+
+def test_knn_lsh_exact_duplicates_recall_one(ray_session):
+    """An exact duplicate has identical sign buckets in EVERY table —
+    the LSH path finds it with probability 1, at cos exactly 1.0."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import ann
+
+    rng = np.random.RandomState(11)
+    E = rng.randn(300, 32)
+    qids = [0, 1, 2, 3, 4]
+    copies = {1000 + q: E[q].copy() for q in qids}
+    allE = np.vstack([E] + [copies[i][None, :] for i in sorted(copies)])
+    ids = list(range(300)) + sorted(copies)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([row.tolist() for row in allE]),
+    })
+    out = (ann.knn_lsh(rd.from_arrow(t).repartition(4), qids, k=1)
+           .to_pandas().set_index("query_id"))
+    for q in qids:
+        assert out.loc[q, "neighbor_id"] == 1000 + q
+        assert out.loc[q, "cos_x1e9"] == 1_000_000_000
+        assert out.loc[q, "rank"] == 1
+
+
+def test_knn_lsh_matches_bruteforce_when_permissive(ray_session):
+    """n_planes=1 × many tables ≈ probe-everything: the LSH result
+    must then EQUAL knn_bruteforce row for row (shared ranking
+    contract)."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import ann
+
+    rng = np.random.RandomState(23)
+    E = rng.randn(120, 16)
+    t = pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in E]),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    qids = [5, 17]
+    exact = (ann.knn_bruteforce(ds, qids, k=3).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # 24 one-bit tables: a candidate is missed only if it disagrees
+    # with the query in ALL tables — probability ~2^-24 per pair
+    lsh = (ann.knn_lsh(ds, qids, k=3, n_planes=1, n_tables=24)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    assert exact[["query_id", "neighbor_id", "rank", "cos_x1e9"]] \
+        .equals(lsh[["query_id", "neighbor_id", "rank", "cos_x1e9"]])

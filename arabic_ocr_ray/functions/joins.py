@@ -88,56 +88,67 @@ def _jk_for(arr: pa.ChunkedArray, n_parts: int) -> pa.Array:
     return partition_ids(arr, n_parts)
 
 
-def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
+def hash_join(left_ds, right_ds, on: str | list[str],
+              right_on: str | list[str] | None = None,
               how: str = "inner", num_partitions: int = _PARTITIONS,
               right_distinct: bool = False):
-    """→ Dataset joined on a single key.  ``how`` ∈ {"inner", "semi",
-    "anti"}; semi/anti keep the LEFT schema (right may hold duplicate
-    keys — no pre-distinct needed, Acero's left-semi/anti handle it).
-    Inner output columns: left columns then right non-key columns.
-    ``right_distinct=True`` deduplicates the right side's full rows
-    inside each join partition before the inner join — a GLOBAL
-    distinct for free (all copies of a key hash to one partition), used
-    when the right side may carry duplicate rows whose join fan-out
-    would replicate left payloads (the near-dup need rows).
+    """→ Dataset joined on one key or a composite key list.  ``how`` ∈
+    {"inner", "semi", "anti"}; semi/anti keep the LEFT schema (right
+    may hold duplicate keys — no pre-distinct needed, Acero's
+    left-semi/anti handle it).  Inner output columns: left columns
+    then right non-key columns.  ``right_distinct=True`` deduplicates
+    the right side's full rows inside each join partition before the
+    inner join — a GLOBAL distinct for free (all copies of a key hash
+    to one partition), used when the right side may carry duplicate
+    rows whose join fan-out would replicate left payloads (the
+    near-dup need rows).  Composite keys partition by the combined
+    hash of all key columns (one shuffle regardless of arity).
     See module docstring for why this exists next to ``Dataset.join``."""
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
     right_on = right_on or on
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(rkeys) != len(keys):
+        raise ValueError("right_on arity != on arity")
     ls, rs = left_ds.schema(), right_ds.schema()
     ltypes = {n: _pa_type(t) for n, t in zip(ls.names, ls.types)}
     rtypes = {n: _pa_type(t) for n, t in zip(rs.names, rs.types)}
-    key_t = ltypes[on]
-    left_nonkey = [c for c in ls.names if c != on]
+    key_ts = [ltypes[k] for k in keys]
+    left_nonkey = [c for c in ls.names if c not in keys]
     if how == "inner":
-        right_nonkey = [c for c in rs.names if c != right_on]
+        right_nonkey = [c for c in rs.names if c not in rkeys]
         clash = set(right_nonkey) & set(ls.names)
         if clash:
             raise ValueError(f"column collision: {sorted(clash)}")
     else:
         right_nonkey = []
-        right_ds = right_ds.select_columns([right_on])
-    out_names = [on] + left_nonkey + right_nonkey
+        right_ds = right_ds.select_columns(rkeys)
+    out_names = keys + left_nonkey + right_nonkey
     out_schema = pa.schema(
-        [(on, key_t)] + [(c, ltypes[c]) for c in left_nonkey]
+        list(zip(keys, key_ts)) + [(c, ltypes[c]) for c in left_nonkey]
         + [(c, rtypes[c]) for c in right_nonkey])
 
     def tag(side: int):
-        keycol = on if side == 0 else right_on
-
         def f(b: pa.Table) -> pa.Table:
             n = b.num_rows
-            # cast the right key to the LEFT key's type BEFORE both
+            # cast the right keys to the LEFT keys' types BEFORE both
             # the partition hash and the in-partition join — hashing
             # the raw column would send equal-after-cast keys (int64
             # 5 vs float64 5.0) to different partitions, silently
             # un-matching them
-            key_arr = (b.column(on) if side == 0
-                       else b.column(right_on).cast(key_t))
-            cols = {"__jk": _jk_for(key_arr, num_partitions),
+            key_arrs = [
+                b.column(k) if side == 0
+                else b.column(rk).cast(kt)
+                for k, rk, kt in zip(keys, rkeys, key_ts)]
+            jk = (_jk_for(key_arrs[0], num_partitions)
+                  if len(key_arrs) == 1
+                  else partition_ids(key_arrs, num_partitions))
+            cols = {"__jk": jk,
                     "__side": pa.array(
                         np.full(n, side, dtype=np.int8))}
-            cols[on] = key_arr
+            for k, arr in zip(keys, key_arrs):
+                cols[k] = arr
             for c in left_nonkey:
                 cols[c] = (b.column(c) if side == 0
                            else pa.nulls(n, ltypes[c]))
@@ -156,9 +167,9 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
     def join_part(g: pa.Table) -> pa.Table:
         side = g.column("__side")
-        lt = g.filter(pc.equal(side, 0)).select([on] + left_nonkey)
+        lt = g.filter(pc.equal(side, 0)).select(keys + left_nonkey)
         rt = (g.filter(pc.equal(side, 1))
-              .select([on] + right_nonkey))
+              .select(keys + right_nonkey))
         if lt.num_rows == 0:
             return out_schema.empty_table()
         if rt.num_rows == 0:
@@ -167,7 +178,7 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
             rt = (rt.combine_chunks()
                   .group_by(rt.column_names).aggregate([]))
         out = lt.combine_chunks().join(
-            rt.combine_chunks(), keys=[on], join_type=arrow_how)
+            rt.combine_chunks(), keys=keys, join_type=arrow_how)
         return out.select(out_names)
 
     # cap the shuffle at the key-space size — __jk has exactly

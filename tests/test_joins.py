@@ -350,3 +350,53 @@ def test_hash_join_matches_pandas_random(ray_session):
                               on="k", right_on="k2",
                               how="semi").to_pandas())
         assert ssemi == semi
+
+
+def test_hash_join_composite_keys_parity(ray_session):
+    """Multi-key hash_join == pandas merge on the same composite key,
+    for inner/semi/anti, mixed int+string keys, differing right-side
+    key names."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.joins import hash_join
+
+    rng = random.Random(88)
+    left = pd.DataFrame({
+        "u": [rng.randint(0, 6) for _ in range(80)],
+        "grp": [f"g{rng.randint(0, 3)}" for _ in range(80)],
+        "id": range(80),
+    })
+    right = pd.DataFrame({
+        "u2": [rng.randint(0, 6) for _ in range(40)],
+        "grp2": [f"g{rng.randint(0, 3)}" for _ in range(40)],
+        "w": [rng.randint(0, 99) for _ in range(40)],
+    })
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+
+    inner = hash_join(lds, rds, on=["u", "grp"],
+                      right_on=["u2", "grp2"], how="inner",
+                      num_partitions=7).to_pandas()
+    exp = left.merge(right, left_on=["u", "grp"],
+                     right_on=["u2", "grp2"])[
+        ["u", "grp", "id", "w"]].sort_values(
+        ["id", "w"]).reset_index(drop=True)
+    got = (inner[["u", "grp", "id", "w"]]
+           .sort_values(["id", "w"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    rset = set(zip(right["u2"], right["grp2"]))
+    in_right = left.apply(
+        lambda r: (r["u"], r["grp"]) in rset, axis=1)
+    semi = hash_join(lds, rds, on=["u", "grp"],
+                     right_on=["u2", "grp2"], how="semi",
+                     num_partitions=7).to_pandas()
+    anti = hash_join(lds, rds, on=["u", "grp"],
+                     right_on=["u2", "grp2"], how="anti",
+                     num_partitions=7).to_pandas()
+    assert sorted(semi["id"]) == sorted(left.loc[in_right, "id"])
+    a_ids = sorted(anti["id"]) if len(anti) else []
+    assert a_ids == sorted(left.loc[~in_right, "id"])

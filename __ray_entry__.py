@@ -1424,6 +1424,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_id="o_orderkey",
         )
 
+    def q_events_above_type_mean(sf_dir: str):
+        """Composite-key join end-to-end: events strictly above their
+        (user_id, event_type) mean value, rolled up per type.  The
+        per-group mean never materializes as a float — the comparison
+        is the exact integer cross-multiplication v_c·n > Σv_c
+        (cents), so no division/rounding can drift vs the oracle.
+        Shuffle shape: one multi-key groupby (map-side combined by
+        Ray's aggregate), ONE composite-hash `hash_join` (both key
+        columns folded into a single partition key — one shuffle
+        regardless of key arity), then a type-sized rollup."""
+        import numpy as np
+        import pyarrow as pa
+        from ray.data.aggregate import Count, Sum
+
+        from arabic_ocr_ray.functions.joins import hash_join
+
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
+                 columns=["user_id", "event_type", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            v = np.asarray(b.column("value"), dtype=np.float64)
+            return pa.table({
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "v_c": pa.array(np.round(v * 100).astype(np.int64)),
+            })
+
+        evc = ev.map_batches(cents, batch_format="pyarrow")
+        agg = (evc.groupby(["user_id", "event_type"])
+               .aggregate(Sum("v_c", alias_name="s"),
+                          Count(alias_name="n")))
+        j = hash_join(evc, agg, on=["user_id", "event_type"],
+                      how="inner", num_partitions=16)
+
+        def above(b: pa.Table) -> pa.Table:
+            v = np.asarray(b.column("v_c"), dtype=np.int64)
+            n = np.asarray(b.column("n"), dtype=np.int64)
+            s = np.asarray(b.column("s"), dtype=np.int64)
+            return b.filter(pa.array(v * n > s))
+
+        out = (j.map_batches(above, batch_format="pyarrow")
+               .groupby("event_type", num_partitions=4)
+               .aggregate(Count(alias_name="n_above")))
+        return _typed(out, {"event_type": "object",
+                            "n_above": "int64"})
+
     def q_events_range_join(sf_dir: str):
         """Interval (range) join: each purchase event opens a 1-hour
         half-open window [ts, ts+1h); count and id-sum the same user's
@@ -1519,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_prototypes": q_train_prototypes,
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "events_range_join": q_events_range_join,
+        "events_above_type_mean": q_events_above_type_mean,
         "curate_corpus": q_curate_corpus,
         "jaccard_dup_pairs": q_jaccard_dup,
         "cross_snapshot_dups": q_cross_snapshot_dups,
@@ -2401,6 +2448,20 @@ def oracle_sql() -> dict[str, str]:
             r" SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
             r" CAST(sum(n_tokens) AS BIGINT) AS sum_tokens"
             r" FROM kept GROUP BY lang"
+        ),
+        "events_above_type_mean": (
+            # integer-cents cross-multiplication twin: v·n > Σv — no
+            # float mean on either side
+            "WITH c AS (SELECT user_id, event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS v FROM events),"
+            " a AS (SELECT user_id, event_type,"
+            " CAST(sum(v) AS BIGINT) AS s,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM c GROUP BY 1, 2)"
+            " SELECT c.event_type,"
+            " CAST(count(*) AS BIGINT) AS n_above"
+            " FROM c JOIN a USING (user_id, event_type)"
+            " WHERE c.v * a.n > a.s GROUP BY 1"
         ),
         "events_range_join": (
             "WITH p AS (SELECT event_id AS p_id, user_id, ts "

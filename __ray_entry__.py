@@ -605,6 +605,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"shard": "int64", "n_docs": "int64",
              "sum_n_chars": "int64"})
 
+    def q_snapshot_diff(sf_dir: str):
+        """Crawl-snapshot diff over two deterministically-derived
+        snapshots of the documents table: old lacks doc_id%11==3
+        (those read as ADDED), new lacks doc_id%7==2 (REMOVED), and
+        new's text gains a ' v2' suffix for doc_id%5==0 (CHANGED).
+        One id-keyed shuffle of (id, sha1, side) rows, three-way
+        classification fused in the fold; unchanged bulk never
+        emitted."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        docs = _docs(sf_dir)
+
+        def old_side(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), np.int64)
+            return b.filter(pa.array(ids % 11 != 3))
+
+        def new_side(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), np.int64)
+            b = b.filter(pa.array(ids % 7 != 2))
+            ids = np.asarray(b.column("doc_id"), np.int64)
+            suffixed = pc.binary_join_element_wise(
+                b.column("text").cast(pa.string()), " v2", "")
+            text = pc.if_else(pa.array(ids % 5 == 0),
+                              suffixed, b.column("text"))
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "text": text})
+
+        return _typed(
+            dedup.snapshot_diff(
+                docs.map_batches(old_side, batch_format="pyarrow"),
+                docs.map_batches(new_side, batch_format="pyarrow")),
+            {"doc_id": "int64", "status": "object"})
+
     def q_cross_snapshot_dups(sf_dir: str):
         """Incremental dedup: near-dup pairs BETWEEN two snapshots
         only (base = even doc ids, new = odd) — "which new docs
@@ -1569,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "jaccard_dup_pairs": q_jaccard_dup,
         "cross_snapshot_dups": q_cross_snapshot_dups,
+        "snapshot_diff": q_snapshot_diff,
         "doc_decontaminate": q_doc_decontaminate,
         "mixture_resample": q_mixture_resample,
         "doc_paragraph_dedup": q_paragraph_dedup,
@@ -2002,6 +2038,20 @@ def oracle_sql() -> dict[str, str]:
             r" JOIN cnt cb ON cb.doc_id = i.b"
             r" WHERE ca.n >= 5 AND cb.n >= 5"
             r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
+        "snapshot_diff": (
+            # the derivation is deterministic, so the expected diff is
+            # computable directly: %11==3 missing from old → added,
+            # %7==2 missing from new → removed, %5==0 suffixed → changed
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 11 = 3 THEN 'added'"
+            " WHEN doc_id % 7 = 2 THEN 'removed'"
+            " ELSE 'changed' END AS status"
+            " FROM documents"
+            " WHERE (doc_id % 7 = 2 AND doc_id % 11 != 3)"
+            " OR (doc_id % 11 = 3 AND doc_id % 7 != 2)"
+            " OR (doc_id % 11 != 3 AND doc_id % 7 != 2"
+            " AND doc_id % 5 = 0)"
         ),
         "cross_snapshot_dups": (
             # same trigram-Jaccard contract as near_dup_pairs

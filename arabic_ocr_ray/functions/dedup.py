@@ -1634,3 +1634,53 @@ def verify_pairs_cosine(cand_ds, vec_ds, threshold: float,
     return (pairs_t.union(vecs_t)
             .groupby("vp")
             .map_groups(verify_group, batch_format="pyarrow"))
+
+
+def snapshot_diff(old_ds, new_ds, col: str = "text",
+                  id_col: str = "doc_id", num_partitions: int = 64):
+    """→ Dataset(id_col, status) — crawl-snapshot diff: ``added``
+    (id only in new), ``removed`` (id only in old), ``changed`` (id in
+    both, content hash differs).  UNCHANGED docs are NOT emitted — at
+    crawl scale the diff is the small output and the identical bulk
+    never leaves its blocks' hash rows.
+
+    Shuffle shape: ONE id-keyed fixed-partition shuffle of
+    (id, sha1, side) rows — hashes, never text — with the three-way
+    classification fused into the per-partition fold (no outer join
+    operator, no second pass).  Contract: ids are unique within each
+    snapshot (the crawl-frontier invariant)."""
+    import pandas as pd
+
+    from .arrowout import arrow_clean
+    from .parthash import partition_ids
+
+    def prep(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            t = content_hash_batch(b, col, id_col)
+            t = t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+            return t.append_column(
+                "__jk", partition_ids([t.column(id_col)],
+                                      num_partitions))
+        return f
+
+    tagged = (old_ds.map_batches(prep(0), batch_format="pyarrow")
+              .union(new_ds.map_batches(prep(1),
+                                        batch_format="pyarrow")))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["__side"] == 0][[id_col, "content_hash"]]
+        n = df[df["__side"] == 1][[id_col, "content_hash"]]
+        m = o.merge(n, on=id_col, how="outer",
+                    suffixes=("_old", "_new"), indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added", "changed"))
+        keep = (m["_merge"] != "both") | \
+            (m["content_hash_old"] != m["content_hash_new"])
+        out = pd.DataFrame({id_col: m.loc[keep, id_col].to_numpy(),
+                            "status": status[keep.to_numpy()]})
+        return out
+
+    return (tagged.groupby("__jk", num_partitions=num_partitions)
+            .map_groups(arrow_clean(fold), batch_format="pandas"))

@@ -939,3 +939,37 @@ def test_knn_lsh_matches_bruteforce_when_permissive(ray_session):
            .reset_index(drop=True))
     assert exact[["query_id", "neighbor_id", "rank", "cos_x1e9"]] \
         .equals(lsh[["query_id", "neighbor_id", "rank", "cos_x1e9"]])
+
+
+def test_snapshot_diff_planted(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import dedup
+
+    old = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["b", "C2", "d", "e"], pa.string()),
+    })
+    out = (dedup.snapshot_diff(rd.from_arrow(old).repartition(2),
+                               rd.from_arrow(new).repartition(3),
+                               num_partitions=4)
+           .to_pandas().set_index("doc_id")["status"].to_dict())
+    assert out == {1: "removed", 3: "changed", 5: "added"}
+    # unchanged docs (2, 4) are not emitted
+
+
+def test_snapshot_diff_empty_when_identical(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import dedup
+
+    t = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(20)], pa.string()),
+    })
+    out = dedup.snapshot_diff(rd.from_arrow(t), rd.from_arrow(t))
+    assert out.count() == 0

@@ -605,6 +605,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"shard": "int64", "n_docs": "int64",
              "sum_n_chars": "int64"})
 
+    def q_extract_incremental(sf_dir: str):
+        """Incremental crawl extraction end-to-end: snapshot-diff on
+        RAW html bytes → extract ONLY added/changed pages of the new
+        snapshot.  Derived snapshots: old lacks idx%13==5 (ADDED) and
+        carries a prepended html comment for idx%9==0 (CHANGED —
+        comments strip out, so the hash differs while golden text is
+        untouched); new lacks idx%17==2 (REMOVED, must not appear).
+        The oracle is the golden text of exactly the added∪changed
+        surviving pages — byte-identity THROUGH the composition."""
+        import numpy as np
+        import pyarrow as pa
+
+        from arabic_ocr_ray.pipelines.extract import (
+            extract_incremental)
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html", "lang"])
+
+        def _idx(b: pa.Table) -> np.ndarray:
+            return np.array([int(u.rsplit("/", 1)[1])
+                             for u in b.column("url").to_pylist()],
+                            dtype=np.int64)
+
+        def old_side(b: pa.Table) -> pa.Table:
+            idx = _idx(b)
+            b = b.filter(pa.array(idx % 13 != 5))
+            idx = _idx(b)
+            html = [bytes(h) if i % 9 else b"<!-- v1 -->" + bytes(h)
+                    for i, h in zip(idx, b.column("html").to_pylist())]
+            return pa.table({"url": b.column("url"),
+                             "html": pa.array(html, pa.binary()),
+                             "lang": b.column("lang")})
+
+        def new_side(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(_idx(b) % 17 != 2))
+
+        out = extract_incremental(
+            pages.map_batches(old_side, batch_format="pyarrow"),
+            pages.map_batches(new_side, batch_format="pyarrow"),
+            batch_size=32, concurrency=_conc())
+        return out.select_columns(["url", "extracted_text"])
+
     def q_snapshot_diff(sf_dir: str):
         """Crawl-snapshot diff over two deterministically-derived
         snapshots of the documents table: old lacks doc_id%11==3
@@ -1605,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": q_jaccard_dup,
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "snapshot_diff": q_snapshot_diff,
+        "extract_incremental": q_extract_incremental,
         "doc_decontaminate": q_doc_decontaminate,
         "mixture_resample": q_mixture_resample,
         "doc_paragraph_dedup": q_paragraph_dedup,
@@ -2038,6 +2081,16 @@ def oracle_sql() -> dict[str, str]:
             r" JOIN cnt cb ON cb.doc_id = i.b"
             r" WHERE ca.n >= 5 AND cb.n >= 5"
             r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
+        "extract_incremental": (
+            # golden text of exactly the added (idx%13==5, not
+            # removed) ∪ changed (idx%9==0, not removed) pages —
+            # byte-identical through diff → semi-join → extraction
+            f"SELECT url, text AS extracted_text"
+            f" FROM read_parquet('{pages}')"
+            f" WHERE CAST(right(url, 8) AS BIGINT) % 17 != 2"
+            f" AND (CAST(right(url, 8) AS BIGINT) % 13 = 5"
+            f" OR CAST(right(url, 8) AS BIGINT) % 9 = 0)"
         ),
         "snapshot_diff": (
             # the derivation is deterministic, so the expected diff is

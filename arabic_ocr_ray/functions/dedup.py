@@ -40,8 +40,12 @@ _TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")  # explicit ASCII ws class — matche
 
 def content_hash_batch(batch: pa.Table, col: str = "text",
                        id_col: str = "doc_id") -> pa.Table:
-    texts = batch.column(col).to_pylist()
-    h = [hashlib.sha1((t or "").encode()).hexdigest() for t in texts]
+    """String OR binary content column → sha1 hex (nulls hash as
+    empty; bytes hash raw — the html-diff path never decodes)."""
+    vals = batch.column(col).to_pylist()
+    h = [hashlib.sha1(
+            v if isinstance(v, bytes) else (v or "").encode()
+         ).hexdigest() for v in vals]
     return pa.table({
         id_col: batch.column(id_col),
         "content_hash": pa.array(h, pa.string()),

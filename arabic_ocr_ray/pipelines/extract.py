@@ -291,3 +291,54 @@ def run_extract(
         "bytes_per_s": nbytes / wall if wall > 0 else 0.0,
         "partitions": int(stats.shape[0]),
     }
+
+
+def extract_incremental(
+    old_pages_ds,
+    new_pages_ds,
+    model_path: str = DEFAULT_MODEL_PATH,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | None = None,
+    num_partitions: int = 64,
+    reading_order: str = "document",
+):
+    """Incremental crawl extraction: snapshot-diff the two page sets
+    on RAW ``html`` bytes (sha1 rows through one id-keyed shuffle —
+    page bodies never move through the diff), then run the extraction
+    actor pool over ONLY the new snapshot's added/changed pages.
+    Unchanged pages are skipped entirely and removed pages produce
+    nothing, so the crawl-over-crawl cost is proportional to churn,
+    not corpus size.  Output schema = :func:`extract_pages`."""
+    import pyarrow as pa
+
+    from ..functions.dedup import snapshot_diff
+    from ..functions.joins import hash_join
+    from ..stages.extract_stage import ExtractText
+
+    diff = snapshot_diff(
+        old_pages_ds.select_columns(["url", "html"]),
+        new_pages_ds.select_columns(["url", "html"]),
+        col="html", id_col="url",
+        num_partitions=num_partitions)
+
+    def todo_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return (b.filter(pc.not_equal(b.column("status"), "removed"))
+                .select(["url"]))
+
+    todo = diff.map_batches(todo_only, batch_format="pyarrow")
+    pages = hash_join(new_pages_ds, todo, on="url", how="semi",
+                      num_partitions=num_partitions)
+    return pages.map_batches(
+        ExtractText,
+        fn_constructor_kwargs={
+            "model_path": model_path,
+            "num_partitions": num_partitions,
+            "reading_order": reading_order,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(),
+        num_cpus=1,
+    )

@@ -240,3 +240,44 @@ def test_orphaned_data_file_reconciled_on_resume(ray_session,
     assert len(set(tbl.column("url").to_pylist())) == 60
     lin = read_lineage(out)
     assert sum(lin.column("docs").to_pylist()) == 60
+
+
+def test_extract_incremental_extracts_only_churn(ray_session,
+                                                 pages_parquet):
+    """Diff-gated extraction: unchanged pages are skipped, added and
+    html-changed pages extract byte-identical to golden, removed pages
+    produce nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from arabic_ocr_ray.pipelines.extract import extract_incremental
+
+    t = pq.read_table(pages_parquet["pages"],
+                      columns=["url", "html", "lang", "text"])
+    n = t.num_rows
+    idx = np.arange(n)
+    old_mask = idx % 13 != 5          # %13==5 → added later
+    new_mask = idx % 17 != 2          # %17==2 → removed
+    old = t.filter(pa.array(old_mask)).select(["url", "html", "lang"])
+    # change: prepend a comment to every 9th page's OLD html (hash
+    # differs; golden text untouched — comments strip)
+    oh = [bytes(h) if i % 9 else b"<!-- v1 -->" + bytes(h)
+          for i, h in zip(idx[old_mask], old.column("html").to_pylist())]
+    old = pa.table({"url": old.column("url"),
+                    "html": pa.array(oh, pa.binary()),
+                    "lang": old.column("lang")})
+    new = t.filter(pa.array(new_mask)).select(["url", "html", "lang"])
+
+    out = (extract_incremental(rd.from_arrow(old), rd.from_arrow(new),
+                               batch_size=32, concurrency=2)
+           .select_columns(["url", "extracted_text"]).to_pandas()
+           .set_index("url")["extracted_text"].to_dict())
+    urls = t.column("url").to_pylist()
+    golden = dict(zip(urls, t.column("text").to_pylist()))
+    want = {urls[i] for i in idx
+            if i % 17 != 2 and (i % 13 == 5 or i % 9 == 0)}
+    assert set(out) == want
+    for u in want:
+        assert out[u] == golden[u]

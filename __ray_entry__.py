@@ -1418,6 +1418,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir, cols=("doc_id",)).map_batches(
             pick, batch_format="pyarrow")
 
+    def q_customer_event_coverage(sf_dir: str):
+        """Left-OUTER hash join: every customer survives with its
+        event count (0 on miss), rolled up per market segment.  The
+        event side is pre-aggregated to (user, n) BEFORE the join —
+        the join moves one row per user, not one per event (the
+        scale-correct order at 10^12 events)."""
+        import numpy as np
+        import pyarrow as pa
+        from ray.data.aggregate import Count, Sum
+
+        from arabic_ocr_ray.functions.joins import hash_join
+
+        ev = _rp(os.path.join(sf_dir, "events.parquet"),
+                 columns=["user_id"])
+        cnt = ev.groupby("user_id").aggregate(
+            Count(alias_name="n_ev"))
+        cust = _rp(os.path.join(sf_dir, "customer.parquet"),
+                   columns=["c_custkey", "c_mktsegment"])
+        j = hash_join(cust, cnt, on="c_custkey", right_on="user_id",
+                      how="left", num_partitions=16)
+
+        def fin(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.fill_null(b.column("n_ev").cast(pa.int64()), 0)
+            return pa.table({
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n_ev": n,
+                "has_ev": pc.cast(pc.greater(n, 0), pa.int64()),
+            })
+
+        out = (j.map_batches(fin, batch_format="pyarrow")
+               .groupby("c_mktsegment", num_partitions=4)
+               .aggregate(Count(alias_name="n_customers"),
+                          Sum("has_ev", alias_name="n_with_events"),
+                          Sum("n_ev", alias_name="total_events")))
+        return _typed(out, {"c_mktsegment": "object",
+                            "n_customers": "int64",
+                            "n_with_events": "int64",
+                            "total_events": "int64"})
+
     def q_customers_without_events(sf_dir: str):
         """Shuffled ANTI join: customers with no events, counted per
         market segment.  The r2 version materialized the distinct
@@ -1643,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "events_range_join": q_events_range_join,
         "events_above_type_mean": q_events_above_type_mean,
+        "customer_event_coverage": q_customer_event_coverage,
         "curate_corpus": q_curate_corpus,
         "jaccard_dup_pairs": q_jaccard_dup,
         "cross_snapshot_dups": q_cross_snapshot_dups,
@@ -2487,6 +2529,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'"
+        ),
+        "customer_event_coverage": (
+            # pre-aggregated left-outer twin: count per user first,
+            # then LEFT JOIN — null n → 0 events
+            "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n"
+            " FROM events GROUP BY 1)"
+            " SELECT c_mktsegment,"
+            " CAST(count(*) AS BIGINT) AS n_customers,"
+            " CAST(sum(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_with_events,"
+            " CAST(coalesce(sum(n), 0) AS BIGINT) AS total_events"
+            " FROM customer LEFT JOIN c ON c_custkey = user_id"
+            " GROUP BY 1"
         ),
         "customers_without_events": (
             "SELECT c_mktsegment, count(*) AS n_customers "

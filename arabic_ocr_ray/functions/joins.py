@@ -24,9 +24,9 @@
   broadcast-key-set filters (no shuffle; the resume anti-filter in
   pipelines/extract.py is the same shape).
 
-- :func:`hash_join` — distributed inner / semi / anti hash join built
-  from the fixed-partition union + groupby shape instead of
-  ``Dataset.join``.  Two reasons it exists:
+- :func:`hash_join` — distributed inner / left-outer / semi / anti
+  hash join built from the fixed-partition union + groupby shape
+  instead of ``Dataset.join``.  Two reasons it exists:
 
   1. **Robustness**: Ray's ``groupby().map_groups()`` hash shuffle
      emits schemaless zero-column blocks for partitions that receive
@@ -93,7 +93,9 @@ def hash_join(left_ds, right_ds, on: str | list[str],
               how: str = "inner", num_partitions: int = _PARTITIONS,
               right_distinct: bool = False):
     """→ Dataset joined on one key or a composite key list.  ``how`` ∈
-    {"inner", "semi", "anti"}; semi/anti keep the LEFT schema (right
+    {"inner", "left", "semi", "anti"}; ``left`` = left outer (every
+    left row survives, right payload null on miss); semi/anti keep the
+    LEFT schema (right
     may hold duplicate keys — no pre-distinct needed, Acero's
     left-semi/anti handle it).  Inner output columns: left columns
     then right non-key columns.  ``right_distinct=True`` deduplicates
@@ -104,7 +106,7 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     near-dup need rows).  Composite keys partition by the combined
     hash of all key columns (one shuffle regardless of arity).
     See module docstring for why this exists next to ``Dataset.join``."""
-    if how not in ("inner", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_on = right_on or on
@@ -116,7 +118,7 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     rtypes = {n: _pa_type(t) for n, t in zip(rs.names, rs.types)}
     key_ts = [ltypes[k] for k in keys]
     left_nonkey = [c for c in ls.names if c not in keys]
-    if how == "inner":
+    if how in ("inner", "left"):
         right_nonkey = [c for c in rs.names if c not in rkeys]
         clash = set(right_nonkey) & set(ls.names)
         if clash:
@@ -162,8 +164,8 @@ def hash_join(left_ds, right_ds, on: str | list[str],
               .union(right_ds.map_batches(tag(1),
                                           batch_format="pyarrow")))
 
-    arrow_how = {"inner": "inner", "semi": "left semi",
-                 "anti": "left anti"}[how]
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
 
     def join_part(g: pa.Table) -> pa.Table:
         side = g.column("__side")
@@ -173,7 +175,15 @@ def hash_join(left_ds, right_ds, on: str | list[str],
         if lt.num_rows == 0:
             return out_schema.empty_table()
         if rt.num_rows == 0:
-            return (lt if how == "anti" else out_schema.empty_table())
+            if how == "anti":
+                return lt
+            if how == "left":
+                t = lt
+                for c in right_nonkey:
+                    t = t.append_column(
+                        c, pa.nulls(lt.num_rows, rtypes[c]))
+                return t.select(out_names)
+            return out_schema.empty_table()
         if right_distinct and how == "inner":
             rt = (rt.combine_chunks()
                   .group_by(rt.column_names).aggregate([]))

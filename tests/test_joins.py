@@ -400,3 +400,31 @@ def test_hash_join_composite_keys_parity(ray_session):
     assert sorted(semi["id"]) == sorted(left.loc[in_right, "id"])
     a_ids = sorted(anti["id"]) if len(anti) else []
     assert a_ids == sorted(left.loc[~in_right, "id"])
+
+
+def test_hash_join_left_outer_parity(ray_session):
+    """how='left' == pandas left merge: every left row survives, right
+    payload null on miss — including partitions with an empty right
+    side."""
+    import pandas as pd
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "id": range(5)})
+    right = pd.DataFrame({"k2": [2, 4, 4], "w": [20, 40, 41]})
+    out = (hash_join(rd.from_pandas(left).repartition(3),
+                     rd.from_pandas(right).repartition(2),
+                     on="k", right_on="k2", how="left",
+                     num_partitions=5)
+           .to_pandas().sort_values(["id", "w"], na_position="first")
+           .reset_index(drop=True))
+    exp = (left.merge(right, left_on="k", right_on="k2", how="left")
+           [["k", "id", "w"]]
+           .sort_values(["id", "w"], na_position="first")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "id", "w"]], exp,
+                                  check_dtype=False)
+    # misses carry nulls, matches fan out
+    assert out["w"].isna().sum() == 2          # k=1, k=3
+    assert (out["k"] == 4).sum() == 4          # 2 left rows × 2 right

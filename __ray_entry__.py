@@ -647,6 +647,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_size=32, concurrency=_conc())
         return out.select_columns(["url", "extracted_text"])
 
+    def q_latest_capture(sf_dir: str):
+        """WARC revisit policy over a derived multi-capture archive:
+        every idx%4==0 page gains a re-capture one day later (same
+        body); latest_capture must keep exactly the newer row per
+        url.  Output = (url, warc_ts_us) epoch micros — integer-exact
+        across engines."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from arabic_ocr_ray.functions.urls import latest_capture
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "warc_ts"])
+        DAY_US = 86_400_000_000
+
+        def captures(b: pa.Table) -> pa.Table:
+            idx = np.array([int(u.rsplit("/", 1)[1])
+                            for u in b.column("url").to_pylist()],
+                           dtype=np.int64)
+            base_us = np.asarray(
+                b.column("warc_ts").cast(pa.int64()), dtype=np.int64)
+            m = idx % 4 == 0
+            urls = b.column("url").to_pylist()
+            out_u = urls + [u for u, k in zip(urls, m) if k]
+            out_t = np.concatenate([base_us, base_us[m] + DAY_US])
+            return pa.table({
+                "url": pa.array(out_u, pa.string()),
+                "warc_ts": pa.array(out_t).cast(
+                    pa.timestamp("us")),
+            })
+
+        arch = pages.map_batches(captures, batch_format="pyarrow")
+        latest = latest_capture(arch)
+
+        def to_us(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": b.column("url"),
+                "warc_ts_us": b.column("warc_ts").cast(pa.int64()),
+            })
+
+        return latest.map_batches(to_us, batch_format="pyarrow")
+
     def q_snapshot_diff(sf_dir: str):
         """Crawl-snapshot diff over two deterministically-derived
         snapshots of the documents table: old lacks doc_id%11==3
@@ -1690,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "snapshot_diff": q_snapshot_diff,
         "extract_incremental": q_extract_incremental,
+        "latest_capture": q_latest_capture,
         "doc_decontaminate": q_doc_decontaminate,
         "mixture_resample": q_mixture_resample,
         "doc_paragraph_dedup": q_paragraph_dedup,
@@ -2123,6 +2167,15 @@ def oracle_sql() -> dict[str, str]:
             r" JOIN cnt cb ON cb.doc_id = i.b"
             r" WHERE ca.n >= 5 AND cb.n >= 5"
             r" AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)"
+        ),
+        "latest_capture": (
+            # recency-dedup twin: the derived archive re-captures
+            # idx%4==0 pages one day later, so the expected latest ts
+            # is base + 1 day exactly for those urls
+            f"SELECT url, CAST(epoch_us(warc_ts) +"
+            f" CASE WHEN CAST(right(url, 8) AS BIGINT) % 4 = 0"
+            f" THEN 86400000000 ELSE 0 END AS BIGINT) AS warc_ts_us"
+            f" FROM read_parquet('{pages}')"
         ),
         "extract_incremental": (
             # golden text of exactly the added (idx%13==5, not

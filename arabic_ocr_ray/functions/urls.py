@@ -89,3 +89,34 @@ def url_dedup(ds, col: str = "url"):
         Min(col, alias_name=col),
         Count(alias_name="n_variants"),
     )
+
+
+def latest_capture(ds, id_col: str = "url", ts_col: str = "warc_ts",
+                   num_partitions: int = 64):
+    """→ one FULL row per id: the newest capture (max ``ts_col``) —
+    the crawl-archive revisit policy (WARC recency dedup: a URL
+    re-crawled across snapshots keeps only its latest body).
+
+    ONE id-keyed fixed-partition shuffle; each partition resolves all
+    its ids with one vectorized sort + keep-last (never a python call
+    per url).  Contract: ``(id, ts)`` pairs are unique per input (the
+    crawl-archive invariant) — equal-ts duplicates have no defined
+    winner."""
+    import pandas as pd  # noqa: F401  (fold runs in pandas)
+
+    from .arrowout import arrow_clean
+    from .parthash import partition_ids
+
+    names = list(ds.schema().names)
+
+    def add_jk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__jk", partition_ids([b.column(id_col)], num_partitions))
+
+    def fold(df):
+        df = df.sort_values([id_col, ts_col], kind="mergesort")
+        return df.drop_duplicates(id_col, keep="last")[names]
+
+    return (ds.map_batches(add_jk, batch_format="pyarrow")
+            .groupby("__jk", num_partitions=num_partitions)
+            .map_groups(arrow_clean(fold), batch_format="pandas"))

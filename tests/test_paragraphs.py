@@ -240,3 +240,23 @@ def test_dedup_paragraphs_broadcast_cap_raises(ray_session):
     with pytest.raises(ValueError, match="max_broadcast_drops"):
         paragraphs.dedup_paragraphs(ds, reassembly="broadcast",
                                     max_broadcast_drops=1)
+
+
+def test_latest_capture_keeps_newest_full_row(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "url": pa.array(["a", "b", "a", "c", "a"], pa.string()),
+        "warc_ts": pa.array([100, 50, 300, 70, 200],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"v1", b"only", b"v3", b"c1", b"v2"],
+                         pa.binary()),
+    })
+    out = (urls.latest_capture(rd.from_arrow(t).repartition(3),
+                               num_partitions=4)
+           .to_pandas().set_index("url"))
+    assert len(out) == 3
+    assert out.loc["a", "html"] == b"v3"       # ts=300 wins
+    assert out.loc["b", "html"] == b"only"
+    assert out.loc["c", "html"] == b"c1"

@@ -20,7 +20,9 @@ RFC 3986 plus the de-facto utm_* convention):
    ``?`` goes too when nothing survives); non-utm parameter ORDER is
    preserved (re-sorting params is NOT semantics-preserving in
    general);
-5. one trailing ``/`` is stripped (after rules 1–4).
+5. trailing ``/`` characters are stripped (after rules 1–4; ALL of
+   them, so the canonical form is a fixed point —
+   ``canon(canon(u)) == canon(u)``, hypothesis-gated).
 
 Scale shape: canonicalization is a pure per-row string map (zero
 shuffle, no state — plain task pool, not an actor pool);
@@ -60,9 +62,7 @@ def canonicalize_url(u: str) -> str:
         head, query = u[:q], u[q + 1:]
         keep = [p for p in query.split("&") if not p.startswith("utm_")]
         u = head + ("?" + "&".join(keep) if keep else "")
-    if u.endswith("/"):
-        u = u[:-1]
-    return u
+    return u.rstrip("/")
 
 
 def canonicalize_batch(batch: pa.Table, col: str = "url",

@@ -117,3 +117,41 @@ def test_prefix_filter_recall_law(sets, thr_x1000):
         assert prefixes[i] & prefixes[j], (
             f"recall miss: sets {i},{j} J*1000="
             f"{inter * 1000 // union} thr={thr_x1000}")
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    st.from_regex(r"[A-Za-z](?:[A-Za-z0-9.\-]{0,12}[A-Za-z0-9])?",
+                  fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(st.from_regex(r"[A-Za-z0-9._~%\-]{1,8}", fullmatch=True),
+             max_size=3),
+    st.lists(st.tuples(
+        st.sampled_from(["utm_source", "utm_c", "id", "Q", "page"]),
+        st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True)),
+        max_size=4),
+    st.sampled_from(["", "/", "//"]),
+    st.sampled_from(["", "#frag", "#a?utm_x=1"]),
+)
+def test_canonicalize_url_fixed_point_and_params(scheme, host, port,
+                                                 segs, params, slash,
+                                                 frag):
+    """canon is a FIXED POINT (canon∘canon == canon) over structured
+    urls, non-utm params survive in order, and the host is folded."""
+    from arabic_ocr_ray.functions.urls import canonicalize_url as c
+
+    path = "/" + "/".join(segs) if segs else ""
+    query = ("?" + "&".join(f"{k}={v}" for k, v in params)
+             if params else "")
+    u = f"{scheme}://{host}{port}{path}{query}{slash}{frag}"
+    cu = c(u)
+    assert c(cu) == cu, (u, cu, c(cu))
+    # non-utm params survive, in order, case preserved
+    kept = [f"{k}={v}" for k, v in params
+            if not k.startswith("utm_")]
+    if kept and not (slash and query == ""):
+        for p in kept:
+            assert p in cu, (u, cu)
+    # host always folded
+    assert host.lower() in cu

@@ -10,6 +10,8 @@ session.
     python -m arabic_ocr_ray.cli train   -i pages.parquet -s spans.parquet -m model.json
     python -m arabic_ocr_ray.cli eval    -i pages.parquet -e out/
     python -m arabic_ocr_ray.cli gen     -o pages.parquet -n 1000 [--seed 42]
+    python -m arabic_ocr_ray.cli curate  -i extracted/ -b bench.parquet -o out/
+    python -m arabic_ocr_ray.cli export  -i curated/ -o shards/ --n-shards 16
 """
 
 from __future__ import annotations
@@ -50,6 +52,25 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("-n", type=int, default=1000)
     pg.add_argument("--seed", type=int, default=42)
     pg.add_argument("--scale", type=int, default=1)
+
+    pc_ = sub.add_parser(
+        "curate", help="decontaminate → paragraph dedup → token gate")
+    pc_.add_argument("-i", "--input", required=True,
+                     help="parquet of (url, text) docs")
+    pc_.add_argument("-b", "--bench", required=True,
+                     help="parquet of benchmark/eval texts (text col)")
+    pc_.add_argument("-o", "--output", required=True)
+    pc_.add_argument("--min-tokens", type=int, default=5)
+    pc_.add_argument("--k-gram", type=int, default=8)
+
+    pp = sub.add_parser(
+        "export", help="deterministic training shards (LCG order)")
+    pp.add_argument("-i", "--input", required=True,
+                    help="parquet of curated docs")
+    pp.add_argument("-o", "--output", required=True)
+    pp.add_argument("--n-shards", type=int, default=16)
+    pp.add_argument("--id-col", default="url")
+    pp.add_argument("--size-col", default=None)
 
     args = p.parse_args(argv)
 
@@ -99,6 +120,32 @@ def main(argv: list[str] | None = None) -> int:
             ensure_bench_corpus(args.output, args.n, seed=args.seed,
                                 scale=args.scale)
             print(json.dumps({"path": args.output, "n": args.n}))
+        elif args.mode == "curate":
+            from .pipelines.curate import curate_corpus_v3
+            from .sources.parquet import read_parquet_clean
+
+            out = curate_corpus_v3(
+                read_parquet_clean(args.input),
+                read_parquet_clean(args.bench),
+                k_gram=args.k_gram, min_tokens=args.min_tokens)
+            out.write_parquet(args.output)
+            import ray.data as rd
+
+            n = rd.read_parquet(args.output).count()
+            print(json.dumps({"path": args.output, "survivors": n}))
+        elif args.mode == "export":
+            from .pipelines.export import export_training_shards
+            from .sources.parquet import read_parquet_clean
+
+            man = export_training_shards(
+                read_parquet_clean(args.input), args.output,
+                n_shards=args.n_shards, id_col=args.id_col,
+                size_col=args.size_col).to_pandas()
+            print(json.dumps({
+                "path": args.output,
+                "shards": int(len(man)),
+                "docs": int(man["n_docs"].sum()),
+            }))
     finally:
         if owns_session:  # never tear down a session we didn't start
             ray.shutdown()

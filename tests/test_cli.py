@@ -23,3 +23,42 @@ def test_cli_gen_extract_eval(ray_session, default_model, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["match_rate"] == 1.0
     assert ray.is_initialized()
+
+
+def test_cli_curate_export_chain(ray_session, tmp_path, capsys):
+    """gen → extract → curate → export: the full corpus-to-shards
+    handoff through the CLI surface."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = str(tmp_path / "docs.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    curated = str(tmp_path / "curated")
+    shards = str(tmp_path / "shards")
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota"
+    pq.write_table(pa.table({
+        "url": pa.array([f"u{i}" for i in range(8)], pa.string()),
+        "text": pa.array(
+            [f"{leak} plus words"] +          # contaminated → dropped
+            [f"body text number {i} with plenty of words here"
+             for i in range(1, 8)], pa.string()),
+    }), docs)
+    pq.write_table(pa.table({
+        "url": pa.array(["b0"], pa.string()),
+        "text": pa.array([f"x {leak} y"], pa.string()),
+    }), bench)
+
+    assert main(["curate", "-i", docs, "-b", bench,
+                 "-o", curated]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["survivors"] == 7
+
+    assert main(["export", "-i", curated, "-o", shards,
+                 "--n-shards", "3", "--id-col", "url"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 7
+    files = glob.glob(f"{shards}/shard=*.parquet")
+    assert sum(pq.read_table(f).num_rows for f in files) == 7

@@ -129,9 +129,8 @@ def main(argv: list[str] | None = None) -> int:
                 read_parquet_clean(args.bench),
                 k_gram=args.k_gram, min_tokens=args.min_tokens)
             out.write_parquet(args.output)
-            import ray.data as rd
-
-            n = rd.read_parquet(args.output).count()
+            n = read_parquet_clean(args.output,
+                                   columns=["url"]).count()
             print(json.dumps({"path": args.output, "survivors": n}))
         elif args.mode == "export":
             from .pipelines.export import export_training_shards

@@ -451,17 +451,18 @@ def knn_lsh(ds, query_ids: list[int], k: int = 5,
                             dtype=np.float64))
     planes = _lsh_planes(Q.shape[1], n_planes, n_tables)
     qb = _lsh_buckets(Q, planes)  # (tables, q)
-    qref = ray.put((qids, Q, [np.unique(b) for b in qb]))
+    # the planes ride the same broadcast as the query state — never
+    # regenerated per batch
+    qref = ray.put((qids, Q, [np.unique(b) for b in qb], planes))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qids_, Q_, qbuckets = ray.get(qref)
+        qids_, Q_, qbuckets, planes_ = ray.get(qref)
         ids = _ids_array(batch, id_col)
         E = _normalize(vectors_matrix(batch.column(col)))
         if E.shape[0] == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
                              "cos_x1e9": pa.array([], pa.int64())})
-        planes_ = _lsh_planes(E.shape[1], n_planes, n_tables)
         eb = _lsh_buckets(E, planes_)
         cand = np.zeros(E.shape[0], dtype=bool)
         for t in range(n_tables):

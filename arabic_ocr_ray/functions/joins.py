@@ -184,7 +184,7 @@ def hash_join(left_ds, right_ds, on: str | list[str],
                         c, pa.nulls(lt.num_rows, rtypes[c]))
                 return t.select(out_names)
             return out_schema.empty_table()
-        if right_distinct and how == "inner":
+        if right_distinct and how in ("inner", "left"):
             rt = (rt.combine_chunks()
                   .group_by(rt.column_names).aggregate([]))
         out = lt.combine_chunks().join(

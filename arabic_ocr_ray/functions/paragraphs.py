@@ -172,30 +172,42 @@ def dedup_paragraphs(ds, col: str = "text", id_col: str = "doc_id",
                 f"{n_drops} dropped paragraph occurrences exceed "
                 f"max_broadcast_drops={max_broadcast_drops}; use "
                 f"reassembly='shuffle' (unbounded-safe) instead")
+        import pyarrow.compute as pc
+
         dd = drops.to_pandas()
         dropmap = ({} if dd.empty else
                    {i: frozenset(g) for i, g in
                     dd.groupby(id_col)["pos"]})
-        ref = ray.put(dropmap)
+        touched_keys = pa.array(list(dropmap))  # int64/string inferred
+        ref = ray.put((dropmap, touched_keys))
 
         def rewrite(b: pa.Table) -> pa.Table:
-            dm = ray.get(ref)  # zero-copy local object-store hit
-            id_type = b.schema.field(id_col).type
+            dm, keys = ray.get(ref)  # local object-store hit
+            texts = pc.fill_null(b.column(col), "")
+            b = pa.table({id_col: b.column(id_col), col: texts})
+            if not dm:
+                return b
+            # untouched docs (the bulk) pass through as Arrow; only
+            # docs holding a dropped paragraph pay the Python resplit
+            id_arr = b.column(id_col).combine_chunks()
+            if keys.type != id_arr.type:
+                keys = keys.cast(id_arr.type)
+            mask = pc.is_in(id_arr, value_set=keys)
+            out = [b.filter(pc.invert(mask))]
+            tb = b.filter(mask)
             out_i, out_t = [], []
-            for i, t in zip(b.column(id_col).to_pylist(),
-                            b.column(col).to_pylist()):
-                ps = dm.get(i)
-                if ps is None:  # untouched doc: fast path, no resplit
-                    out_i.append(i)
-                    out_t.append(t or "")
-                    continue
-                segs = [p for j, p in enumerate((t or "").split("\n"))
+            for i, t in zip(tb.column(id_col).to_pylist(),
+                            tb.column(col).to_pylist()):
+                ps = dm[i]
+                segs = [p for j, p in enumerate(t.split("\n"))
                         if j not in ps]
                 if segs:  # all-dropped docs vanish (GROUP BY parity)
                     out_i.append(i)
                     out_t.append("\n".join(segs))
-            return pa.table({id_col: pa.array(out_i, id_type),
-                             col: pa.array(out_t, pa.string())})
+            out.append(pa.table({
+                id_col: pa.array(out_i, b.schema.field(id_col).type),
+                col: pa.array(out_t, pa.string())}))
+            return pa.concat_tables(out)
 
         return ds.map_batches(rewrite, batch_format="pyarrow")
 

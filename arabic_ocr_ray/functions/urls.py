@@ -20,9 +20,11 @@ RFC 3986 plus the de-facto utm_* convention):
    ``?`` goes too when nothing survives); non-utm parameter ORDER is
    preserved (re-sorting params is NOT semantics-preserving in
    general);
-5. trailing ``/`` characters are stripped (after rules 1–4; ALL of
-   them, so the canonical form is a fixed point —
-   ``canon(canon(u)) == canon(u)``, hypothesis-gated).
+5. trailing ``/`` characters are stripped — but ONLY when the URL has
+   no query left after rule 4 (a trailing slash inside a query VALUE,
+   e.g. ``?next=/``, is data and must survive); all of them at once,
+   so the canonical form is a fixed point —
+   ``canon(canon(u)) == canon(u)``, hypothesis-gated.
 
 Scale shape: canonicalization is a pure per-row string map (zero
 shuffle, no state — plain task pool, not an actor pool);
@@ -62,7 +64,7 @@ def canonicalize_url(u: str) -> str:
         head, query = u[:q], u[q + 1:]
         keep = [p for p in query.split("&") if not p.startswith("utm_")]
         u = head + ("?" + "&".join(keep) if keep else "")
-    return u.rstrip("/")
+    return u if "?" in u else u.rstrip("/")
 
 
 def canonicalize_batch(batch: pa.Table, col: str = "url",
@@ -101,7 +103,8 @@ def latest_capture(ds, id_col: str = "url", ts_col: str = "warc_ts",
     its ids with one vectorized sort + keep-last (never a python call
     per url).  Contract: ``(id, ts)`` pairs are unique per input (the
     crawl-archive invariant) — equal-ts duplicates have no defined
-    winner."""
+    winner; a null ts sorts FIRST (a malformed capture can never beat
+    a real timestamp)."""
     import pandas as pd  # noqa: F401  (fold runs in pandas)
 
     from .arrowout import arrow_clean
@@ -114,7 +117,8 @@ def latest_capture(ds, id_col: str = "url", ts_col: str = "warc_ts",
             "__jk", partition_ids([b.column(id_col)], num_partitions))
 
     def fold(df):
-        df = df.sort_values([id_col, ts_col], kind="mergesort")
+        df = df.sort_values([id_col, ts_col], kind="mergesort",
+                            na_position="first")
         return df.drop_duplicates(id_col, keep="last")[names]
 
     return (ds.map_batches(add_jk, batch_format="pyarrow")

@@ -260,3 +260,39 @@ def test_latest_capture_keeps_newest_full_row(ray_session):
     assert out.loc["a", "html"] == b"v3"       # ts=300 wins
     assert out.loc["b", "html"] == b"only"
     assert out.loc["c", "html"] == b"c1"
+
+
+def test_latest_capture_null_ts_never_wins(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "url": pa.array(["a", "a", "b"], pa.string()),
+        "warc_ts": pa.array([100, None, None],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"real", b"broken", b"only"], pa.binary()),
+    })
+    out = (urls.latest_capture(rd.from_arrow(t), num_partitions=2)
+           .to_pandas().set_index("url"))
+    assert out.loc["a", "html"] == b"real"   # NaT loses to any ts
+    assert out.loc["b", "html"] == b"only"   # all-null id still emits
+
+
+def test_canonicalize_query_slashes_preserved():
+    c = urls.canonicalize_url
+    # a trailing slash inside a query VALUE is data, not path noise
+    assert c("https://e.com/login?next=/") == "https://e.com/login?next=/"
+    assert c("https://e.com/p?q=ab//") == "https://e.com/p?q=ab//"
+    # path slash before a query that rule 4 fully removes IS stripped
+    assert c("https://e.com/p/?utm_source=x") == "https://e.com/p"
+
+
+def test_dedup_paragraphs_broadcast_string_ids(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table(
+        ["dup", "dup", "dup\nkeep me here"], ids=["b", "a", "c"]))
+    got = (paragraphs.dedup_paragraphs(ds, mode="keep_first",
+                                       reassembly="broadcast")
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    assert got == {"a": "dup", "c": "keep me here"}

@@ -582,6 +582,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"para": "object", "n_occurrences": "int64",
              "n_docs": "int64"})
 
+    def q_corpus_split(sf_dir: str):
+        """Deterministic named train/val/test split (980/10/10
+        permille) by an independent LCG stream, rolled up per split.
+        Pure map + one split-sized groupby; integer-exact twin."""
+        from ray.data.aggregate import Count, Sum
+
+        from arabic_ocr_ray.functions.sampling import corpus_split
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "n_chars"])
+        out = (corpus_split(docs)
+               .groupby("split", num_partitions=3)
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="sum_n_chars")))
+        return _typed(out, {"split": "object", "n_docs": "int64",
+                            "sum_n_chars": "int64"})
+
     def q_export_shards(sf_dir: str):
         """Training-shard export manifest: deterministic LCG shard
         assignment + reproducible in-shard pseudo-random order, one
@@ -1740,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "curate_corpus_v3": q_curate_v3,
         "common_paragraphs": q_common_paragraphs,
+        "corpus_split": q_corpus_split,
         "export_shards": q_export_shards,
         "top_tokens": q_top_tokens,
         "doc_sample": q_doc_sample,
@@ -2307,6 +2325,18 @@ def oracle_sql() -> dict[str, str]:
             f" FROM read_parquet('{pages}'))"
             f" WHERE para <> '' GROUP BY para"
             f" HAVING count(DISTINCT url) >= 2"
+        ),
+        "corpus_split": (
+            # independent-LCG split-law twin: 980/10/10 permille
+            # cumulative ranges over ((id*69069 + 1) % 2^31) % 1000
+            "WITH s AS (SELECT n_chars,"
+            " CASE WHEN ((doc_id * 69069 + 1) % 2147483648) % 1000"
+            " < 980 THEN 'train'"
+            " WHEN ((doc_id * 69069 + 1) % 2147483648) % 1000 < 990"
+            " THEN 'val' ELSE 'test' END AS split FROM documents)"
+            " SELECT split, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_n_chars"
+            " FROM s GROUP BY 1"
         ),
         "export_shards": (
             # integer shard law twin: shard = ((id*22695477 + 1)

@@ -76,3 +76,35 @@ def mixture_resample(ds, weights_permille: dict,
         return b.filter(pa.array(h < rate))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# independent LCG stream for named splits — REUSING the resample
+# stream (_LCG_A) would correlate the keep-test with the split
+# boundaries and bias any split applied after a resample; the export
+# shard/order streams (22695477 / 1103515245) are likewise avoided
+_SPLIT_A, _SPLIT_C = np.int64(69069), np.int64(1)
+
+
+def corpus_split(ds, fractions_permille: dict | None = None,
+                 id_col: str = "doc_id", split_col: str = "split"):
+    """→ ds + ``split_col`` — deterministic named train/val/test split
+    by cumulative permille ranges over an independent LCG hash of the
+    id.  Pure map (zero shuffles), bit-reproducible across runs /
+    layouts / resumes, and integer-exact so the SQL twin reproduces
+    the exact assignment.  Fractions must sum to 1000 permille (every
+    doc belongs to exactly one split)."""
+    fr = fractions_permille or {"train": 980, "val": 10, "test": 10}
+    if sum(fr.values()) != 1000:
+        raise ValueError(f"fractions sum {sum(fr.values())} != 1000")
+    names = list(fr)
+    bounds = np.cumsum([fr[n] for n in names]).astype(np.int64)
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        h = ((ids * _SPLIT_A + _SPLIT_C) % _LCG_M) % np.int64(1000)
+        idx = np.searchsorted(bounds, h, side="right")
+        return b.append_column(
+            split_col,
+            pa.array(np.array(names, dtype=object)[idx], pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

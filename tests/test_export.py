@@ -110,3 +110,27 @@ def test_order_key_is_the_documented_lcg():
     assert okey.tolist() == [int(np.int64(w)) for w in want]
     assert int(_ORDER_A) == 1103515245 and int(_ORDER_C) == 12345
     assert int(_M) == 2147483648
+
+
+def test_corpus_split_law_and_partition(ray_session):
+    """Every doc lands in exactly one split; assignment matches the
+    documented LCG law; bad fractions raise."""
+    import pytest
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.sampling import corpus_split
+
+    t = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+    out = (corpus_split(rd.from_arrow(t).repartition(4))
+           .to_pandas().set_index("doc_id")["split"])
+    assert len(out) == 5000
+    for i in (0, 1, 17, 4999):
+        h = ((i * 69069 + 1) % 2147483648) % 1000
+        want = "train" if h < 980 else ("val" if h < 990 else "test")
+        assert out.loc[i] == want
+    counts = out.value_counts()
+    assert 4700 < counts["train"] <= 5000    # ≈98%
+    assert counts.get("val", 0) + counts.get("test", 0) == \
+        5000 - counts["train"]
+    with pytest.raises(ValueError, match="!= 1000"):
+        corpus_split(rd.from_arrow(t), {"train": 900, "val": 50})

@@ -176,13 +176,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(fx["pages"], columns=["html", "text"])
 
         def sizes(b: pa.Table) -> pa.Table:
+            # vectorized Arrow kernels, no pylist materialization:
+            # binary_length on the binary html column IS octet_length;
+            # utf8_length on text IS DuckDB length(); null text → 0
+            # (same as the oracle, whose max() skips nulls)
+            import pyarrow.compute as pc
+
             return pa.table({
-                "html_bytes": pa.array(
-                    [len(x) for x in b.column("html").to_pylist()],
-                    pa.int64()),
-                "text_chars": pa.array(
-                    [len(x or "") for x in b.column("text").to_pylist()],
-                    pa.int64()),
+                "html_bytes": pc.binary_length(
+                    b.column("html")).cast(pa.int64()),
+                "text_chars": pc.coalesce(
+                    pc.utf8_length(b.column("text")),
+                    pa.scalar(0, pa.int32())).cast(pa.int64()),
             })
 
         import pandas as pd

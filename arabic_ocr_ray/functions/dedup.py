@@ -649,11 +649,47 @@ def near_dup_pairs_bipartite(new_ds, base_ds, threshold: float = 0.8,
     of the NEW snapshot already exist (nearly) in the base corpus".
     In-side duplicates are deliberately NOT reported (run
     :func:`near_dup_pairs` per side for those).  Verification reads
-    texts from the union of both sides through the same shuffle-side
-    exact-Jaccard path as the self-join."""
+    texts from both sides through the same shuffle-side exact-Jaccard
+    path as the self-join, with ids NAMESPACED by side ("0|" base /
+    "1|" new) end to end — the same id appearing in BOTH snapshots (a
+    url recrawled with changed content, the normal incremental case)
+    is verified against each side's OWN text, never last-write-wins."""
+    import pyarrow.compute as pc
+
     cand = minhash_candidates_bipartite(new_ds, base_ds, col, id_col)
-    return verify_pairs_jaccard(cand, base_ds.union(new_ds),
-                                threshold, col, id_col)
+    sch = new_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def _ns(arr, tag: str):
+        s = arr if pa.types.is_string(arr.type) else arr.cast(pa.string())
+        return pc.binary_join_element_wise(tag, s, "")
+
+    def ns_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"a": _ns(b.column("a"), "0|"),
+                         "b": _ns(b.column("b"), "1|")})
+
+    def ns_docs(tag: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: _ns(b.column(id_col), tag),
+                             col: b.column(col)})
+        return f
+
+    docs = (base_ds.select_columns([id_col, col])
+            .map_batches(ns_docs("0|"), batch_format="pyarrow")
+            .union(new_ds.select_columns([id_col, col])
+                   .map_batches(ns_docs("1|"), batch_format="pyarrow")))
+    verified = verify_pairs_jaccard(
+        cand.map_batches(ns_pairs, batch_format="pyarrow"),
+        docs, threshold, col, id_col)
+
+    def strip_ns(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.utf8_slice_codeunits(b.column("a"), 2).cast(id_type),
+            "b": pc.utf8_slice_codeunits(b.column("b"), 2).cast(id_type),
+            "jaccard_x1000": b.column("jaccard_x1000"),
+        })
+
+    return verified.map_batches(strip_ns, batch_format="pyarrow")
 
 
 # --- benchmark decontamination --------------------------------------------

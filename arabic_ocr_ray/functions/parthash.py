@@ -122,7 +122,10 @@ def column_hash64(arr) -> np.ndarray:
     if pa.types.is_integer(t):
         v = np.asarray(pc.fill_null(arr, 0).cast(pa.int64()),
                        dtype=np.int64).astype(np.uint64)
-        return _mix64(v)
+        h = _mix64(v)
+        if arr.null_count:  # nulls → 0, same rule as the string path
+            h[np.asarray(pc.is_null(arr))] = 0
+        return h
     if (pa.types.is_string(t) or pa.types.is_large_string(t)
             or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
         if arr.null_count:

@@ -88,7 +88,19 @@ def export_training_shards(ds, out_dir: str, n_shards: int = 8,
         if size_col is not None:
             out[f"sum_{size_col}"] = [int(df[size_col].sum())]
         path = os.path.join(out_dir, f"shard={k}.parquet")
-        if not os.path.exists(path):  # resume: shard already written
+        if os.path.exists(path):
+            # resume: validate the finished shard against the CURRENT
+            # input before skipping — a stale out_dir (input changed
+            # between runs) must fail loudly, not survive under a
+            # fresh manifest that doesn't describe its contents
+            n_existing = pq.read_metadata(path).num_rows
+            if n_existing != len(df):
+                raise RuntimeError(
+                    f"resume mismatch: {path} holds {n_existing} rows "
+                    f"but the current input produces {len(df)} for "
+                    f"shard {k}; the out_dir is stale — delete it or "
+                    "export to a fresh directory")
+        else:
             t = pa.Table.from_pandas(df[data_cols],
                                      preserve_index=False)
             tmp = f"{path}.tmp{os.getpid()}"

@@ -87,10 +87,19 @@ def extract_pages(
     elif done_urls_ref is not None:
         import ray
 
-        def drop_done(batch: pa.Table, ref=done_urls_ref) -> pa.Table:
-            done = ray.get(ref)
-            keep = [u not in done for u in batch.column("url").to_pylist()]
-            return batch.filter(pa.array(keep))
+        def drop_done(batch: pa.Table, ref=done_urls_ref,
+                      _vs_cache={}) -> pa.Table:
+            # value_set built ONCE per worker (mutable-default cache);
+            # per batch it's a single vectorized is_in kernel, not a
+            # Python membership loop
+            import pyarrow.compute as pc
+
+            vs = _vs_cache.get("vs")
+            if vs is None:
+                vs = _vs_cache["vs"] = pa.array(
+                    sorted(ray.get(ref)), pa.string())
+            return batch.filter(pc.invert(pc.is_in(
+                batch.column("url"), value_set=vs)))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
     return ds.map_batches(

@@ -612,6 +612,36 @@ def test_near_dup_bipartite_cross_side_only(ray_session):
     assert len(out) == len(got)
 
 
+def test_near_dup_bipartite_colliding_ids(ray_session):
+    """The SAME doc_id on both sides (a url recrawled with changed
+    content — the normal incremental case) must verify against each
+    side's OWN text: base id=1 holds near-dup text A, new id=1 holds
+    unrelated text Z.  Before the side-namespacing fix the verify
+    texts dict was last-write-wins keyed by raw id, so pair (1, 3)
+    was scored with an arbitrary side's text."""
+    import ray.data as rd
+
+    A = ("data processing engines shuffle partition and aggregate "
+         "large tables of records across many worker nodes " * 3)
+    Z = ("completely unrelated recrawled page about gardening tips "
+         "soil compost seeds watering schedules and pruning shears "
+         "with zero vocabulary overlap against the old capture " * 3)
+    base = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([A, A + "extra"], pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 3], pa.int64()),
+        "text": pa.array([Z, A.replace("nodes", "hosts")],
+                         pa.string())}))
+    out = (dedup.near_dup_pairs_bipartite(new, base, threshold=0.6)
+           .to_pandas())
+    got = set(zip(out["a"], out["b"]))
+    # base A-family docs match ONLY the new A-variant (id 3); the
+    # recrawled new id=1 (text Z) matches nothing
+    assert got == {(1, 3), (2, 3)}
+    assert out["jaccard_x1000"].min() >= 600
+
+
 def test_decontamination_planted(ray_session):
     """contamination_hits finds exactly the docs sharing a verbatim
     8-token window with the benchmark; a 7-token overlap does NOT

@@ -61,6 +61,10 @@ def extract_pages(
 ):
     """Lazy Dataset of (url, extracted_text, html_bytes, n_*, part).
 
+    ``input_path`` is a parquet path (pruned read of url/html/lang) or
+    an already-built Dataset with those columns — e.g. the raw-WARC
+    ingest (``sources/warc.py:read_warc_pages``).
+
     Resume anti-filters (at most one active):
       - ``resume_out_dir``: PER-PARTITION filter — each task reads the
         done-url sidecar of the row's own part (lineage.py contract);
@@ -71,7 +75,10 @@ def extract_pages(
     import pyarrow as pa
     import ray.data as rd
 
-    ds = rd.read_parquet(input_path, columns=["url", "html", "lang"])
+    if isinstance(input_path, rd.Dataset):
+        ds = input_path.select_columns(["url", "html", "lang"])
+    else:
+        ds = rd.read_parquet(input_path, columns=["url", "html", "lang"])
     if resume_out_dir is not None:
         ds = ds.map_batches(
             PartResumeFilter,

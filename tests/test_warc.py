@@ -1,0 +1,96 @@
+"""Raw WARC ingest: serialize → parse round trip and extraction parity
+with the parquet path (SURVEY §2.1 S1 alternate source)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from arabic_ocr_ray.sources import warc as W
+from arabic_ocr_ray.sources.pages import pages_table
+
+
+def _canon_pages(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values("url").reset_index(drop=True)
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+    return df[["url", "warc_ts", "html", "lang"]]
+
+
+def test_warc_round_trip(ray_session, tmp_path):
+    """pages → N WARC files → parse back: every column byte-identical,
+    including the microsecond warc_ts and the binary html payload
+    (hazard rows: empty, malformed, latin1 bytes, giant are all in
+    the seed-9 corpus slice)."""
+    t = pages_table(120, seed=9)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(t, src, row_group_size=40)
+    man = (W.write_warc_from_pages(src, str(tmp_path / "warc"),
+                                   n_files=4).to_pandas())
+    assert int(man["n_records"].sum()) == 120
+    assert sorted(os.listdir(tmp_path / "warc")) == [
+        f"part-{k}.warc" for k in sorted(man["shard"])]
+    got = _canon_pages(
+        W.read_warc_pages(str(tmp_path / "warc")).to_pandas())
+    exp = _canon_pages(
+        t.select(["url", "warc_ts", "html", "lang"]).to_pandas())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_warc_marker_in_payload():
+    """A payload that CONTAINS WARC record markers must round-trip —
+    the parser advances by Content-Length only, never by splitting on
+    the magic bytes."""
+    evil = (b"<html>WARC/1.0\r\n\r\nWARC-Type: response\r\n\r\n"
+            b"Content-Length: 9999\r\n\r\n</html>")
+    raw = (W._warcinfo()
+           + W.record_bytes("https://x.test/a", 1_000_001, evil, "en")
+           + W.record_bytes("https://x.test/b", 2_000_002, b"", "de"))
+    t = W.parse_warc_bytes(raw)
+    assert t.column("url").to_pylist() == ["https://x.test/a",
+                                           "https://x.test/b"]
+    assert t.column("html").to_pylist() == [evil, b""]
+    assert [x.value for x in t.column("warc_ts")] == [1_000_001,
+                                                      2_000_002]
+    assert t.column("lang").to_pylist() == ["en", "de"]
+
+
+def test_warc_extract_parity(ray_session, tmp_path):
+    """Extraction over the WARC ingest is byte-identical to extraction
+    over the parquet path — the S1 alternate-source contract."""
+    from arabic_ocr_ray.pipelines.extract import extract_pages
+
+    t = pages_table(80, seed=23)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(t, src)
+    W.write_warc_from_pages(src, str(tmp_path / "warc"),
+                            n_files=3).materialize()
+
+    def text_by_url(inp):
+        df = (extract_pages(inp, batch_size=32, concurrency=2)
+              .select_columns(["url", "extracted_text"]).to_pandas())
+        return df.sort_values("url").reset_index(drop=True)
+
+    via_warc = text_by_url(W.read_warc_pages(str(tmp_path / "warc")))
+    via_parquet = text_by_url(src)
+    pd.testing.assert_frame_equal(via_warc, via_parquet)
+    # and the golden contract holds end-to-end
+    golden = (t.select(["url", "text"]).to_pandas()
+              .sort_values("url").reset_index(drop=True))
+    assert (via_warc["extracted_text"] == golden["text"]).all()
+
+
+def test_warc_write_resume(ray_session, tmp_path):
+    """Re-running the writer on an existing out_dir rewrites nothing
+    (mtimes unchanged) but still reports the full manifest."""
+    t = pages_table(40, seed=31)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "warc")
+    W.write_warc_from_pages(src, out, n_files=2).materialize()
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out)}
+    man = W.write_warc_from_pages(src, out, n_files=2).to_pandas()
+    assert int(man["n_records"].sum()) == 40
+    assert {f: os.path.getmtime(os.path.join(out, f))
+            for f in os.listdir(out)} == mtimes

@@ -26,12 +26,19 @@ from .segmentation import segment_document
 from .templates import Templates
 
 
+#: Single-token label-cache bound: clear-on-full (cheap, no LRU
+#: bookkeeping); sized so a worker's cache of distinct (token, depth
+#: flags, link flag) keys stays far under one block's memory.
+_LABEL_CACHE_MAX = 200_000
+
+
 def extract_document(
     html: bytes,
     lang: str,
     model: PrototypeModel,
     templates: Templates,
     reading_order: str = "document",
+    label_cache: dict | None = None,
 ) -> dict:
     """Extract main content from one page; returns per-doc stats too.
 
@@ -41,6 +48,15 @@ def extract_document(
     (segment_words.py:162-170 — it walks ``reversed(words)`` and
     prepends, so the output string lists the rightmost word first).
     Line order is unaffected (lines are already top-to-bottom in both).
+
+    ``label_cache``: optional per-actor dict memoizing the FULL label
+    decision (template match → fv → prototype-NN) for SINGLE-token
+    spans.  For those spans the decision is a pure function of
+    ``(text, depth≥base+2, depth≤base−2, in_link)`` — the exact inputs
+    of ``features._single_token_fv`` — and web text repeats tokens
+    heavily (nav words, boilerplate), so the hit rate is high.  The
+    caller owns the dict and MUST key it to one (model, templates)
+    pair (``ExtractText`` creates it per actor in ``__init__``).
     """
     if reading_order not in ("document", "rtl"):
         raise ValueError(f"reading_order={reading_order!r}")
@@ -49,15 +65,37 @@ def extract_document(
 
     n_content = 0
     line_texts: dict[int, list[str]] = {}
+    dlist = ts.dlist
+    in_link = ts.in_link
     for sub in seg.subspans:
-        tlabel = templates.match(sub.text)
-        if tlabel:
-            sub.is_template = True
-            label = tlabel
+        base = seg.line_baselines[sub.line_idx]
+        if label_cache is not None and sub.end - sub.start == 1:
+            i = sub.start
+            d = dlist[i]
+            key = (sub.text, d >= base + 2, d <= base - 2,
+                   bool(in_link[i]))
+            hit = label_cache.get(key)
+            if hit is None:
+                tlabel = templates.match(sub.text)
+                if tlabel:
+                    hit = (tlabel, True)
+                else:
+                    fv = feature_vector(ts, i, sub.end, base)
+                    hit = (model.predict_one(fv) if fv else "", False)
+                if len(label_cache) >= _LABEL_CACHE_MAX:
+                    label_cache.clear()
+                label_cache[key] = hit
+            label, is_t = hit
+            if is_t:
+                sub.is_template = True
         else:
-            fv = feature_vector(ts, sub.start, sub.end,
-                                seg.line_baselines[sub.line_idx])
-            label = model.predict_one(fv) if fv else ""
+            tlabel = templates.match(sub.text)
+            if tlabel:
+                sub.is_template = True
+                label = tlabel
+            else:
+                fv = feature_vector(ts, sub.start, sub.end, base)
+                label = model.predict_one(fv) if fv else ""
         if label == CONTENT_LABEL:
             n_content += 1
             line_texts.setdefault(sub.line_idx, []).append(sub.text)

@@ -242,7 +242,7 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
     for m in _TAG_OR_TEXT_RE.finditer(doc):
         if m.lastindex == 1:  # tag (single-group fetch beats group(1,2))
             body = m.group(1).strip()
-            if body.startswith(("!", "?")):
+            if body[0] in "!?":  # regex guarantees body[0] exists
                 continue  # doctype / processing instruction: no token
             info = tag_cache_get(body)
             closing, name, self_closing = info if info is not None \

@@ -63,6 +63,9 @@ class ExtractText:
         self.templates = Templates(extra_templates)
         self.num_partitions = num_partitions
         self.reading_order = reading_order
+        # per-actor single-token label memo (extract.py contract:
+        # one cache per (model, templates) pair — both fixed here)
+        self._label_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -79,7 +82,8 @@ class ExtractText:
             try:
                 out = extract_document(h, lg or "", self.model,
                                        self.templates,
-                                       self.reading_order)
+                                       self.reading_order,
+                                       label_cache=self._label_cache)
                 texts.append(out["extracted_text"])
                 status.append("ok" if h else "empty")
                 for k in stats:

@@ -72,3 +72,27 @@ def test_rtl_reading_order(default_model):
         if any(" " in ln for ln in d_lines):
             checked_multi += 1
     assert checked_multi > 0  # the fixture must exercise multi-span lines
+
+
+def test_label_cache_byte_identical(default_model, monkeypatch):
+    """The single-token label cache is a pure memo: cached and
+    uncached extraction are byte-identical on a fresh seed, including
+    under a tiny cache bound that forces the clear-on-full path."""
+    import arabic_ocr_ray.extract as ex
+    from arabic_ocr_ray.model import PrototypeModel
+    from arabic_ocr_ray.sources.pages import build_page
+    from arabic_ocr_ray.templates import Templates
+
+    model = PrototypeModel.load()
+    tpl = Templates()
+    monkeypatch.setattr(ex, "_LABEL_CACHE_MAX", 8)  # churn the cache
+    cache: dict = {}
+    for i in range(60):
+        r = build_page(271, i, scale=3)
+        plain = ex.extract_document(r["html"], r["lang"], model, tpl)
+        cached = ex.extract_document(r["html"], r["lang"], model, tpl,
+                                     label_cache=cache)
+        assert cached["extracted_text"] == plain["extracted_text"]
+        assert cached == plain  # stats identical too
+        assert plain["extracted_text"] == r["text"]  # golden
+    assert len(cache) <= 8

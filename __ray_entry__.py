@@ -1756,6 +1756,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           batch_size=64)
         return multimodal.frame_sample_plan(meta, every=10)
 
+    def q_mm_pixel_stats(sf_dir: str):
+        """REAL bulk pixel decode (the r4 StubDecoder gap): synthesize
+        genuine PNGs (zlib IDAT, alternating None/Up filters) from the
+        documents table inside map_batches, bulk-decode pixels with
+        the stdlib codec (functions/codecs.py), and emit integer pixel
+        sums the SQL twin reproduces in closed form — green only if
+        encode, zlib, UNFILTER and the stats all round-trip exactly."""
+        import pyarrow.compute as pc
+
+        payloads = _docs(sf_dir).map_batches(
+            multimodal.pixel_payload_table_from_documents,
+            batch_format="pyarrow")
+        meta = multimodal.decode_metadata(
+            payloads, concurrency=2, batch_size=64,
+            decoder=multimodal.PixelDecoder)
+
+        def keep(b):
+            m = pc.and_(pc.equal(b.column("kind"), "image"),
+                        pc.equal(b.column("status"), "ok"))
+            return b.filter(m).select(
+                ["item_id", "width", "height", "sum_px"])
+
+        return meta.map_batches(keep, batch_format="pyarrow")
+
+    def q_mm_audio_stats(sf_dir: str):
+        """REAL WAV PCM decode: genuine RIFF/PCM payloads decoded with
+        the stdlib wave codec; integer sample stats (sum|s|, max|s|)
+        twinned by a generate_series oracle."""
+        import pyarrow.compute as pc
+
+        payloads = _docs(sf_dir).map_batches(
+            multimodal.pixel_payload_table_from_documents,
+            batch_format="pyarrow")
+        meta = multimodal.decode_metadata(
+            payloads, concurrency=2, batch_size=64,
+            decoder=multimodal.PixelDecoder)
+
+        def keep(b):
+            m = pc.and_(pc.equal(b.column("kind"), "audio"),
+                        pc.equal(b.column("status"), "ok"))
+            return b.filter(m).select(
+                ["item_id", "channels", "frames", "sum_abs",
+                 "peak_abs"])
+
+        return meta.map_batches(keep, batch_format="pyarrow")
+
     # NOTE on ordering: the driver evaluates only the FIRST 50 dict entries
     # (insertion order).  Rotation rule (r4 advice): every query whose
     # ENGINE OR ORACLE changed this round sits inside the window, plus
@@ -1787,9 +1833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_v3": q_curate_v3,
         "common_paragraphs": q_common_paragraphs,
         "corpus_split": q_corpus_split,
-        "mixture_resample": q_mixture_resample,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "mm_audio_stats": q_mm_audio_stats,
         "doc_decontaminate": q_doc_decontaminate,
-        "near_dup_clusters": q_near_dup_clusters,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -1820,6 +1866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": q_doc_normalize,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round ---------------------------------------------
+        "mixture_resample": q_mixture_resample,
+        "near_dup_clusters": q_near_dup_clusters,
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "events_range_join": q_events_range_join,
         "events_above_type_mean": q_events_above_type_mean,
@@ -2752,6 +2800,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN events e ON e.user_id = p.user_id "
             "AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR "
             "GROUP BY p.p_id"
+        ),
+        "mm_pixel_stats": (
+            # closed-form twin of the REAL PNG decode: px(y,x,ch) =
+            # (nb+x)%256 with w<256, so the mod wraps at most once —
+            # sum_px = 3·h·(w·r + w(w−1)/2 − 256·max(0, r+w−256));
+            # green only if zlib+unfilter reproduce the formula exactly
+            "SELECT item_id, CAST(w AS BIGINT) AS width, "
+            "CAST(h AS BIGINT) AS height, "
+            "CAST(3 * h * (w * r + w * (w - 1) // 2 "
+            "- 256 * greatest(0, r + w - 256)) AS BIGINT) AS sum_px "
+            "FROM (SELECT doc_id AS item_id, 8 + nb % 120 AS w, "
+            "8 + (nb * 7) % 90 AS h, nb % 256 AS r "
+            "FROM (SELECT doc_id, octet_length(encode(text)) AS nb "
+            "FROM documents WHERE doc_id % 2 = 0 "
+            "AND doc_id % 97 != 0))"
+        ),
+        "mm_audio_stats": (
+            # series-join twin of the REAL WAV PCM decode: flat sample
+            # i: s[i] = (nb·31 + i·17) % 65536 − 32768.  DuckDB's
+            # generate_series can't take lateral column bounds, so join
+            # a fixed 0..3997 series (max ch·fr = 2·1999) and filter.
+            "SELECT d.doc_id AS item_id, "
+            "CAST(d.ch AS BIGINT) AS channels, "
+            "CAST(d.fr AS BIGINT) AS frames, "
+            "CAST(sum(abs((d.nb * 31 + s.i * 17) % 65536 - 32768)) "
+            "AS BIGINT) AS sum_abs, "
+            "CAST(max(abs((d.nb * 31 + s.i * 17) % 65536 - 32768)) "
+            "AS BIGINT) AS peak_abs "
+            "FROM (SELECT doc_id, nb, 1 + nb % 2 AS ch, "
+            "500 + nb % 1500 AS fr "
+            "FROM (SELECT doc_id, octet_length(encode(text)) AS nb "
+            "FROM documents WHERE doc_id % 2 = 1 "
+            "AND doc_id % 97 != 0)) d "
+            "JOIN generate_series(0, 3997) s(i) "
+            "ON s.i < d.ch * d.fr "
+            "GROUP BY d.doc_id, d.ch, d.fr"
         ),
         "mm_decode_meta": (
             # SQL twin of payload_table_from_documents' integer field

@@ -12,10 +12,16 @@ Two decode layers:
   source text by integer formulas a SQL twin reproduces, so
   ``mm_decode_meta`` verifies a full synthesize→parse round trip.
 
-- :class:`StubDecoder` — STUB for full pixel/sample decode+resize
-  (PIL / soundfile / ffmpeg are not in this environment).  Clearly
-  marked; the Ray-side shape (actor pool, small batches for large
-  binary rows, per-row status) is real and tested.
+- :class:`PixelDecoder` — REAL bulk decode for PNG (zlib IDAT +
+  scanline unfilter) and WAV PCM via the stdlib-only codecs in
+  ``functions/codecs.py``; integer content stats (sum_px, sum_abs,
+  peak_abs) that a SQL twin reproduces in closed form.  Video bulk
+  decode has no sandbox codec and reports a per-row error.
+
+- :class:`StubDecoder` — retained STUB shape for formats with no
+  stdlib codec (video frames; JPEG).  Clearly marked; the Ray-side
+  shape (actor pool, small batches for large binary rows, per-row
+  status) is real and tested.
 
 Payload rows are ``(item_id, kind, payload:binary, meta:string)``;
 ``payload_table_from_documents`` manufactures the deterministic
@@ -27,6 +33,8 @@ from __future__ import annotations
 import hashlib
 import json
 import struct
+from wave import Error as wave_Error
+from zlib import error as zlib_error
 
 import numpy as np
 import pyarrow as pa
@@ -247,6 +255,112 @@ def decode_metadata(ds, concurrency: int = 4, batch_size: int = 16,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --- REAL bulk decode (PNG pixels / WAV PCM; stdlib codecs) ----------------
+#
+# Closes the r4 "StubDecoder" weakness for the two formats stdlib can
+# genuinely decode (functions/codecs.py).  Video bulk decode remains
+# stubbed — no codec exists in this sandbox — and stays loudly marked.
+#
+# Synthetic-corpus content formulas (integer, SQL-twinned):
+# nb = octet_length(utf-8 text), r = nb % 256
+#   image (even doc_id): w = 8+nb%120  h = 8+(nb*7)%90  c = 3
+#       px(y, x, ch) = (nb + x) % 256        (constant in y and ch)
+#       ⇒ sum_px = 3·h·(w·r + w(w−1)/2 − 256·max(0, r+w−256))
+#         (closed form: w < 256 so the mod wraps at most once)
+#   audio (odd doc_id):  ch = 1+nb%2  sr = 16000  frames = 500+nb%1500
+#       flat sample i (i < frames·ch): s[i] = (nb·31 + i·17) % 65536 − 32768
+#       ⇒ sum_abs / peak_abs over generate_series(frames·ch)
+
+def pixel_payload_table_from_documents(docs: pa.Table) -> pa.Table:
+    """Deterministic REAL-decodable corpus: genuine PNG pixel data
+    (zlib IDAT, alternating None/Up filters — the decoder's unfilter
+    paths are exercised, not just filter 0) and genuine WAV PCM.
+    Every ``CORRUPT_EVERY``-th doc ships an empty payload (the
+    truncated-file hazard → per-row error status)."""
+    from .codecs import png_encode, wav_encode
+
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    kinds, payloads = [], []
+    for i, t in zip(ids, texts):
+        kind = "image" if i % 2 == 0 else "audio"
+        kinds.append(kind)
+        if i % CORRUPT_EVERY == 0:
+            payloads.append(b"")
+            continue
+        nb = len((t or "").encode())
+        if kind == "image":
+            w, h = 8 + nb % 120, 8 + (nb * 7) % 90
+            row = ((nb + np.arange(w, dtype=np.int64)) % 256
+                   ).astype(np.uint8)
+            arr = np.broadcast_to(row[None, :, None], (h, w, 3))
+            payloads.append(png_encode(arr))
+        else:
+            ch, frames = 1 + nb % 2, 500 + nb % 1500
+            s = ((np.arange(frames * ch, dtype=np.int64) * 17 + nb * 31)
+                 % 65536 - 32768).astype(np.int16)
+            payloads.append(wav_encode(s.reshape(frames, ch), 16000))
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array([json.dumps({"src": "documents-real"})]
+                         * len(ids), pa.string()),
+    })
+
+
+class PixelDecoder:
+    """REAL bulk decoder actor: PNG → pixel array (zlib + unfilter),
+    WAV → PCM samples, integer content stats per row.  Same actor-pool
+    shape and per-row-status contract as :class:`HeaderDecoder`;
+    replaces :class:`StubDecoder` wherever the payload is PNG/WAV.
+    Video rows report ``error: no video codec`` (still stubbed —
+    honestly, not silently)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import png_decode, wav_decode
+
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        cols = {k: [] for k in ("width", "height", "channels", "frames",
+                                "sample_rate", "sum_px", "sum_abs",
+                                "peak_abs", "status")}
+        zero = dict.fromkeys(cols, 0)
+        for p, kd in zip(payloads, kinds):
+            p = p or b""
+            row = dict(zero)
+            try:
+                if not p:
+                    raise ValueError("empty payload")
+                if kd == "image":
+                    arr = png_decode(p)
+                    h, w, c = arr.shape
+                    row.update(width=w, height=h, channels=c, frames=1,
+                               sum_px=int(arr.sum(dtype=np.int64)))
+                elif kd == "audio":
+                    s, sr = wav_decode(p)
+                    a = np.abs(s.astype(np.int64))
+                    row.update(channels=s.shape[1], frames=s.shape[0],
+                               sample_rate=sr,
+                               sum_abs=int(a.sum()),
+                               peak_abs=int(a.max()) if a.size else 0)
+                else:
+                    raise ValueError("no video codec")
+                row["status"] = "ok"
+            except (ValueError, EOFError, zlib_error, wave_Error) as e:
+                row = dict(zero)
+                row["status"] = f"error: {e}"[:200]
+            for k, v in row.items():
+                cols[k].append(v)
+        out = {"item_id": batch.column("item_id"),
+               "kind": batch.column("kind")}
+        for k in ("width", "height", "channels", "frames", "sample_rate",
+                  "sum_px", "sum_abs", "peak_abs"):
+            out[k] = pa.array(cols[k], pa.int64())
+        out["status"] = pa.array(cols["status"], pa.string())
+        return pa.table(out)
 
 
 def frame_sample_indices(n_frames: int, every: int = 10) -> np.ndarray:

@@ -472,13 +472,36 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
     many docs has high df, so it lands in a prefix only for docs where
     ~everything is common.  Buckets over MAX_BUCKET are processed
     anyway (exactness contract) but logged.
+
+    Row width (r5, measured at the sf1 scale-proof): string doc ids
+    (urls, ~50 B) repeated per shingle row tripled every all-to-all
+    and blew the single-node spill disk at 1.2M docs.  String ids now
+    ride the WIDE legs as int64 ``column_hash64`` values; the original
+    strings are restored by two hash_joins over the TINY pair stream
+    and pairs re-canonicalized (a < b on the original id).  Collision
+    tolerance is the module's documented 64-bit-fold contract
+    (birthday bound ~1e-8 at 1M docs).  Integer ids skip the remap.
     """
+    import pyarrow.compute as pc
+
+    from .parthash import column_hash64
+
     thr_x1000 = int(round(threshold * 1000))
+    orig_id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    hashed_ids = not pa.types.is_integer(orig_id_type)
+
+    def _idh(arr) -> pa.Array:
+        return pa.array(column_hash64(arr).view(np.int64), pa.int64())
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
+        ids_col = b.column(id_col)
         texts = b.column(col).to_pylist()
-        id_type = b.schema.field(id_col).type
+        if hashed_ids:
+            ids = np.asarray(_idh(ids_col))
+            id_type = pa.int64()
+        else:
+            ids = ids_col.to_pylist()
+            id_type = b.schema.field(id_col).type
         out_ids: list = []
         sh_arrays: list[np.ndarray] = []
         for i, t in zip(ids, texts):
@@ -583,10 +606,37 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
         out.columns = ["a", "b"]
         return out
 
-    return (prefixes.map_batches(add_ppk, batch_format="pyarrow")
+    cand = (prefixes.map_batches(add_ppk, batch_format="pyarrow")
             .groupby("ppk")
             .map_groups(arrow_clean(pair_fold),
                         batch_format="pandas"))
+    if not hashed_ids:
+        return cand
+
+    # restore original ids over the TINY pair stream (two joins, each
+    # bounded by the pair count — never the exploded shingle volume),
+    # then re-canonicalize a < b on the ORIGINAL id ordering
+    idmap = ds.select_columns([id_col]).map_batches(
+        lambda b: pa.table({"idh": _idh(b.column(id_col)),
+                            "orig": b.column(id_col)}),
+        batch_format="pyarrow")
+    j1 = hash_join(cand, idmap, on="a", right_on="idh",
+                   num_partitions=32)
+
+    def keep_b(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b.column("b"),
+                         "a_orig": b.column("orig")})
+
+    j2 = hash_join(j1.map_batches(keep_b, batch_format="pyarrow"),
+                   idmap, on="b", right_on="idh", num_partitions=32)
+
+    def canon(b: pa.Table) -> pa.Table:
+        x, y = b.column("a_orig"), b.column("orig")
+        lt = pc.less(x, y)
+        return pa.table({"a": pc.if_else(lt, x, y),
+                         "b": pc.if_else(lt, y, x)})
+
+    return j2.map_batches(canon, batch_format="pyarrow")
 
 
 def minhash_candidates_bipartite(new_ds, base_ds, col: str = "text",
@@ -801,7 +851,15 @@ def jaccard_dup_pairs(ds, threshold: float = 0.7,
 
     Same verified-pair contract as near_dup_pairs: candidates flow to
     :func:`verify_pairs_jaccard` without their own dedup shuffle (the
-    verify partition co-locates all copies of a pair)."""
+    verify partition co-locates all copies of a pair).
+
+    Scale envelope (measured, sf1 scale-proof in BASELINE.md): the
+    100%-recall prefix filter prunes by shingle df; on flat-df corpora
+    (small vocabulary — e.g. synthetic text) candidate volume grows
+    ~n² per hot prefix partition and stragglers dominate past ~100k
+    docs.  Intended use at scale is exact passes over bounded
+    partitions (per LSH bucket, per shard, per domain); whole-corpus
+    sweeps belong to :func:`near_dup_pairs`."""
     return verify_pairs_jaccard(
         _prefix_filter_candidates(ds, threshold, col, id_col),
         ds, threshold, col, id_col)

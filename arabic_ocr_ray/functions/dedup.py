@@ -559,7 +559,8 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
         if len(ids) == 0:
             return pa.table({"sh": pa.array([], pa.int64()),
                              id_col: g.column(id_col),
-                             "n": pa.array([], pa.int64())})
+                             "n": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
         # run-length boundaries over the id-sorted rows (order-agnostic,
         # works for string ids too); integer-exact prefix length
         # n - ceil(t*n) + 1
@@ -576,6 +577,10 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
             "sh": kept.column("sh"),
             id_col: kept.column(id_col),
             "n": pa.array(np.repeat(counts, counts)[keep], pa.int64()),
+            # position of the shingle in the doc's full (df, sh)-ordered
+            # list — (df, sh) is a total order shared by every doc, so
+            # ranks are comparable across docs (PPJoin positional filter)
+            "r": pa.array(rank[keep], pa.int64()),
         })
 
     prefixes = (with_df.map_batches(add_dpk, batch_format="pyarrow")
@@ -592,7 +597,7 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
         # dropped — but logged so a skew blowup is visible
         _log_capped(g, sizes, MAX_BUCKET,
                     "prefix_filter (processed, not dropped)")
-        g2 = g.loc[sizes >= 2, ["sh", id_col, "n"]]
+        g2 = g.loc[sizes >= 2, ["sh", id_col, "n", "r"]]
         if g2.empty:
             return pd.DataFrame({"a": g2[id_col], "b": g2[id_col]})
         m = g2.merge(g2, on="sh", suffixes=("_x", "_y"))
@@ -601,6 +606,19 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
         lo = np.minimum(m["n_x"], m["n_y"])
         hi = np.maximum(m["n_x"], m["n_y"])
         m = m[lo * 1000 >= thr_x1000 * hi]
+        # positional filter (PPJoin, Xiao et al. WWW'08): with both
+        # docs' shingles in the SAME global (df, sh) order, a common
+        # shingle at ranks (r_x, r_y) bounds the overlap by
+        # min(r_x, r_y) common shingles strictly before it plus
+        # min(n_x-r_x, n_y-r_y) at-or-after it.  J ≥ t needs overlap
+        # ≥ ceil(t(n_x+n_y)/(1+t)); a TRUE pair satisfies the bound at
+        # EVERY common shingle, so per-copy pruning keeps exact recall
+        # (a pair reaches verify if any one of its copies survives).
+        alpha = -(-(thr_x1000 * (m["n_x"] + m["n_y"]))
+                  // (1000 + thr_x1000))
+        ubound = (np.minimum(m["r_x"], m["r_y"])
+                  + np.minimum(m["n_x"] - m["r_x"], m["n_y"] - m["r_y"]))
+        m = m[ubound >= alpha]
         out = (m[[f"{id_col}_x", f"{id_col}_y"]]
                .drop_duplicates())
         out.columns = ["a", "b"]

@@ -559,6 +559,37 @@ def test_jaccard_dup_pairs_exact_recall_randomized(ray_session):
     assert len(exp) >= 5  # the planted families actually pair
 
 
+def test_jaccard_positional_filter_borderline(ray_session):
+    """The PPJoin positional filter prunes on an integer bound that can
+    sit exactly at equality (ubound == required overlap) for borderline
+    pairs — stress it at a low threshold with strongly varying doc
+    lengths and three seeds, where rank spreads are widest."""
+    import ray.data as rd
+
+    for seed in (3, 8, 21):
+        rng = np.random.RandomState(seed)
+        words = [f"w{i}" for i in range(30)]
+        texts = []
+        for fam in range(5):
+            ln = 5 + fam * 12  # 5..53 tokens: wide length spread
+            base = list(rng.choice(words, ln))
+            for copy in range(3):
+                t = base[:]
+                for _ in range(copy * max(1, ln // 10)):
+                    t[rng.randint(len(t))] = words[rng.randint(len(words))]
+                texts.append(" ".join(t))
+        for _ in range(20):
+            texts.append(" ".join(rng.choice(words, rng.randint(3, 40))))
+        out = (dedup.jaccard_dup_pairs(
+                   rd.from_arrow(_docs_table(texts)), threshold=0.5)
+               .to_pandas())
+        got = {(a, b): j for a, b, j in
+               zip(out["a"], out["b"], out["jaccard_x1000"])}
+        exp = _brute_jaccard_pairs(texts, 500)
+        assert got == exp, f"seed {seed}"
+        assert len(exp) >= 5
+
+
 def test_jaccard_dup_pairs_string_ids(ray_session):
     import ray.data as rd
 

@@ -1802,6 +1802,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return meta.map_batches(keep, batch_format="pyarrow")
 
+    def q_mm_video_frames(sf_dir: str):
+        """REAL video frame decode (closes the last decoder stub):
+        synthesize genuine uncompressed RIFF-AVI payloads (24-bit
+        bottom-up BGR ``00db`` frames + idx1 index) from the documents
+        table, bulk-decode every frame with the stdlib codec
+        (functions/codecs.py:avi_encode/avi_decode_frames), sample
+        every 2nd frame, and emit integer per-frame pixel sums the SQL
+        twin reproduces in closed form — green only if the container
+        writer, the RIFF chunk walk, the bottom-up BGR de-padding and
+        the frame sampling all round-trip exactly."""
+        payloads = _docs(sf_dir).map_batches(
+            multimodal.video_payload_table_from_documents,
+            batch_format="pyarrow")
+        return payloads.map_batches(
+            multimodal.FrameSampler,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            num_cpus=1,
+        )
+
     # NOTE on ordering: the driver evaluates only the FIRST 50 dict entries
     # (insertion order).  Rotation rule (r4 advice): every query whose
     # ENGINE OR ORACLE changed this round sits inside the window, plus
@@ -1835,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": q_corpus_split,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_audio_stats": q_mm_audio_stats,
+        "mm_video_frames": q_mm_video_frames,
         "doc_decontaminate": q_doc_decontaminate,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
@@ -1863,9 +1885,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_lang_id,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fingerprint,
-        "doc_normalize": q_doc_normalize,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
-        # untouched this round ---------------------------------------------
+        # untouched this round.  doc_normalize rotated out late-r5 to make
+        # room for the NEW mm_video_frames (never driver-verified queries
+        # take window priority); it is a pure map untouched since r3,
+        # pytest-covered, and hash-green in the committed full-registry
+        # check_oracles run (ORACLES_r5_full.log, rerun at final HEAD). ----
+        "doc_normalize": q_doc_normalize,
         "mixture_resample": q_mixture_resample,
         "near_dup_clusters": q_near_dup_clusters,
         "customers_without_events_bloom": q_customers_without_events_bloom,
@@ -2836,6 +2862,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN generate_series(0, 3997) s(i) "
             "ON s.i < d.ch * d.fr "
             "GROUP BY d.doc_id, d.ch, d.fr"
+        ),
+        "mm_video_frames": (
+            # closed-form twin of the REAL AVI frame decode: frame t's
+            # pixel px(t,y,x,ch) = (nb+3t+x)%256, constant in y and ch,
+            # so frame_sum(t) = 3·h·(w·r + w(w−1)/2 − 256·max(0,
+            # r+w−256)) with r = (nb+3t)%256 (w < 256 wraps at most
+            # once); sampler keeps every 2nd frame (t % 2 = 0,
+            # frames ≤ 7 so the series tops at 6).  Green only if the
+            # AVI writer, RIFF walk, bottom-up BGR de-padding and
+            # frame sampling all round-trip exactly.
+            "SELECT d.doc_id AS item_id, "
+            "CAST(s.t AS BIGINT) AS frame_idx, "
+            "CAST(d.w AS BIGINT) AS width, "
+            "CAST(d.h AS BIGINT) AS height, "
+            "CAST(3 * d.h * (d.w * ((d.nb + 3 * s.t) % 256) "
+            "+ d.w * (d.w - 1) // 2 "
+            "- 256 * greatest(0, ((d.nb + 3 * s.t) % 256) + d.w - 256)) "
+            "AS BIGINT) AS frame_sum "
+            "FROM (SELECT doc_id, nb, 8 + nb % 24 AS w, "
+            "8 + (nb * 5) % 18 AS h, 2 + nb % 6 AS f "
+            "FROM (SELECT doc_id, octet_length(encode(text)) AS nb "
+            "FROM documents WHERE doc_id % 97 != 0)) d "
+            "JOIN generate_series(0, 6) s(t) "
+            "ON s.t < d.f AND s.t % 2 = 0"
         ),
         "mm_decode_meta": (
             # SQL twin of payload_table_from_documents' integer field

@@ -179,6 +179,110 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     return a, sr
 
 
+def avi_encode(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(f, h, w, 3) uint8 RGB → real uncompressed RIFF AVI.
+
+    Canonical 'DIB ' layout (public AVI/BITMAPINFOHEADER spec): one
+    ``00db`` chunk per frame, 24-bit BGR scanlines stored BOTTOM-UP
+    and row-padded to 4 bytes, plus a proper ``idx1`` index and
+    AVIF_HASINDEX flag — the same byte layout VfW writes for
+    BI_RGB video, so any standard player/probe reads it."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError("expected (f, h, w, 3) uint8")
+    f, h, w, _ = a.shape
+    stride = (3 * w + 3) & ~3
+    # RGB → BGR, flip rows bottom-up, pad each row to the DIB stride
+    bgr = a[:, ::-1, :, ::-1]
+    rows = np.zeros((f, h, stride), dtype=np.uint8)
+    rows[:, :, :3 * w] = bgr.reshape(f, h, 3 * w)
+    frame_bytes = rows.reshape(f, -1)
+    sz = h * stride
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", 1000000 // max(1, fps), sz * fps, 0, 0x10,  # HASINDEX
+        f, 0, 1, sz, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, f, sz,
+                          0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, sz,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi" + b"".join(
+        chunk(b"00db", frame_bytes[i].tobytes()) for i in range(f))
+    movi = chunk(b"LIST", movi_body)
+    # idx1 offsets are relative to the 'movi' fourcc position
+    idx = b"".join(
+        struct.pack("<4sIII", b"00db", 0x10, 4 + i * (8 + sz + (sz % 2)),
+                    sz)
+        for i in range(f))
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode_frames(data: bytes) -> np.ndarray:
+    """Uncompressed RIFF AVI bytes → (f, h, w, 3) uint8 RGB.
+
+    Proper RIFF chunk walk (no substring scanning — payload bytes may
+    contain any fourcc): hdrl → strf BITMAPINFOHEADER for dimensions,
+    movi LIST → every ``00db``/``00dc`` chunk unpadded, flipped
+    top-down, BGR→RGB.  24-bit BI_RGB only (the canonical
+    uncompressed case); anything else raises ValueError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("bad avi signature")
+    w = h = -1
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = body_start + clen
+            if body_end > end:
+                raise ValueError("truncated avi chunk")
+            if tag == b"LIST":
+                walk(body_start + 4, body_end)     # skip list kind
+            elif tag == b"strf":
+                if clen < 20:
+                    raise ValueError("short strf")
+                _, bw, bh, _, bits, comp = struct.unpack_from(
+                    "<IiiHHI", data, body_start)
+                if comp != 0 or bits != 24:
+                    raise ValueError(
+                        f"unsupported avi (bits={bits}, comp={comp})")
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc"):
+                if w <= 0 or h <= 0:
+                    raise ValueError("frame before strf")
+                stride = (3 * w + 3) & ~3
+                if clen != h * stride:
+                    raise ValueError("frame size mismatch")
+                rows = np.frombuffer(
+                    data, dtype=np.uint8, count=clen, offset=body_start
+                ).reshape(h, stride)
+                frames.append(rows[::-1, :3 * w].reshape(h, w, 3)
+                              [:, :, ::-1])
+            pos = body_end + (clen % 2)            # chunks are word-aligned
+
+    walk(12, len(data))
+    if w <= 0:
+        raise ValueError("missing strf")
+    if not frames:
+        return np.zeros((0, h, w, 3), dtype=np.uint8)
+    return np.stack(frames)
+
+
 def resize_box(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Integer nearest-index resample (h, w, c) → (th, tw, c) — the
     deterministic thumbnail kernel behind ``multimodal.resize_plan``'s

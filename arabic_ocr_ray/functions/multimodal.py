@@ -13,15 +13,17 @@ Two decode layers:
   ``mm_decode_meta`` verifies a full synthesize→parse round trip.
 
 - :class:`PixelDecoder` — REAL bulk decode for PNG (zlib IDAT +
-  scanline unfilter) and WAV PCM via the stdlib-only codecs in
+  scanline unfilter), WAV PCM, and uncompressed RIFF-AVI video
+  (bottom-up BGR ``00db`` frames) via the stdlib-only codecs in
   ``functions/codecs.py``; integer content stats (sum_px, sum_abs,
-  peak_abs) that a SQL twin reproduces in closed form.  Video bulk
-  decode has no sandbox codec and reports a per-row error.
+  peak_abs) that a SQL twin reproduces in closed form.
+  :class:`FrameSampler` is the per-frame flat-map on the same codec.
 
 - :class:`StubDecoder` — retained STUB shape for formats with no
-  stdlib codec (video frames; JPEG).  Clearly marked; the Ray-side
-  shape (actor pool, small batches for large binary rows, per-row
-  status) is real and tested.
+  stdlib codec (now only JPEG/compressed-video — no DCT/inter-frame
+  codec exists in this sandbox).  Clearly marked; the Ray-side shape
+  (actor pool, small batches for large binary rows, per-row status)
+  is real and tested.
 
 Payload rows are ``(item_id, kind, payload:binary, meta:string)``;
 ``payload_table_from_documents`` manufactures the deterministic
@@ -311,16 +313,55 @@ def pixel_payload_table_from_documents(docs: pa.Table) -> pa.Table:
     })
 
 
+def video_payload_table_from_documents(docs: pa.Table) -> pa.Table:
+    """Deterministic REAL-decodable video corpus: genuine uncompressed
+    RIFF-AVI payloads (24-bit bottom-up BGR ``00db`` frames + idx1)
+    built by the stdlib codec.  Integer content formulas (SQL-twinned
+    in ``mm_video_frames``):
+
+    nb = octet_length(utf-8 text)
+      w = 8 + nb % 24   h = 8 + (nb*5) % 18   f = 2 + nb % 6
+      px(t, y, x, ch) = (nb + 3t + x) % 256   (constant in y and ch)
+      ⇒ frame_sum(t) = 3·h·(w·r + w(w−1)/2 − 256·max(0, r+w−256)),
+        r = (nb + 3t) % 256  (w < 256 so the mod wraps at most once)
+
+    Every ``CORRUPT_EVERY``-th doc ships an empty payload."""
+    from .codecs import avi_encode
+
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    payloads = []
+    for i, t in zip(ids, texts):
+        if i % CORRUPT_EVERY == 0:
+            payloads.append(b"")
+            continue
+        nb = len((t or "").encode())
+        w, h, f = 8 + nb % 24, 8 + (nb * 5) % 18, 2 + nb % 6
+        t_ = np.arange(f, dtype=np.int64)[:, None]
+        x_ = np.arange(w, dtype=np.int64)[None, :]
+        plane = ((nb + 3 * t_ + x_) % 256).astype(np.uint8)  # (f, w)
+        arr = np.broadcast_to(plane[:, None, :, None], (f, h, w, 3))
+        payloads.append(avi_encode(np.ascontiguousarray(arr)))
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["video"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array([json.dumps({"src": "documents-video"})]
+                         * len(ids), pa.string()),
+    })
+
+
 class PixelDecoder:
     """REAL bulk decoder actor: PNG → pixel array (zlib + unfilter),
-    WAV → PCM samples, integer content stats per row.  Same actor-pool
-    shape and per-row-status contract as :class:`HeaderDecoder`;
-    replaces :class:`StubDecoder` wherever the payload is PNG/WAV.
-    Video rows report ``error: no video codec`` (still stubbed —
-    honestly, not silently)."""
+    WAV → PCM samples, uncompressed AVI → frame stack, integer content
+    stats per row.  Same actor-pool shape and per-row-status contract
+    as :class:`HeaderDecoder`; replaces :class:`StubDecoder` for all
+    three kinds (video was the last stub — closed by
+    ``codecs.avi_decode_frames``; JPEG remains absent because the
+    sandbox stdlib has no DCT codec and the synthetic corpus is PNG)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .codecs import png_decode, wav_decode
+        from .codecs import avi_decode_frames, png_decode, wav_decode
 
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
@@ -347,7 +388,10 @@ class PixelDecoder:
                                sum_abs=int(a.sum()),
                                peak_abs=int(a.max()) if a.size else 0)
                 else:
-                    raise ValueError("no video codec")
+                    arr = avi_decode_frames(p)
+                    f, h, w = arr.shape[:3]
+                    row.update(width=w, height=h, channels=3, frames=f,
+                               sum_px=int(arr.sum(dtype=np.int64)))
                 row["status"] = "ok"
             except (ValueError, EOFError, zlib_error, wave_Error) as e:
                 row = dict(zero)
@@ -396,6 +440,52 @@ def resize_plan(meta_ds, target: int = 224):
         })
 
     return meta_ds.map_batches(plan, batch_format="pyarrow")
+
+
+class FrameSampler:
+    """REAL video frame-extract actor: decode every AVI payload with
+    the stdlib codec, keep every ``every``-th frame, emit one row per
+    sampled frame with its integer pixel sum — the flat-map stage a
+    multimodal training pipeline runs before per-frame featurization
+    (resize / embed).  Undecodable rows emit nothing here; the
+    per-item status surface is :class:`PixelDecoder`'s job."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import avi_decode_frames
+
+        ids = batch.column("item_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_w: list[int] = []
+        out_h: list[int] = []
+        out_sum: list[int] = []
+        for i, p in zip(ids, payloads):
+            if not p:
+                continue
+            try:
+                arr = avi_decode_frames(p)
+            except ValueError:
+                continue
+            idxs = frame_sample_indices(arr.shape[0], self.every)
+            if not len(idxs):
+                continue
+            sums = arr[idxs].sum(axis=(1, 2, 3), dtype=np.int64)
+            out_id.extend([i] * len(idxs))
+            out_idx.extend(idxs.tolist())
+            out_w.extend([arr.shape[2]] * len(idxs))
+            out_h.extend([arr.shape[1]] * len(idxs))
+            out_sum.extend(sums.tolist())
+        return pa.table({
+            "item_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+            "width": pa.array(out_w, pa.int64()),
+            "height": pa.array(out_h, pa.int64()),
+            "frame_sum": pa.array(out_sum, pa.int64()),
+        })
 
 
 def frame_sample_plan(meta_ds, every: int = 10):

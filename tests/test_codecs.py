@@ -11,6 +11,8 @@ import pytest
 
 from arabic_ocr_ray.functions import multimodal
 from arabic_ocr_ray.functions.codecs import (
+    avi_decode_frames,
+    avi_encode,
     png_decode,
     png_encode,
     resize_box,
@@ -141,7 +143,9 @@ def test_pixel_decoder_formula_parity():
             assert row["peak_abs"] == int(np.abs(s).max())
 
 
-def test_pixel_decoder_video_is_marked_error():
+def test_pixel_decoder_corrupt_video_is_marked_error():
+    """Truncated AVI (headers only, no strf) → per-row error status,
+    never an exception out of the actor."""
     b = pa.table({
         "item_id": pa.array([1], pa.int64()),
         "kind": pa.array(["video"], pa.string()),
@@ -149,4 +153,83 @@ def test_pixel_decoder_video_is_marked_error():
         "meta": pa.array(["{}"], pa.string()),
     })
     out = multimodal.PixelDecoder()(b)
-    assert out.column("status").to_pylist() == ["error: no video codec"]
+    assert out.column("status").to_pylist()[0].startswith("error")
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (3, 5, 7), (7, 25, 31),
+                                   (2, 16, 4), (4, 9, 13)])
+def test_avi_round_trip(shape):
+    f, h, w = shape
+    rng = np.random.default_rng(f * 100 + h * 10 + w)
+    arr = rng.integers(0, 256, size=(f, h, w, 3), dtype=np.uint8)
+    out = avi_decode_frames(avi_encode(arr))
+    assert out.shape == arr.shape
+    assert (out == arr).all()
+
+
+def test_avi_probe_compat():
+    """The real encoder's headers satisfy the independent header
+    prober (multimodal.probe_avi reads avih fields by offset)."""
+    arr = np.zeros((5, 10, 12, 3), dtype=np.uint8)
+    meta = multimodal.probe_avi(avi_encode(arr))
+    assert meta == {"width": 12, "height": 10, "channels": 3,
+                    "frames": 5, "sample_rate": 0}
+
+
+def test_avi_decode_rejects_garbage():
+    enc = avi_encode(np.zeros((2, 4, 4, 3), dtype=np.uint8))
+    for bad in (b"", b"not avi", b"RIFF\x00\x00\x00\x00AVI ",
+                enc[:50], enc[:-7]):
+        with pytest.raises(ValueError):
+            if avi_decode_frames(bad).shape[0] == 0:
+                raise ValueError("no frames")  # header-only is also bad
+
+
+def test_avi_odd_width_padding():
+    """Widths whose 3w is not a multiple of 4 exercise the DIB row
+    padding on both sides of the codec."""
+    for w in (1, 2, 3, 5, 6, 7):
+        arr = (np.arange(2 * 3 * w * 3, dtype=np.uint8)
+               .reshape(2, 3, w, 3))
+        assert (avi_decode_frames(avi_encode(arr)) == arr).all()
+
+
+def test_frame_sampler_matches_full_decode():
+    """FrameSampler's per-frame sums equal slicing the full decode at
+    the deterministic sample indices; corrupt rows emit nothing."""
+    docs = _docs_table(30)
+    payloads = multimodal.video_payload_table_from_documents(docs)
+    out = multimodal.FrameSampler(every=2)(payloads).to_pandas()
+    seen_ids = set(out["item_id"])
+    assert 0 not in seen_ids  # doc 0 is the corrupt row (0 % 97 == 0)
+    from arabic_ocr_ray.functions.codecs import avi_decode_frames as dec
+    for i in range(1, 30):
+        p = payloads.column("payload")[i].as_py()
+        arr = dec(p)
+        idxs = multimodal.frame_sample_indices(arr.shape[0], 2)
+        sub = out[out["item_id"] == i].sort_values("frame_idx")
+        assert list(sub["frame_idx"]) == idxs.tolist()
+        exp = arr[idxs].sum(axis=(1, 2, 3), dtype=np.int64)
+        assert list(sub["frame_sum"]) == exp.tolist()
+        assert (sub["width"] == arr.shape[2]).all()
+        assert (sub["height"] == arr.shape[1]).all()
+
+
+def test_pixel_decoder_video_totals():
+    """PixelDecoder's video branch: per-item frame count and total
+    pixel sum match the synth formulas through the real codec."""
+    docs = _docs_table(20)
+    payloads = multimodal.video_payload_table_from_documents(docs)
+    out = multimodal.PixelDecoder()(payloads).to_pandas().set_index(
+        "item_id")
+    for i in range(1, 20):
+        nb = len(docs.column("text")[i].as_py().encode())
+        w, h, f = 8 + nb % 24, 8 + (nb * 5) % 18, 2 + nb % 6
+        row = out.loc[i]
+        assert row["status"] == "ok"
+        assert (row["width"], row["height"], row["frames"]) == (w, h, f)
+        exp = sum(
+            3 * h * (w * r + w * (w - 1) // 2
+                     - 256 * max(0, r + w - 256))
+            for r in (((nb + 3 * t) % 256) for t in range(f)))
+        assert row["sum_px"] == exp

@@ -1,0 +1,701 @@
+"""Real PDF text + layout extraction — stdlib-only writer and parser.
+
+The north rule names "PDF/layout parse" alongside HTML boilerplate
+strip as a first-class payload of the extraction pipeline.  This
+module closes that gap the same way ``functions/codecs.py`` closed
+the pixel one: a genuine byte-level implementation of the public
+format (Adobe PDF 1.4 / ISO 32000), no external libraries.
+
+Writer (``pdf_encode``): a conformant PDF 1.4 serializer — catalog /
+pages tree / page / Type1 font objects, per-page content streams
+(``BT .. Tm/Td .. Tj/TJ .. ET``), literal strings with the full
+escape set, UTF-16BE hex strings for non-ASCII text, optional
+``FlateDecode`` stream compression, and a correct xref table +
+trailer with real byte offsets.
+
+Parser (``pdf_extract``): a real COS-object tokenizer (literal/hex
+strings with nesting, escapes and octal, names with ``#xx``, arrays,
+dicts, indirect references), document-structure walk (trailer →
+/Root → /Pages → /Kids recursion → /Contents), Flate stream
+decoding, and a content-stream interpreter that tracks the text
+matrix (``Tm``/``Td``/``TD``/``T*``/``TL``) to recover span
+positions.  Layout parse is genuine: spans are re-ordered into
+reading order by detected column then descending y — the synthetic
+corpus deliberately *scrambles* emission order and splits pages into
+two columns, so extraction is only correct if the positional
+reconstruction is.
+
+Reference analog: the reference's per-image load + line/word
+segmentation loop (``/root/reference/segment_words.py:206-236``)
+realizes "opaque binary document → ordered text spans"; here the
+binary document is a PDF and the segmentation is the content-stream
+geometry walk.
+
+Scale note: per-document decode is an opaque-payload actor-pool
+stage (``PdfExtractor``), the same shape as ``PixelDecoder`` — small
+batches, setup-free ``__call__``, one Python-level parse per
+document (inherent for a pointer-chasing container format; the
+per-span work inside is string-level, not per-byte).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------- writer
+
+_LIT_ESC = {ord("\\"): b"\\\\", ord("("): b"\\(", ord(")"): b"\\)"}
+
+
+def _needs_hex(text: str) -> bool:
+    return any(ord(c) < 32 or ord(c) > 126 for c in text)
+
+
+def _lit_string(text: str) -> bytes:
+    """Escaped literal string ``(...)`` for printable-ASCII text."""
+    out = bytearray(b"(")
+    for c in text.encode("latin-1"):
+        out += _LIT_ESC.get(c, bytes([c]))
+    out += b")"
+    return bytes(out)
+
+
+def _hex_string(text: str) -> bytes:
+    """UTF-16BE-with-BOM hex string ``<FEFF...>`` (any unicode)."""
+    return b"<" + (b"\xfe\xff" + text.encode("utf-16-be")).hex().encode() + b">"
+
+
+def _show_string(text: str) -> bytes:
+    return _hex_string(text) if _needs_hex(text) else _lit_string(text)
+
+
+# TJ kerning value (thousandths of text-space units) that encodes one
+# inter-word space; the parser treats any adjustment <= -_KERN_SPACE_MIN
+# as a space, the common extractor heuristic.
+_KERN_SPACE = -250
+_KERN_SPACE_MIN = 180
+
+
+def _span_ops(x: float, y: float, text: str, style: str) -> bytes:
+    """Content-stream ops for one positioned text span.
+
+    style: "tj" (single show), "tjarr" (TJ array split at spaces with
+    kerning adjustments), "hex" (forced UTF-16BE hex), "auto".
+    """
+    pos = b"1 0 0 1 %g %g Tm " % (x, y)
+    if style == "hex":
+        return pos + _hex_string(text) + b" Tj\n"
+    if style == "tjarr" and not _needs_hex(text):
+        parts = text.split(" ")
+        arr = (b" %d " % _KERN_SPACE).join(_lit_string(p) for p in parts)
+        return pos + b"[" + arr + b"] TJ\n"
+    return pos + _show_string(text) + b" Tj\n"
+
+
+def pdf_encode(pages: list[list[tuple[float, float, str, str]]],
+               compress: bool | str = "alternate") -> bytes:
+    """Serialize positioned text spans to real PDF 1.4 bytes.
+
+    ``pages`` is a list of pages; each page is a list of spans
+    ``(x, y, text, style)`` in *emission* order (which need not be
+    reading order — position decides that on extraction).
+    ``compress``: True / False / "alternate" (odd pages Flate).
+    """
+    objs: list[bytes] = []   # bodies, object number = index + 1
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    root_num = add(b"")      # 1: catalog, patched below
+    pages_num = add(b"")     # 2: pages tree, patched below
+    font_num = add(b"<< /Type /Font /Subtype /Type1"
+                   b" /BaseFont /Helvetica >>")
+    kid_nums = []
+    for i, spans in enumerate(pages):
+        content = bytearray(b"BT\n/F1 12 Tf\n")
+        for x, y, text, style in spans:
+            content += _span_ops(x, y, text, style)
+        content += b"ET"
+        comp = compress is True or (compress == "alternate" and i % 2 == 1)
+        body = zlib.compress(bytes(content)) if comp else bytes(content)
+        filt = b" /Filter /FlateDecode" if comp else b""
+        cnum = add(b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
+                   + body + b"\nendstream")
+        kid_nums.append(add(
+            b"<< /Type /Page /Parent %d 0 R"
+            b" /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (pages_num, font_num, cnum)))
+    objs[root_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    objs[pages_num - 1] = (b"<< /Type /Pages /Kids ["
+                           + b" ".join(b"%d 0 R" % n for n in kid_nums)
+                           + b"] /Count %d >>" % len(kid_nums))
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, root_num, xref_at))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- lexer
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_REGULAR_STOP = _WS + _DELIM
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+class _Lexer:
+    """Tokenizer for PDF COS syntax over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:                       # % comment to EOL
+                nl = d.find(b"\n", self.pos)
+                self.pos = len(d) if nl < 0 else nl + 1
+            else:
+                return
+
+    def next_token(self):
+        """One lexical token: (kind, value).
+
+        kinds: num, name, str (bytes), dict_open/close,
+        arr_open/close, kw (keyword bytes), eof.
+        """
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return ("eof", None)
+        c = d[self.pos]
+        if c == 0x28:                              # ( literal string
+            return ("str", self._lit_string())
+        if d.startswith(b"<<", self.pos):
+            self.pos += 2
+            return ("dict_open", None)
+        if c == 0x3C:                              # < hex string
+            return ("str", self._hex_string())
+        if d.startswith(b">>", self.pos):
+            self.pos += 2
+            return ("dict_close", None)
+        if c == 0x5B:
+            self.pos += 1
+            return ("arr_open", None)
+        if c == 0x5D:
+            self.pos += 1
+            return ("arr_close", None)
+        if c == 0x2F:                              # /Name
+            self.pos += 1
+            start = self.pos
+            while self.pos < n and d[self.pos] not in _REGULAR_STOP:
+                self.pos += 1
+            raw = d[start:self.pos]
+            # #xx hex escapes inside names
+            name = re.sub(rb"#([0-9A-Fa-f]{2})",
+                          lambda m: bytes([int(m.group(1), 16)]), raw)
+            return ("name", "/" + name.decode("latin-1"))
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _REGULAR_STOP:
+            self.pos += 1
+        word = d[start:self.pos]
+        if not word:                               # stray delimiter
+            self.pos += 1
+            return ("kw", d[start:start + 1])
+        try:
+            if any(ch in word for ch in b".eE") and word not in (
+                    b"true", b"false", b"null"):
+                return ("num", float(word))
+            return ("num", int(word))
+        except ValueError:
+            return ("kw", word)
+
+    def _lit_string(self) -> bytes:
+        """( ... ) with balanced parens, escapes, octal, continuations."""
+        d, n = self.data, len(self.data)
+        assert d[self.pos] == 0x28
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:                          # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                if e in b"nrtbf":
+                    out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                            0x62: b"\b", 0x66: b"\f"}[e]
+                    self.pos += 1
+                elif e in b"01234567":             # up to 3 octal digits
+                    oct_s = bytearray()
+                    while (len(oct_s) < 3 and self.pos < n
+                           and d[self.pos] in b"01234567"):
+                        oct_s.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif e == 0x0A:                    # line continuation
+                    self.pos += 1
+                elif e == 0x0D:
+                    self.pos += 1
+                    if self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:                              # \( \) \\ and others
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise ValueError("unterminated literal string")
+
+    def _hex_string(self) -> bytes:
+        d = self.data
+        end = d.find(b">", self.pos)
+        if end < 0:
+            raise ValueError("unterminated hex string")
+        hx = re.sub(rb"[\x00\t\n\x0c\r ]", b"", d[self.pos + 1:end])
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("latin-1"))
+
+    def next_value(self):
+        """One COS value, collapsing `int int R` into a _Ref."""
+        kind, val = self.next_token()
+        return self._value(kind, val)
+
+    def _value(self, kind, val):
+        if kind == "dict_open":
+            d = {}
+            while True:
+                k, v = self.next_token()
+                if k == "dict_close":
+                    break
+                if k == "eof":
+                    raise ValueError("unterminated dict")
+                if k != "name":
+                    raise ValueError("dict key must be a name")
+                d[v] = self._collapse_ref()
+            return d
+        if kind == "arr_open":
+            arr = []
+            while True:
+                save = self.pos
+                k, v = self.next_token()
+                if k == "arr_close":
+                    break
+                if k == "eof":
+                    raise ValueError("unterminated array")
+                self.pos = save
+                arr.append(self._collapse_ref())
+            return arr
+        if kind == "kw":
+            if val == b"true":
+                return True
+            if val == b"false":
+                return False
+            if val == b"null":
+                return None
+            return ("kw", val)
+        return val
+
+    def _collapse_ref(self):
+        """Parse one value; if it begins `int int R`, return a _Ref."""
+        save = self.pos
+        k, v = self.next_token()
+        if k == "num" and isinstance(v, int):
+            save2 = self.pos
+            k2, v2 = self.next_token()
+            if k2 == "num" and isinstance(v2, int):
+                k3, v3 = self.next_token()
+                if k3 == "kw" and v3 == b"R":
+                    return _Ref(v)
+                self.pos = save2
+                return v
+            self.pos = save2
+            return v
+        self.pos = save
+        k, v = self.next_token()
+        return self._value(k, v)
+
+
+# ---------------------------------------------------------------- parser
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10}) (\d{5}) ([nf])\s{1,2}")
+
+
+def _parse_object_at(data: bytes, pos: int) -> tuple:
+    """Parse `num gen obj <value> [stream]` at a byte offset."""
+    m = _OBJ_RE.match(data, pos)
+    if m is None:
+        raise ValueError("no object at offset %d" % pos)
+    lex = _Lexer(data, m.end())
+    val = lex.next_value()
+    stream = None
+    save = lex.pos
+    k, v = lex.next_token()
+    if k == "kw" and v == b"stream":
+        p = lex.pos
+        if data[p:p + 2] == b"\r\n":
+            p += 2
+        elif data[p:p + 1] in (b"\n", b"\r"):
+            p += 1
+        length = val.get("/Length") if isinstance(val, dict) else None
+        if isinstance(length, int):
+            stream = data[p:p + length]
+        else:                                      # /Length was a ref
+            end = data.find(b"endstream", p)
+            if end < 0:
+                raise ValueError("unterminated stream")
+            stream = data[p:end].rstrip(b"\r\n")
+    else:
+        lex.pos = save
+    return int(m.group(1)), val, stream
+
+
+def _load_objects_via_xref(data: bytes) -> dict[int, tuple]:
+    """Object map from the xref table (the real extractor path)."""
+    sx = data.rfind(b"startxref")
+    if sx < 0:
+        raise ValueError("no startxref")
+    m = re.match(rb"startxref\s+(\d+)", data[sx:])
+    if m is None:
+        raise ValueError("malformed startxref")
+    pos = int(m.group(1))
+    if not data.startswith(b"xref", pos):
+        raise ValueError("xref offset does not point at an xref table")
+    pos += 4
+    objs: dict[int, tuple] = {}
+    while True:
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+", data[pos:])
+        if m is None:
+            break                                  # end of sections
+        start, count = int(m.group(1)), int(m.group(2))
+        pos += m.end()
+        for i in range(count):
+            e = _XREF_ENTRY_RE.match(data, pos)
+            if e is None:
+                raise ValueError("malformed xref entry")
+            pos = e.end()
+            if e.group(3) == b"n":
+                num, val, stream = _parse_object_at(data, int(e.group(1)))
+                if num != start + i:
+                    raise ValueError("xref/object number mismatch")
+                objs[num] = (val, stream)
+    return objs
+
+
+def _load_objects(data: bytes) -> dict[int, tuple]:
+    """num → (value, stream_bytes|None).
+
+    Follows the xref table when present and consistent (offsets are
+    authoritative — a byte-pattern scan can false-positive on `N G
+    obj` sequences inside Flate stream data); falls back to a
+    whole-file object scan for xref-less or damaged files.
+    """
+    try:
+        objs = _load_objects_via_xref(data)
+        if objs:
+            return objs
+    except (ValueError, KeyError, TypeError):
+        pass
+    objs = {}
+    for m in _OBJ_RE.finditer(data):
+        try:
+            num, val, stream = _parse_object_at(data, m.start())
+        except ValueError:
+            continue                               # scan false positive
+        objs[num] = (val, stream)
+    return objs
+
+
+def _deref(objs: dict, v):
+    seen = 0
+    while isinstance(v, _Ref):
+        v = objs[v.num][0]
+        seen += 1
+        if seen > 64:
+            raise ValueError("reference cycle")
+    return v
+
+
+def _decoded_stream(objs: dict, num: int) -> bytes:
+    val, stream = objs[num]
+    if stream is None:
+        raise ValueError("object %d has no stream" % num)
+    filt = _deref(objs, val.get("/Filter")) if isinstance(val, dict) else None
+    filts = filt if isinstance(filt, list) else ([filt] if filt else [])
+    out = stream
+    for f in filts:
+        if f == "/FlateDecode":
+            out = zlib.decompress(out)
+        elif f is not None:
+            raise ValueError("unsupported filter %r" % (f,))
+    return out
+
+
+def _page_content(objs: dict, page: dict) -> bytes:
+    contents = page.get("/Contents")
+    refs = contents if isinstance(contents, list) else [contents]
+    parts = []
+    for r in refs:
+        if isinstance(r, _Ref):
+            parts.append(_decoded_stream(objs, r.num))
+    return b"\n".join(parts)
+
+
+def _walk_pages(objs: dict, node, out: list) -> None:
+    node = _deref(objs, node)
+    if not isinstance(node, dict):
+        raise ValueError("malformed page tree node")
+    if node.get("/Type") == "/Page":
+        out.append(node)
+        return
+    for kid in _deref(objs, node.get("/Kids")) or []:
+        _walk_pages(objs, kid, out)
+
+
+def _decode_text(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be")
+    return raw.decode("latin-1")
+
+
+def _content_spans(content: bytes) -> list[tuple[float, float, str]]:
+    """Interpret a content stream: text-matrix walk → (x, y, text)."""
+    lex = _Lexer(content)
+    stack: list = []
+    spans: list[tuple[float, float, str]] = []
+    x = y = 0.0
+    leading = 0.0
+
+    def show(raw_parts) -> None:
+        buf = []
+        for p in raw_parts:
+            if isinstance(p, bytes):
+                buf.append(_decode_text(p))
+            elif isinstance(p, (int, float)) and p <= -_KERN_SPACE_MIN:
+                buf.append(" ")
+        text = "".join(buf)
+        # successive shows with no movement continue the same span
+        if spans and spans[-1][0] == x and spans[-1][1] == y:
+            spans[-1] = (x, y, spans[-1][2] + text)
+        else:
+            spans.append((x, y, text))
+
+    while True:
+        save = lex.pos
+        k, v = lex.next_token()
+        if k == "eof":
+            break
+        if k in ("str", "num"):
+            stack.append(v)
+        elif k in ("dict_open", "arr_open", "name"):
+            lex.pos = save
+            stack.append(lex.next_value())
+        elif k == "kw":
+            op = v
+            if op == b"BT":
+                x = y = 0.0
+            elif op == b"Tm" and len(stack) >= 6:
+                x, y = float(stack[-2]), float(stack[-1])
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                x += float(stack[-2])
+                y += float(stack[-1])
+                if op == b"TD":
+                    leading = -float(stack[-1])
+            elif op == b"TL" and stack:
+                leading = float(stack[-1])
+            elif op == b"T*":
+                y -= leading
+            elif op == b"Tj" and stack:
+                show([stack[-1]])
+            elif op == b"'" and stack:
+                y -= leading
+                show([stack[-1]])
+            elif op == b'"' and stack:
+                y -= leading
+                show([stack[-1]])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                show(stack[-1])
+            stack.clear()
+    return spans
+
+
+def _reading_order(spans: list[tuple[float, float, str]],
+                   col_gap: float = 150.0) -> list[str]:
+    """Order spans by detected column then descending y (then x)."""
+    if not spans:
+        return []
+    xs = [s[0] for s in spans]
+    lo, hi = min(xs), max(xs)
+    if hi - lo > col_gap:
+        mid = (lo + hi) / 2.0
+        key = lambda s: (0 if s[0] < mid else 1, -s[1], s[0])
+    else:
+        key = lambda s: (-s[1], s[0])
+    return [s[2] for s in sorted(spans, key=key)]
+
+
+def pdf_extract(data: bytes, col_gap: float = 150.0) -> dict:
+    """Full extraction: structure walk + layout reconstruction.
+
+    Returns ``{"text": str, "n_pages": int, "n_spans": int}`` with
+    pages and in-page spans joined by newlines in reading order.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    objs = _load_objects(data)
+    if not objs:
+        raise ValueError("no PDF objects found")
+    t = data.rfind(b"trailer")
+    root = None
+    if t >= 0:
+        lex = _Lexer(data, t + len(b"trailer"))
+        trailer = lex.next_value()
+        if isinstance(trailer, dict):
+            root = trailer.get("/Root")
+    if root is None:                               # fallback: find catalog
+        for num, (val, _) in sorted(objs.items()):
+            if isinstance(val, dict) and val.get("/Type") == "/Catalog":
+                root = _Ref(num)
+                break
+    catalog = _deref(objs, root)
+    if not isinstance(catalog, dict) or "/Pages" not in catalog:
+        raise ValueError("no /Root catalog with /Pages")
+    pages: list[dict] = []
+    _walk_pages(objs, catalog["/Pages"], pages)
+    page_texts = []
+    n_spans = 0
+    for page in pages:
+        spans = _content_spans(_page_content(objs, page))
+        n_spans += len(spans)
+        page_texts.append("\n".join(_reading_order(spans, col_gap)))
+    return {"text": "\n".join(page_texts), "n_pages": len(pages),
+            "n_spans": n_spans}
+
+
+# ------------------------------------------------------ corpus builder
+
+_PAGE_TOP = 720.0
+_LINE_STEP = 14.0
+_COL_X = (72.0, 306.0)
+
+
+def doc_to_pdf(text: str, doc_id: int, words_per_line: int = 8,
+               lines_per_page: int = 12) -> bytes:
+    """Deterministic document → two-column scrambled-emission PDF.
+
+    Wrap is ``text.split(' ')`` chunked at ``words_per_line`` (the
+    explicit single-space split the SQL twin reproduces; empties from
+    runs of spaces are preserved so join is the exact inverse).  Each
+    page lays its lines in two columns (first half left, rest right),
+    and spans are *emitted* in a hash-scrambled order — the extractor
+    must reconstruct reading order from geometry.  Span styles rotate
+    through Tj / TJ-with-kerning / UTF-16BE-hex so every string path
+    is exercised by every document.
+    """
+    words = text.split(" ")
+    lines = [" ".join(words[i:i + words_per_line])
+             for i in range(0, len(words), words_per_line)] or [""]
+    pages = []
+    for p0 in range(0, len(lines), lines_per_page):
+        chunk = lines[p0:p0 + lines_per_page]
+        m = len(chunk)
+        left = (m + 1) // 2
+        spans = []
+        for i, line in enumerate(chunk):
+            col, row = (0, i) if i < left else (1, i - left)
+            g = p0 + i
+            style = "hex" if g % 5 == 4 else ("tjarr" if g % 2 else "tj")
+            spans.append((_COL_X[col], _PAGE_TOP - _LINE_STEP * row,
+                          line, style))
+        # deterministic scramble of emission order (Knuth-hash sort)
+        spans.sort(key=lambda s, _p=p0: (
+            ((int(s[1]) * 8 + int(s[0]) + _p + doc_id)
+             * 2654435761) & 0xFFFFFFFF))
+        pages.append(spans)
+    return pdf_encode(pages, compress="alternate")
+
+
+def pdf_payload_table_from_documents(docs: pa.Table) -> pa.Table:
+    """(doc_id, text) → (item_id, payload) of real PDF bytes."""
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    payloads = [doc_to_pdf(t or "", i) for i, t in zip(ids, texts)]
+    return pa.table({
+        "item_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
+class PdfExtractor:
+    """Actor-pool stage: opaque PDF payloads → ordered text + stats.
+
+    Same shape as ``multimodal.PixelDecoder``: construct once per
+    actor, small batches (large binary rows), per-row status — a
+    malformed document marks its own row, never the batch.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id")
+        payloads = batch.column("payload").to_pylist()
+        texts, n_pages, n_spans, status = [], [], [], []
+        for p in payloads:
+            try:
+                r = pdf_extract(p)
+                texts.append(r["text"])
+                n_pages.append(r["n_pages"])
+                n_spans.append(r["n_spans"])
+                status.append("ok")
+            except (ValueError, KeyError, TypeError, zlib.error,
+                    UnicodeDecodeError, AssertionError):
+                texts.append("")
+                n_pages.append(0)
+                n_spans.append(0)
+                status.append("error")
+        return pa.table({
+            "item_id": ids,
+            "text": pa.array(texts, type=pa.string()),
+            "n_pages": pa.array(np.asarray(n_pages, dtype=np.int64)),
+            "n_spans": pa.array(np.asarray(n_spans, dtype=np.int64)),
+            "status": pa.array(status, type=pa.string()),
+        })

@@ -1857,6 +1857,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fin, batch_format="pyarrow")
 
+    def q_mixed_extract(sf_dir: str):
+        """Mixed html/PDF corpus through ONE extraction pipeline (the
+        north rule's payload list is "HTML boilerplate strip,
+        PDF/layout parse" — same pipeline, per-row dispatch): every
+        third url's html payload is replaced by a line-preserving PDF
+        of its golden text (text_to_pdf — real xref/Flate/hex/Arabic
+        strings, scrambled two-column emission), and MixedExtract
+        splits each batch by magic bytes inside the fused actor stage.
+        Oracle = the SAME golden-text contract as extract_pages: every
+        row must round-trip byte-identically whichever branch it took.
+        """
+        import zlib as _z
+
+        import pyarrow as pa
+
+        from arabic_ocr_ray.stages.extract_stage import MixedExtract
+
+        fx = _fixture(sf_dir)
+        src = _rp(fx["pages"], columns=["url", "html", "lang", "text"])
+
+        def make_mixed(b: pa.Table) -> pa.Table:
+            urls = b.column("url").to_pylist()
+            htmls = b.column("html").to_pylist()
+            texts = b.column("text").to_pylist()
+            payloads = []
+            for u, h, t in zip(urls, htmls, texts):
+                c = _z.crc32(u.encode())
+                payloads.append(pdftext.text_to_pdf(t, c)
+                                if c % 3 == 0 else h)
+            return pa.table({"url": b.column("url"),
+                             "html": pa.array(payloads, pa.binary()),
+                             "lang": b.column("lang")})
+
+        mixed = src.map_batches(make_mixed, batch_format="pyarrow")
+        return (extract_pages(mixed, batch_size=32, concurrency=_conc(),
+                              stage_cls=MixedExtract)
+                .select_columns(["url", "extracted_text"]))
+
     # NOTE on ordering: the driver evaluates only the FIRST 50 dict entries
     # (insertion order).  Rotation rule (r4 advice): every query whose
     # ENGINE OR ORACLE changed this round sits inside the window, plus
@@ -1895,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_stats": q_mm_audio_stats,
         "mm_video_frames": q_mm_video_frames,
         "pdf_extract": q_pdf_extract,
+        "mixed_extract": q_mixed_extract,
         "doc_decontaminate": q_doc_decontaminate,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
@@ -1921,14 +1960,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_repetition": q_bigram_repetition,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
-        "doc_quality": q_quality,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
-        # untouched this round.  doc_normalize and doc_fingerprint rotated
-        # out late-r5 to make room for the NEW mm_video_frames and
-        # pdf_extract (never driver-verified queries take window
-        # priority); both are pure maps untouched since r3, pytest-
-        # covered, and hash-green in the committed full-registry
-        # check_oracles run (ORACLES_r5_full.log, rerun at final HEAD). ----
+        # untouched this round.  doc_normalize, doc_fingerprint and
+        # doc_quality rotated out late-r5 to make room for the NEW
+        # mm_video_frames, pdf_extract and mixed_extract (never
+        # driver-verified queries take window priority); all three are
+        # pure maps untouched since r3, pytest-covered, and hash-green in
+        # the committed full-registry check_oracles run
+        # (ORACLES_r5_full.log, rerun at final HEAD). ----------------------
+        "doc_quality": q_quality,
         "doc_fingerprint": q_fingerprint,
         "doc_normalize": q_doc_normalize,
         "mixture_resample": q_mixture_resample,
@@ -2925,6 +2965,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 97 != 0)) d "
             "JOIN generate_series(0, 6) s(t) "
             "ON s.t < d.f AND s.t % 2 = 0"
+        ),
+        "mixed_extract": (
+            # same golden-text contract as extract_pages: whichever
+            # branch (HTML chain or PDF layout parse) a row took, the
+            # extracted text must be byte-identical to golden
+            f"SELECT url, text AS extracted_text "
+            f"FROM read_parquet('{pages}')"
         ),
         "pdf_extract": (
             # The PDF wrap (split(' ') at 8 words/line, 12 lines/page,

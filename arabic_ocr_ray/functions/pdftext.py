@@ -620,22 +620,16 @@ _LINE_STEP = 14.0
 _COL_X = (72.0, 306.0)
 
 
-def doc_to_pdf(text: str, doc_id: int, words_per_line: int = 8,
-               lines_per_page: int = 12) -> bytes:
-    """Deterministic document → two-column scrambled-emission PDF.
+def _lines_to_pdf(lines: list[str], doc_id: int,
+                  lines_per_page: int = 12) -> bytes:
+    """Lines → two-column scrambled-emission PDF.
 
-    Wrap is ``text.split(' ')`` chunked at ``words_per_line`` (the
-    explicit single-space split the SQL twin reproduces; empties from
-    runs of spaces are preserved so join is the exact inverse).  Each
-    page lays its lines in two columns (first half left, rest right),
-    and spans are *emitted* in a hash-scrambled order — the extractor
-    must reconstruct reading order from geometry.  Span styles rotate
-    through Tj / TJ-with-kerning / UTF-16BE-hex so every string path
-    is exercised by every document.
+    Each page lays its lines in two columns (first half left, rest
+    right), and spans are *emitted* in a hash-scrambled order — the
+    extractor must reconstruct reading order from geometry.  Span
+    styles rotate through Tj / TJ-with-kerning / UTF-16BE-hex so every
+    string path is exercised by every document.
     """
-    words = text.split(" ")
-    lines = [" ".join(words[i:i + words_per_line])
-             for i in range(0, len(words), words_per_line)] or [""]
     pages = []
     for p0 in range(0, len(lines), lines_per_page):
         chunk = lines[p0:p0 + lines_per_page]
@@ -654,6 +648,32 @@ def doc_to_pdf(text: str, doc_id: int, words_per_line: int = 8,
              * 2654435761) & 0xFFFFFFFF))
         pages.append(spans)
     return pdf_encode(pages, compress="alternate")
+
+
+def doc_to_pdf(text: str, doc_id: int, words_per_line: int = 8,
+               lines_per_page: int = 12) -> bytes:
+    """Deterministic document → PDF, wrap-at-words layout.
+
+    Wrap is ``text.split(' ')`` chunked at ``words_per_line`` (the
+    explicit single-space split the SQL twin reproduces; empties from
+    runs of spaces are preserved so join is the exact inverse).
+    """
+    words = text.split(" ")
+    lines = [" ".join(words[i:i + words_per_line])
+             for i in range(0, len(words), words_per_line)] or [""]
+    return _lines_to_pdf(lines, doc_id, lines_per_page)
+
+
+def text_to_pdf(text: str, doc_id: int, lines_per_page: int = 12) -> bytes:
+    """Line-preserving document → PDF: one span per SOURCE line.
+
+    ``pdf_extract`` joins spans/pages with ``'\\n'``, so extraction is
+    the exact inverse of ``text.split('\\n')`` — the whole source text
+    (newlines included) round-trips byte-identically.  This is the
+    builder the mixed html/PDF corpus uses: golden text in, golden
+    text back out, no flatten step.
+    """
+    return _lines_to_pdf(text.split("\n"), doc_id, lines_per_page)
 
 
 def pdf_payload_table_from_documents(docs: pa.Table) -> pa.Table:

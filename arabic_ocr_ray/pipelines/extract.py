@@ -58,12 +58,18 @@ def extract_pages(
     done_urls_ref=None,
     resume_out_dir: str | None = None,
     reading_order: str = "document",
+    stage_cls=None,
 ):
     """Lazy Dataset of (url, extracted_text, html_bytes, n_*, part).
 
     ``input_path`` is a parquet path (pruned read of url/html/lang) or
     an already-built Dataset with those columns — e.g. the raw-WARC
     ingest (``sources/warc.py:read_warc_pages``).
+
+    ``stage_cls`` swaps the fused extraction stage (default
+    :class:`ExtractText`; :class:`stages.extract_stage.MixedExtract`
+    adds in-stage PDF dispatch for mixed html/PDF corpora) — the
+    resume/lineage plumbing is payload-agnostic.
 
     Resume anti-filters (at most one active):
       - ``resume_out_dir``: PER-PARTITION filter — each task reads the
@@ -110,7 +116,7 @@ def extract_pages(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
     return ds.map_batches(
-        ExtractText,
+        stage_cls or ExtractText,
         fn_constructor_kwargs={
             "model_path": model_path,
             "model_ref": model_ref,

@@ -115,6 +115,77 @@ class ExtractText:
         return pa.table(cols)
 
 
+class MixedExtract(ExtractText):
+    """Content-type dispatch INSIDE the fused stage (north rule: the
+    extraction pipeline's payloads are "HTML boilerplate strip,
+    PDF/layout parse").
+
+    One pass, one actor pool, no branch-and-union: each batch is
+    split by payload magic bytes — ``%PDF-`` rows go through the
+    stdlib PDF layout parser (``functions/pdftext.pdf_extract``),
+    everything else through the HTML chain — and re-assembled in the
+    original row order with the identical output schema.  At 100 TB
+    this is the right shape: a two-branch ``Dataset.filter`` would
+    read the corpus twice (or force a materialization), and a
+    separate PDF pipeline would double the operator count for a
+    per-row-local decision.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        pdf_idx = [i for i, h in enumerate(htmls)
+                   if h is not None and bytes(h[:5]) == b"%PDF-"]
+        if not pdf_idx:
+            return super().__call__(batch)
+        from ..functions.pdftext import pdf_extract
+
+        html_idx = [i for i in range(len(htmls)) if i not in set(pdf_idx)]
+        parts = []
+        if html_idx:
+            parts.append((html_idx, super().__call__(batch.take(html_idx))))
+
+        urls = batch.column("url").take(pdf_idx)
+        texts, status = [], []
+        n_spans = np.empty(len(pdf_idx), dtype=np.int32)
+        html_bytes = np.empty(len(pdf_idx), dtype=np.int64)
+        for j, i in enumerate(pdf_idx):
+            payload = htmls[i]
+            try:
+                r = pdf_extract(payload)
+                texts.append(r["text"])
+                status.append("ok")
+                n_spans[j] = r["n_spans"]
+            except Exception as e:  # noqa: BLE001
+                texts.append("")
+                status.append(f"error: {type(e).__name__}: {e}"[:200])
+                n_spans[j] = 0
+            html_bytes[j] = len(payload)
+        cols: dict = {
+            "url": urls,
+            "extracted_text": pa.array(texts, pa.string()),
+            "status": pa.array(status, pa.string()),
+            "html_bytes": pa.array(html_bytes),
+            # PDF stats mapped onto the shared schema: spans are the
+            # layout unit on both branches; the token count is an
+            # HTML-chain concept and reads 0 for PDF rows
+            "n_tokens": pa.array(np.zeros(len(pdf_idx), dtype=np.int32)),
+            "n_lines": pa.array(n_spans),
+            "n_spans": pa.array(n_spans),
+            "n_content_spans": pa.array(n_spans),
+        }
+        if self.num_partitions:
+            cols["part"] = pa.array(url_partition(
+                urls.to_pylist(), self.num_partitions))
+        parts.append((pdf_idx, pa.table(cols)))
+
+        merged = pa.concat_tables(
+            [t.select(parts[0][1].column_names) for _, t in parts])
+        order = np.argsort(np.fromiter(
+            (i for idx, _ in parts for i in idx), dtype=np.int64),
+            kind="stable")
+        return merged.take(pa.array(order))
+
+
 class SegmentStats:
     """Segmentation-only stage (the ``process.py`` stats job analog,
     A5 bug fixed — see extract.segment_stats)."""

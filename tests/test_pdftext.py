@@ -197,6 +197,65 @@ def test_stage_isolates_bad_rows():
     assert out.schema.field("n_pages").type == pa.int64()
 
 
+# ------------------------------------------------- mixed-corpus dispatch
+
+def test_text_to_pdf_preserves_newlines_and_unicode():
+    text = "سطر أول عربي\nsecond line latin\n\nafter an empty line\nλεξη"
+    r = P.pdf_extract(P.text_to_pdf(text, 21))
+    assert r["text"] == text                 # NO flatten — exact inverse
+    assert r["n_spans"] == len(text.split("\n"))
+
+
+def test_mixed_extract_dispatch_golden_round_trip():
+    import zlib
+
+    from arabic_ocr_ray.sources.pages import pages_table
+    from arabic_ocr_ray.stages.extract_stage import ExtractText, MixedExtract
+
+    t = pages_table(40, seed=303)
+    urls = t.column("url").to_pylist()
+    texts = t.column("text").to_pylist()
+    payloads, n_pdf = [], 0
+    for u, h, x in zip(urls, t.column("html").to_pylist(), texts):
+        c = zlib.crc32(u.encode())
+        if c % 3 == 0:
+            payloads.append(P.text_to_pdf(x, c))
+            n_pdf += 1
+        else:
+            payloads.append(h)
+    assert 0 < n_pdf < len(urls)             # genuinely mixed
+    batch = pa.table({"url": t.column("url"),
+                      "html": pa.array(payloads, pa.binary()),
+                      "lang": t.column("lang")})
+    out = MixedExtract(num_partitions=8)(batch)
+    assert out.column("extracted_text").to_pylist() == texts
+    assert set(out.column("status").to_pylist()) == {"ok"}
+    assert out.column("url").to_pylist() == urls      # original row order
+    # html-only batches take the fast path and match ExtractText exactly
+    pure = pa.table({"url": t.column("url"), "html": t.column("html"),
+                     "lang": t.column("lang")})
+    assert ExtractText(num_partitions=8)(pure).equals(
+        MixedExtract(num_partitions=8)(pure))
+
+
+def test_mixed_extract_isolates_broken_pdf_rows():
+    from arabic_ocr_ray.sources.pages import pages_table
+    from arabic_ocr_ray.stages.extract_stage import MixedExtract
+
+    t = pages_table(3, seed=303)
+    payloads = [t.column("html").to_pylist()[0],
+                b"%PDF-1.4\nbroken beyond repair",
+                P.text_to_pdf("fine", 1)]
+    batch = pa.table({"url": t.column("url"),
+                      "html": pa.array(payloads, pa.binary()),
+                      "lang": t.column("lang")})
+    out = MixedExtract()(batch)
+    st = out.column("status").to_pylist()
+    assert st[0] == "ok" and st[2] == "ok"
+    assert st[1].startswith("error")
+    assert out.column("extracted_text").to_pylist()[2] == "fine"
+
+
 # --------------------------------------------------------------- fuzz
 
 @settings(max_examples=60, deadline=None)

@@ -156,6 +156,7 @@ def pdf_encode(pages: list[list[tuple[float, float, str, str]]],
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _REGULAR_STOP = _WS + _DELIM
+_LIT_SPECIAL_RE = re.compile(rb"[()\\]")
 
 
 class _Ref:
@@ -166,11 +167,18 @@ class _Ref:
 
 
 class _Lexer:
-    """Tokenizer for PDF COS syntax over a bytes buffer."""
+    """Tokenizer for PDF COS syntax over a bytes buffer.
 
-    def __init__(self, data: bytes, pos: int = 0):
+    ``refs=False`` disables `int int R` collapsing — content-stream
+    operands are direct objects by spec, and skipping the two-token
+    lookahead halves the parse cost of TJ arrays (every int would
+    otherwise trigger a parse-and-rewind of its successor).
+    """
+
+    def __init__(self, data: bytes, pos: int = 0, refs: bool = True):
         self.data = data
         self.pos = pos
+        self.refs = refs
 
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
@@ -195,6 +203,20 @@ class _Lexer:
         if self.pos >= n:
             return ("eof", None)
         c = d[self.pos]
+        if c not in _REGULAR_STOP:                 # word/number (hot path)
+            start = self.pos
+            pos = start + 1
+            while pos < n and d[pos] not in _REGULAR_STOP:
+                pos += 1
+            self.pos = pos
+            word = d[start:pos]
+            try:
+                return ("num", int(word))
+            except ValueError:
+                try:
+                    return ("num", float(word))
+                except ValueError:
+                    return ("kw", word)
         if c == 0x28:                              # ( literal string
             return ("str", self._lit_string())
         if d.startswith(b"<<", self.pos):
@@ -221,26 +243,22 @@ class _Lexer:
             name = re.sub(rb"#([0-9A-Fa-f]{2})",
                           lambda m: bytes([int(m.group(1), 16)]), raw)
             return ("name", "/" + name.decode("latin-1"))
-        start = self.pos
-        while self.pos < n and d[self.pos] not in _REGULAR_STOP:
-            self.pos += 1
-        word = d[start:self.pos]
-        if not word:                               # stray delimiter
-            self.pos += 1
-            return ("kw", d[start:start + 1])
-        try:
-            if any(ch in word for ch in b".eE") and word not in (
-                    b"true", b"false", b"null"):
-                return ("num", float(word))
-            return ("num", int(word))
-        except ValueError:
-            return ("kw", word)
+        self.pos += 1                              # stray delimiter
+        return ("kw", d[self.pos - 1:self.pos])
 
     def _lit_string(self) -> bytes:
         """( ... ) with balanced parens, escapes, octal, continuations."""
         d, n = self.data, len(self.data)
         assert d[self.pos] == 0x28
         self.pos += 1
+        # fast path: escape-free, nest-free string (the common case) —
+        # one regex scan to the first special byte instead of a
+        # byte-by-byte walk
+        m = _LIT_SPECIAL_RE.search(d, self.pos)
+        if m is not None and d[m.start()] == 0x29:
+            out_b = d[self.pos:m.start()]
+            self.pos = m.start() + 1
+            return out_b
         out = bytearray()
         depth = 1
         while self.pos < n:
@@ -338,9 +356,8 @@ class _Lexer:
 
     def _collapse_ref(self):
         """Parse one value; if it begins `int int R`, return a _Ref."""
-        save = self.pos
         k, v = self.next_token()
-        if k == "num" and isinstance(v, int):
+        if self.refs and k == "num" and isinstance(v, int):
             save2 = self.pos
             k2, v2 = self.next_token()
             if k2 == "num" and isinstance(v2, int):
@@ -351,8 +368,6 @@ class _Lexer:
                 return v
             self.pos = save2
             return v
-        self.pos = save
-        k, v = self.next_token()
         return self._value(k, v)
 
 
@@ -501,7 +516,7 @@ def _decode_text(raw: bytes) -> str:
 
 def _content_spans(content: bytes) -> list[tuple[float, float, str]]:
     """Interpret a content stream: text-matrix walk → (x, y, text)."""
-    lex = _Lexer(content)
+    lex = _Lexer(content, refs=False)
     stack: list = []
     spans: list[tuple[float, float, str]] = []
     x = y = 0.0
@@ -522,15 +537,13 @@ def _content_spans(content: bytes) -> list[tuple[float, float, str]]:
             spans.append((x, y, text))
 
     while True:
-        save = lex.pos
         k, v = lex.next_token()
         if k == "eof":
             break
-        if k in ("str", "num"):
+        if k in ("str", "num", "name"):
             stack.append(v)
-        elif k in ("dict_open", "arr_open", "name"):
-            lex.pos = save
-            stack.append(lex.next_value())
+        elif k in ("dict_open", "arr_open"):
+            stack.append(lex._value(k, v))
         elif k == "kw":
             op = v
             if op == b"BT":

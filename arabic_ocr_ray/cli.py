@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
                     default="document",
                     help="rtl = reference's right-to-left word order "
                          "(segment_words.py:162-170)")
+    px.add_argument("--mixed", action="store_true",
+                    help="per-row html/PDF dispatch inside the fused "
+                         "stage (%%PDF- payloads take the stdlib "
+                         "layout parser)")
 
     pt = sub.add_parser("train", help="pages + labeled spans → model json")
     pt.add_argument("-i", "--input", required=True)
@@ -91,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
                             batch_size=args.batch_size,
                             num_partitions=args.num_partitions,
                             resume=not args.no_resume,
-                            reading_order=args.reading_order)
+                            reading_order=args.reading_order,
+                            mixed=args.mixed)
             print(json.dumps(m))
         elif args.mode == "train":
             from .pipelines.train import train_model

@@ -22,7 +22,7 @@ import os
 import time
 
 from ..model import DEFAULT_MODEL_PATH
-from ..stages.extract_stage import ExtractText
+from ..stages.extract_stage import ExtractText, MixedExtract
 from ..state.lineage import (  # noqa: F401
     done_url_count,
     recorded_num_partitions,
@@ -139,8 +139,13 @@ def run_extract(
     num_partitions: int = 64,
     resume: bool = True,
     reading_order: str = "document",
+    mixed: bool = False,
 ) -> dict:
     """Materializing runner with resume + lineage (north_rule).
+
+    ``mixed=True`` swaps in :class:`MixedExtract` — per-row html/PDF
+    dispatch inside the fused stage; everything else (resume modes,
+    lineage, the shuffle-free sink) is payload-agnostic.
 
     Resume mode is chosen by what the existing output provides:
     per-partition sidecars → the scalable per-part anti-filter
@@ -208,6 +213,7 @@ def run_extract(
         done_urls_ref=done_ref,
         resume_out_dir=resume_out,
         reading_order=reading_order,
+        stage_cls=MixedExtract if mixed else None,
     )
     # Fused SHUFFLE-FREE sink: each producer block writes (a) its own
     # data parquet file — content-addressed name (md5 of the block's

@@ -256,6 +256,72 @@ def test_mixed_extract_isolates_broken_pdf_rows():
     assert out.column("extracted_text").to_pylist()[2] == "fine"
 
 
+def _mixed_pages_table(n: int, seed: int):
+    """Pages fixture with every third url's html swapped for a PDF of
+    its golden text (keeps the text column for eval/oracle use)."""
+    import zlib
+
+    from arabic_ocr_ray.sources.pages import pages_table
+
+    t = pages_table(n, seed=seed)
+    payloads = []
+    for u, h, x in zip(t.column("url").to_pylist(),
+                       t.column("html").to_pylist(),
+                       t.column("text").to_pylist()):
+        c = zlib.crc32(u.encode())
+        payloads.append(P.text_to_pdf(x, c) if c % 3 == 0 else h)
+    return t.set_column(t.schema.get_field_index("html"), "html",
+                        pa.array(payloads, pa.binary()))
+
+
+def test_cli_extract_mixed_chain(ray_session, default_model, tmp_path,
+                                 capsys):
+    """CLI surface: extract --mixed over a mixed corpus evals to
+    match_rate 1.0 against the same golden as the pure-html path."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from arabic_ocr_ray.cli import main
+
+    src = str(tmp_path / "mixed.parquet")
+    out = str(tmp_path / "out")
+    pq.write_table(_mixed_pages_table(40, seed=307), src)
+    assert main(["extract", "-i", src, "-o", out, "--mixed"]) == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["docs"] == 40
+    assert main(["eval", "-i", src, "-e", out]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["match_rate"] == 1.0
+
+
+def test_warc_carrying_pdf_payloads_extracts_golden(ray_session, tmp_path):
+    """Composition: PDFs inside WARC records ride the binary payload
+    path untouched, and the mixed stage recovers golden text — the
+    raw-archive ingest and the PDF branch need no coupling code."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from arabic_ocr_ray.pipelines.extract import extract_pages
+    from arabic_ocr_ray.sources import warc as W
+    from arabic_ocr_ray.stages.extract_stage import MixedExtract
+
+    t = _mixed_pages_table(50, seed=311)
+    src = str(tmp_path / "mixed.parquet")
+    pq.write_table(t, src)
+    W.write_warc_from_pages(src, str(tmp_path / "warc"),
+                            n_files=3).materialize()
+    df = (extract_pages(W.read_warc_pages(str(tmp_path / "warc")),
+                        batch_size=32, concurrency=2,
+                        stage_cls=MixedExtract)
+          .select_columns(["url", "extracted_text"]).to_pandas()
+          .sort_values("url").reset_index(drop=True))
+    golden = (t.select(["url", "text"]).to_pandas()
+              .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        df.rename(columns={"extracted_text": "text"}), golden)
+
+
 # --------------------------------------------------------------- fuzz
 
 @settings(max_examples=60, deadline=None)

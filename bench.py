@@ -252,6 +252,37 @@ def main() -> None:
         id_col="url").count()
     queries["para_dedup"] = round(time.monotonic() - t0, 3)
 
+    # mixed html/PDF corpus through the same fused stage (the north
+    # rule's "PDF/layout parse" payload): every third url's payload is
+    # a line-preserving PDF of its golden text, synthesized in-flight,
+    # dispatched per row by magic bytes inside MixedExtract
+    import zlib as _z
+
+    import pyarrow as pa
+
+    from arabic_ocr_ray.functions.pdftext import text_to_pdf
+    from arabic_ocr_ray.pipelines.extract import extract_pages
+    from arabic_ocr_ray.stages.extract_stage import MixedExtract
+
+    def _mix(b: pa.Table) -> pa.Table:
+        payloads = [text_to_pdf(t, _z.crc32(u.encode()))
+                    if _z.crc32(u.encode()) % 3 == 0 else h
+                    for u, h, t in zip(b.column("url").to_pylist(),
+                                       b.column("html").to_pylist(),
+                                       b.column("text").to_pylist())]
+        return pa.table({"url": b.column("url"),
+                         "html": pa.array(payloads, pa.binary()),
+                         "lang": b.column("lang")})
+
+    t0 = time.monotonic()
+    src = _rp(corpus, columns=["url", "html", "lang", "text"])
+    n_mixed = extract_pages(src.map_batches(_mix, batch_format="pyarrow"),
+                            batch_size=256,
+                            concurrency=max(2, NUM_CPUS - 2),
+                            stage_cls=MixedExtract).count()
+    assert n_mixed == n, (n_mixed, n)
+    queries["mixed"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "pages_extraction_wall_sec",
         "value": queries["extract"],

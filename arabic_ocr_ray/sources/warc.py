@@ -26,6 +26,13 @@ parser advances by Content-Length arithmetic ONLY — payload bytes may
 legally contain ``WARC/1.0`` markers, so splitting on markers would
 corrupt records.
 
+Compression (``compress=True`` / ``*.warc.gz``): the Common-Crawl
+convention — each record is its OWN gzip member, members concatenated
+(ISO 28500 annex; lets real readers seek to a record by offset without
+decompressing the whole file).  The reader auto-detects the gzip magic
+per file, so a directory may mix plain and compressed archives;
+deterministic output (``mtime=0``) keeps the writer reproducible.
+
 Scale shape: one WARC file = one read task = one parse call (the
 standard CC processing unit, ~1 GiB/file in the wild); parsed records
 immediately re-block into normal Arrow batches, so the whole-file
@@ -136,13 +143,23 @@ def read_warc_pages(path: str, concurrency: int | None = None):
     """WARC archive dir/file → Dataset(url, warc_ts, html, lang).
 
     One parse task per file (``read_binary_files`` block = one file);
-    downstream stages re-batch normally."""
+    downstream stages re-batch normally.  ``*.warc.gz`` files
+    (concatenated per-record gzip members, the CC convention) are
+    detected by magic and inflated inside the parse task — the
+    whole-file bytes live only for that task's duration either way."""
     import ray.data as rd
 
-    ds = rd.read_binary_files(path, file_extensions=["warc"])
+    ds = rd.read_binary_files(path, file_extensions=["warc", "gz"])
 
     def parse(b: pa.Table) -> pa.Table:
-        tabs = [parse_warc_bytes(x.as_py()) for x in b.column("bytes")]
+        import gzip
+
+        raws = (x.as_py() for x in b.column("bytes"))
+        # gzip.decompress handles multi-member streams (one member per
+        # record); plain files pass through untouched.
+        tabs = [parse_warc_bytes(
+            gzip.decompress(r) if r[:2] == b"\x1f\x8b" else r)
+            for r in raws]
         return pa.concat_tables(tabs) if tabs else parse_warc_bytes(b"")
 
     kw = {"concurrency": concurrency} if concurrency else {}
@@ -151,11 +168,14 @@ def read_warc_pages(path: str, concurrency: int | None = None):
 
 
 def write_warc_from_pages(pages_parquet: str, out_dir: str,
-                          n_files: int = 8):
-    """Pages parquet → ``out_dir/part-K.warc`` (K = crc32(url) % N),
+                          n_files: int = 8, compress: bool = False):
+    """Pages parquet → ``out_dir/part-K.warc[.gz]`` (K = crc32(url) % N),
     records url-sorted in-file, atomic rename, skip-if-exists resume.
-    Distributed: ONE shard-keyed shuffle, one write task per file.
-    Returns the manifest Dataset(shard, n_records)."""
+    ``compress=True`` gzips each record as its own member (CC layout),
+    deterministically (``mtime=0``).  Distributed: ONE shard-keyed
+    shuffle, one write task per file.  Returns the manifest
+    Dataset(shard, n_records)."""
+    import gzip
     import zlib
 
     import pandas as pd
@@ -172,10 +192,12 @@ def write_warc_from_pages(pages_parquet: str, out_dir: str,
             dtype=np.int64, count=b.num_rows)
         return b.append_column("shard", pa.array(sh, pa.int64()))
 
+    ext = ".warc.gz" if compress else ".warc"
+
     def write_file(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("url", kind="mergesort")
         k = int(df["shard"].iat[0])
-        path = os.path.join(out_dir, f"part-{k}.warc")
+        path = os.path.join(out_dir, f"part-{k}{ext}")
         if not os.path.exists(path):
             dt = df["warc_ts"]
             if str(dt.dtype) == "datetime64[ns]":
@@ -187,6 +209,8 @@ def write_warc_from_pages(pages_parquet: str, out_dir: str,
             chunks = [_warcinfo()]
             chunks += [record_bytes(u, t, h, lg) for u, t, h, lg in
                        zip(df["url"], ts, df["html"], df["lang"])]
+            if compress:
+                chunks = [gzip.compress(c, mtime=0) for c in chunks]
             tmp = f"{path}.tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(b"".join(chunks))

@@ -94,3 +94,35 @@ def test_warc_write_resume(ray_session, tmp_path):
     assert int(man["n_records"].sum()) == 40
     assert {f: os.path.getmtime(os.path.join(out, f))
             for f in os.listdir(out)} == mtimes
+
+
+def test_warc_gz_round_trip(ray_session, tmp_path):
+    """compress=True writes per-record gzip members (CC layout); the
+    reader auto-detects the magic, and a directory mixing plain and
+    gzipped archives parses to the identical pages table."""
+    import gzip
+
+    t = pages_table(120, seed=9)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(t, src, row_group_size=40)
+    man = (W.write_warc_from_pages(src, str(tmp_path / "gz"),
+                                   n_files=4, compress=True).to_pandas())
+    assert int(man["n_records"].sum()) == 120
+    names = sorted(os.listdir(tmp_path / "gz"))
+    assert names == [f"part-{k}.warc.gz" for k in sorted(man["shard"])]
+    # every file is a multi-member gzip stream: n_records+1 members
+    # (warcinfo + one per record), each starting with the magic
+    raw = open(tmp_path / "gz" / names[0], "rb").read()
+    assert raw[:2] == b"\x1f\x8b" and raw.count(b"\x1f\x8b\x08") > 1
+    assert gzip.decompress(raw).startswith(b"WARC/1.0")
+    got = _canon_pages(
+        W.read_warc_pages(str(tmp_path / "gz")).to_pandas())
+    exp = _canon_pages(
+        t.select(["url", "warc_ts", "html", "lang"]).to_pandas())
+    pd.testing.assert_frame_equal(got, exp)
+    # mixed directory: plain shards next to gzipped shards
+    W.write_warc_from_pages(src, str(tmp_path / "gz"),
+                            n_files=2).to_pandas()
+    mixed = _canon_pages(
+        W.read_warc_pages(str(tmp_path / "gz")).to_pandas())
+    assert len(mixed) == 240  # 120 gz + 120 plain copies

@@ -1824,6 +1824,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_cpus=1,
         )
 
+    def q_mm_jpeg_stats(sf_dir: str):
+        """REAL JPEG decode (closes the last image-codec gap): encode
+        genuine baseline ITU-T T.81 JPEGs (huffman entropy coding,
+        8×8 DCT, quality-50 Annex K quantization; even docs grayscale
+        with DRI/RSTn restart markers, odd docs RGB through the full
+        JFIF YCbCr + 4:2:0 subsample path) from the documents table,
+        bulk-decode with functions/jpeg.py, and emit integer pixel
+        sums.  Every 8×8 block is flat at 128+16k, so decode is
+        byte-exact and the SQL twin is closed-form — green only if
+        the marker walk, huffman tables, DC DPCM, dequant, inverse
+        DCT and color reconstruction all round-trip exactly."""
+        import pyarrow.compute as pc
+
+        payloads = _docs(sf_dir).map_batches(
+            multimodal.jpeg_payload_table_from_documents,
+            batch_format="pyarrow")
+        meta = multimodal.decode_metadata(
+            payloads, concurrency=2, batch_size=64,
+            decoder=multimodal.PixelDecoder)
+
+        def keep(b):
+            return b.filter(pc.equal(b.column("status"), "ok")).select(
+                ["item_id", "width", "height", "channels", "sum_px"])
+
+        return meta.map_batches(keep, batch_format="pyarrow")
+
     def q_pdf_extract(sf_dir: str):
         """REAL PDF text + layout parse (the north rule's "PDF/layout
         parse" payload): synthesize genuine PDF 1.4 documents from the
@@ -1928,10 +1954,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "curate_corpus_v3": q_curate_v3,
         "common_paragraphs": q_common_paragraphs,
-        "corpus_split": q_corpus_split,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_audio_stats": q_mm_audio_stats,
         "mm_video_frames": q_mm_video_frames,
+        "mm_jpeg_stats": q_mm_jpeg_stats,
         "pdf_extract": q_pdf_extract,
         "mixed_extract": q_mixed_extract,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1967,7 +1993,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-verified queries take window priority); all three are
         # pure maps untouched since r3, pytest-covered, and hash-green in
         # the committed full-registry check_oracles run
-        # (ORACLES_r5_full.log, rerun at final HEAD). ----------------------
+        # (ORACLES_r5_full.log, rerun at final HEAD).  corpus_split
+        # (r4-hash-green, pure LCG untouched this round, artifact-
+        # covered) rotated out late-r5 for the NEW mm_jpeg_stats. ---------
+        "corpus_split": q_corpus_split,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fingerprint,
         "doc_normalize": q_doc_normalize,
@@ -2965,6 +2994,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 97 != 0)) d "
             "JOIN generate_series(0, 6) s(t) "
             "ON s.t < d.f AND s.t % 2 = 0"
+        ),
+        "mm_jpeg_stats": (
+            # closed-form twin of the REAL baseline-JPEG decode: every
+            # 8×8 block j (row-major over a bh×bw block grid) is flat
+            # at 128 + 16·(((nb+j)%7)−3) — exact through quality-50
+            # quantization (Q00=16) — so each block's pixel sum is
+            # 64·(128+16k) = 5120 + 1024·((nb+j)%7), times channel
+            # count c (1 gray / 3 RGB: equal channels survive the
+            # YCbCr+4:2:0 path exactly).  bw ≤ 7, bh ≤ 6 ⇒ series
+            # tops at 41.  Green only if the huffman tables, DC DPCM,
+            # restart-marker handling, dequant, IDCT and color
+            # reconstruction all round-trip exactly.
+            "SELECT d.doc_id AS item_id, "
+            "CAST(8 * d.bw AS BIGINT) AS width, "
+            "CAST(8 * d.bh AS BIGINT) AS height, "
+            "CAST(d.c AS BIGINT) AS channels, "
+            "CAST(d.c * sum(5120 + 1024 * ((d.nb + s.j) % 7)) "
+            "AS BIGINT) AS sum_px "
+            "FROM (SELECT doc_id, nb, 2 + nb % 6 AS bw, "
+            "2 + (nb * 3) % 5 AS bh, "
+            "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c "
+            "FROM (SELECT doc_id, octet_length(encode(text)) AS nb "
+            "FROM documents WHERE doc_id % 97 != 0)) d "
+            "JOIN generate_series(0, 41) s(j) ON s.j < d.bw * d.bh "
+            "GROUP BY d.doc_id, d.bw, d.bh, d.c, d.nb"
         ),
         "mixed_extract": (
             # same golden-text contract as extract_pages: whichever

@@ -20,8 +20,10 @@ Two decode layers:
   :class:`FrameSampler` is the per-frame flat-map on the same codec.
 
 - :class:`StubDecoder` — retained STUB shape for formats with no
-  stdlib codec (now only JPEG/compressed-video — no DCT/inter-frame
-  codec exists in this sandbox).  Clearly marked; the Ray-side shape
+  codec at all (now only inter-frame compressed video).  JPEG is
+  REAL: ``functions/jpeg.py`` implements baseline ITU-T T.81
+  (huffman entropy layer + vectorized 8×8 DCT) and plugs into both
+  decode layers like PNG does.  Clearly marked; the Ray-side shape
   (actor pool, small batches for large binary rows, per-row status)
   is real and tested.
 
@@ -161,7 +163,13 @@ def probe_avi(p: bytes) -> dict:
             "frames": frames, "sample_rate": 0}
 
 
-_PROBES = {"image": probe_png, "audio": probe_wav, "video": probe_avi}
+def _probe_jpeg(p: bytes) -> dict:
+    from .jpeg import probe_jpeg
+    return probe_jpeg(p)
+
+
+_PROBES = {"image": probe_png, "audio": probe_wav, "video": probe_avi,
+           "jpeg": _probe_jpeg}
 
 
 class HeaderDecoder:
@@ -313,6 +321,57 @@ def pixel_payload_table_from_documents(docs: pa.Table) -> pa.Table:
     })
 
 
+def jpeg_payload_table_from_documents(docs: pa.Table) -> pa.Table:
+    """Deterministic REAL-decodable JPEG corpus (``functions/jpeg.py``,
+    baseline ITU-T T.81).  Exactness contract: every 8×8 block is FLAT
+    at gray ``128 + 16·k`` — at quality 50 the Annex K luma quant step
+    Q00 is 16, so each block quantizes to a DC-only coefficient with
+    zero rounding error and encode→decode round-trips byte-exactly
+    through the huffman + DPCM + DCT path.
+
+    Integer content formulas (SQL-twinned in ``mm_jpeg_stats``):
+    nb = octet_length(utf-8 text)
+      bw = 2 + nb % 6   bh = 2 + (nb*3) % 5   (blocks; w = 8·bw …)
+      block j (row-major): k = ((nb + j) % 7) − 3, value 128 + 16·k
+      ⇒ block pixel sum = 64·(128+16k) = 5120 + 1024·((nb+j) % 7)
+      ⇒ sum_px = c · Σ_j (5120 + 1024·((nb+j) % 7)),  c = channels
+
+    Even doc_id → grayscale with restart intervals (DRI + RSTn every
+    1+nb%4 MCUs — the error-resilience markers real crawl JPEGs
+    carry); odd doc_id → equal-channel RGB through the full JFIF
+    YCbCr + 4:2:0 subsample path (exact for flat equal channels:
+    Cb=Cr=128, chroma quantizes to 0).  Every ``CORRUPT_EVERY``-th
+    doc ships an empty payload."""
+    from .jpeg import jpeg_encode
+
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    payloads = []
+    for i, t in zip(ids, texts):
+        if i % CORRUPT_EVERY == 0:
+            payloads.append(b"")
+            continue
+        nb = len((t or "").encode())
+        bw, bh = 2 + nb % 6, 2 + (nb * 3) % 5
+        j = np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
+        v = (128 + 16 * ((nb + j) % 7 - 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+        if i % 2 == 0:
+            payloads.append(jpeg_encode(img, quality=50,
+                                        restart_interval=1 + nb % 4))
+        else:
+            rgb = np.stack([img, img, img], axis=-1)
+            payloads.append(jpeg_encode(rgb, quality=50,
+                                        subsampling="420"))
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["jpeg"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array([json.dumps({"src": "documents-jpeg"})]
+                         * len(ids), pa.string()),
+    })
+
+
 def video_payload_table_from_documents(docs: pa.Table) -> pa.Table:
     """Deterministic REAL-decodable video corpus: genuine uncompressed
     RIFF-AVI payloads (24-bit bottom-up BGR ``00db`` frames + idx1)
@@ -353,15 +412,16 @@ def video_payload_table_from_documents(docs: pa.Table) -> pa.Table:
 
 class PixelDecoder:
     """REAL bulk decoder actor: PNG → pixel array (zlib + unfilter),
-    WAV → PCM samples, uncompressed AVI → frame stack, integer content
-    stats per row.  Same actor-pool shape and per-row-status contract
-    as :class:`HeaderDecoder`; replaces :class:`StubDecoder` for all
-    three kinds (video was the last stub — closed by
-    ``codecs.avi_decode_frames``; JPEG remains absent because the
-    sandbox stdlib has no DCT codec and the synthetic corpus is PNG)."""
+    JPEG → pixel array (huffman + dequant + inverse DCT, baseline
+    T.81 via ``functions/jpeg.py``), WAV → PCM samples, uncompressed
+    AVI → frame stack, integer content stats per row.  Same
+    actor-pool shape and per-row-status contract as
+    :class:`HeaderDecoder`; replaces :class:`StubDecoder` for all
+    four kinds."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .codecs import avi_decode_frames, png_decode, wav_decode
+        from .jpeg import jpeg_decode
 
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
@@ -378,6 +438,12 @@ class PixelDecoder:
                 if kd == "image":
                     arr = png_decode(p)
                     h, w, c = arr.shape
+                    row.update(width=w, height=h, channels=c, frames=1,
+                               sum_px=int(arr.sum(dtype=np.int64)))
+                elif kd == "jpeg":
+                    arr = jpeg_decode(p)
+                    h, w = arr.shape[:2]
+                    c = arr.shape[2] if arr.ndim == 3 else 1
                     row.update(width=w, height=h, channels=c, frames=1,
                                sum_px=int(arr.sum(dtype=np.int64)))
                 elif kd == "audio":

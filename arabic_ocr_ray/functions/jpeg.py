@@ -16,10 +16,11 @@ Implements ITU-T T.81 baseline sequential DCT:
   restart intervals (DRI + RSTn).
 - **decoder** ``jpeg_decode``: marker walk (APPn/COM skipped, DQT
   8/16-bit, DHT multi-table segments, DRI), baseline SOF0/SOF1 only
-  (progressive SOF2 rejected loudly), entropy decode via the spec's
-  F.16 mincode/maxcode/valptr walk, restart-segment DC-predictor
-  reset, vectorized dequant + inverse DCT, chroma upsample,
-  YCbCr→RGB.
+  (progressive SOF2 rejected loudly), entropy decode via a flat
+  16-bit peek LUT (the fast equivalent of the spec's F.16
+  mincode/maxcode walk, cached per table spec), restart-segment
+  DC-predictor reset, vectorized dequant + inverse DCT, chroma
+  upsample, YCbCr→RGB.
 
 Exactness contract used by the ``mm_jpeg_stats`` oracle: an image
 whose every 8×8 block is FLAT with gray ``128 + Q00·k`` quantizes to
@@ -151,22 +152,32 @@ def _encode_codes(bits, vals):
     return codes
 
 
+#: spec-table → decode-LUT cache; real streams reuse the Annex K
+#: tables, so per-image DHT segments hit this after the first build
+_LUT_CACHE: dict = {}
+
+
 def _decode_table(bits, vals):
-    """T.81 F.16 decode tables: (mincode, maxcode, valptr, vals)."""
-    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
-    code, k = 0, 0
-    for length in range(1, 17):
-        n = bits[length - 1]
-        if n:
-            valptr[length] = k
-            mincode[length] = code
-            code += n
-            k += n
-            maxcode[length] = code - 1
-        else:
-            maxcode[length] = -1
-        code <<= 1
-    return mincode, maxcode, valptr, list(vals)
+    """Flat 16-bit lookup decoder (faster equivalent of the spec's
+    F.16 mincode/maxcode walk): entry[peek16] = (length << 8) | symbol,
+    0 = invalid prefix.  Built with one numpy slice-fill per code and
+    converted to a Python list for O(30 ns) scalar lookups; cached by
+    the raw (BITS, HUFFVAL) spec since every scan of a corpus
+    typically carries the same four tables."""
+    key = bytes(bits) + bytes(vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, np.int32)
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                arr[lo:lo + (1 << (16 - length))] = (length << 8) | vals[k]
+                k += 1
+                code += 1
+            code <<= 1
+        lut = _LUT_CACHE[key] = arr.tolist()
+    return lut
 
 
 class _BitWriter:
@@ -199,50 +210,98 @@ class _BitWriter:
             self.n = 0
 
 
-class _BitReader:
-    """MSB-first reader over one DESTUFFED entropy segment."""
-
-    __slots__ = ("d", "pos", "bit")
-
-    def __init__(self, d: bytes):
-        self.d = d
-        self.pos = 0
-        self.bit = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= len(self.d):
-            raise ValueError("truncated entropy segment")
-        b = (self.d[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _decode_symbol(r: _BitReader, tbl) -> int:
-    mincode, maxcode, valptr, vals = tbl
-    code = r.read_bit()
-    length = 1
-    while code > maxcode[length]:
-        if length >= 16:
-            raise ValueError("invalid huffman code")
-        code = (code << 1) | r.read_bit()
-        length += 1
-    return vals[valptr[length] + code - mincode[length]]
-
-
 def _extend(bits: int, size: int) -> int:
     """Signed-magnitude extension (T.81 F.12)."""
     if size == 0:
         return 0
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_mcu_run(db: bytes, order, dc_tabs, ac_tabs, zz_store,
+                    mcu: int, end: int, mcus_x: int) -> int:
+    """Entropy-decode one restart segment's MCUs ``[mcu, end)`` into
+    ``zz_store``; returns the next MCU index.
+
+    This is the codec's only per-symbol hot loop, so the bit reader is
+    fully inlined as local ints: whole bytes roll into an accumulator,
+    each huffman symbol is ONE 16-bit peek + LUT hit (``_decode_table``)
+    instead of the spec's per-bit F.16 walk, and the T.81 F.12 signed
+    extension is folded into the value read.  The peek 1-pads past the
+    stream end (pad bits may complete a peek but never a consumed code
+    — the length check raises "truncated" before over-consuming).
+    DC predictors reset per call, per the restart-marker contract."""
+    nbytes = len(db)
+    bytepos = 0
+    acc = 0
+    nb = 0                           # valid bits in acc
+    preds = [0] * len(order)
+    while mcu < end:
+        my, mx = divmod(mcu, mcus_x)
+        for ci, hs, vs, tq, td, ta in order:
+            dc_lut, ac_lut = dc_tabs[td], ac_tabs[ta]
+            store = zz_store[ci]
+            row_w = mcus_x * hs
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = [0] * 64
+                    k = 0                          # 0 ⇒ next is DC
+                    while k < 64:
+                        while nb < 16 and bytepos < nbytes:
+                            acc = (acc << 8) | db[bytepos]
+                            bytepos += 1
+                            nb += 8
+                        if nb >= 16:
+                            p = (acc >> (nb - 16)) & 0xFFFF
+                        else:
+                            p = ((acc << (16 - nb))
+                                 | ((1 << (16 - nb)) - 1)) & 0xFFFF
+                        e = (dc_lut if k == 0 else ac_lut)[p]
+                        if e == 0:
+                            raise ValueError("invalid huffman code")
+                        length = e >> 8
+                        if length > nb:
+                            raise ValueError("truncated entropy segment")
+                        nb -= length
+                        acc &= (1 << nb) - 1
+                        sym = e & 0xFF
+                        if k == 0:
+                            size = sym
+                        else:
+                            if sym == 0x00:            # EOB
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16                # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                        if size:
+                            while nb < size:
+                                if bytepos >= nbytes:
+                                    raise ValueError(
+                                        "truncated entropy segment")
+                                acc = (acc << 8) | db[bytepos]
+                                bytepos += 1
+                                nb += 8
+                            nb -= size
+                            v = (acc >> nb) & ((1 << size) - 1)
+                            acc &= (1 << nb) - 1
+                            if v < (1 << (size - 1)):  # T.81 F.12
+                                v -= (1 << size) - 1
+                        else:
+                            v = 0
+                        if k == 0:
+                            preds[ci] += v
+                            zz[0] = preds[ci]
+                        else:
+                            zz[k] = v
+                        k += 1
+                    store[(my * vs + by) * row_w + mx * hs + bx] = zz
+        mcu += 1
+    return mcu
 
 
 def _category(v: int) -> int:
@@ -265,7 +324,8 @@ def _zz_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     bh, bw = h // 8, w // 8
     blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    coeffs = np.einsum("ux,ijxy,vy->ijuv", _M, blocks, _M)
+    coeffs = _M @ blocks @ _M.T          # F = M f Mᵀ, broadcast
+
     q = np.round(coeffs / qtab.reshape(8, 8)).astype(np.int64)
     return q.reshape(bh, bw, 64)[:, :, ZIGZAG]
 
@@ -536,39 +596,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     for seg_bytes in segs:
         if mcu >= n_mcus:
             break
-        r = _BitReader(seg_bytes)
-        preds = [0] * len(order)
         end = min(n_mcus, mcu + ri) if ri else n_mcus
-        while mcu < end:
-            my, mx = divmod(mcu, mcus_x)
-            for ci, hs, vs, tq, td, ta in order:
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, np.int64)
-                        s = _decode_symbol(r, dc_tabs[td])
-                        diff = _extend(r.read_bits(s), s)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _decode_symbol(r, ac_tabs[ta])
-                            if sym == 0x00:            # EOB
-                                break
-                            run, size = sym >> 4, sym & 15
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16                # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            zz[k] = _extend(r.read_bits(size), size)
-                            k += 1
-                        g = ((my * vs + by) * (mcus_x * hs)
-                             + mx * hs + bx)
-                        zz_store[ci][g] = zz
-            mcu += 1
+        mcu = _decode_mcu_run(seg_bytes, order, dc_tabs, ac_tabs,
+                              zz_store, mcu, end, mcus_x)
     if mcu < n_mcus:
         raise ValueError(f"decoded {mcu}/{n_mcus} MCUs (truncated)")
 
@@ -577,7 +607,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         flat = np.zeros_like(zz)
         flat[:, ZIGZAG] = zz
         deq = (flat * qts[tq][None, :]).reshape(-1, 8, 8)
-        px = np.einsum("ux,nuv,vy->nxy", _M, deq.astype(np.float64), _M)
+        px = _M.T @ deq.astype(np.float64) @ _M      # f = Mᵀ F M
         px = np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
         gh, gw = mcus_y * vs, mcus_x * hs
         plane = (px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)

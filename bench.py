@@ -283,6 +283,40 @@ def main() -> None:
     assert n_mixed == n, (n_mixed, n)
     queries["mixed"] = round(time.monotonic() - t0, 3)
 
+    # multimodal codec pass: synthesize real binary payloads in-flight
+    # (1/3 baseline JPEG incl. restart-marker + 4:2:0 rows, else
+    # alternating PNG / WAV PCM) from the bench corpus texts and bulk
+    # encode→decode them through the PixelDecoder actor pool — the
+    # stdlib-codec cycle a 100 TB multimodal ingest runs per object.
+    # Capped like near_dup/para_dedup so the 8-CPU end stays bounded.
+    from arabic_ocr_ray.functions import multimodal as _mm
+
+    import numpy as _np
+
+    def _payloads(b: pa.Table) -> pa.Table:
+        ids = _np.array([_z.crc32(u.encode()) & 0x7FFFFFFF
+                         for u in b.column("url").to_pylist()],
+                        dtype=_np.int64)
+        docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": b.column("text")})
+        jp = pa.array(ids % 3 == 0)
+        return pa.concat_tables(
+            [_mm.jpeg_payload_table_from_documents(docs.filter(jp)),
+             _mm.pixel_payload_table_from_documents(
+                 docs.filter(pc.invert(jp)))])
+
+    t0 = time.monotonic()
+    mm_slice = (_rp(corpus, columns=["url", "text"]).limit(120_000)
+                .map_batches(_payloads, batch_format="pyarrow",
+                             batch_size=256)
+                .map_batches(_mm.PixelDecoder, batch_format="pyarrow",
+                             batch_size=256,
+                             concurrency=max(2, NUM_CPUS - 2),
+                             num_cpus=1))
+    n_mm = mm_slice.count()
+    assert n_mm == min(n, 120_000), (n_mm, n)
+    queries["mm_codec"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "pages_extraction_wall_sec",
         "value": queries["extract"],

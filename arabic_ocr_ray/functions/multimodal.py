@@ -19,13 +19,11 @@ Two decode layers:
   peak_abs) that a SQL twin reproduces in closed form.
   :class:`FrameSampler` is the per-frame flat-map on the same codec.
 
-- :class:`StubDecoder` — retained STUB shape for formats with no
-  codec at all (now only inter-frame compressed video).  JPEG is
-  REAL: ``functions/jpeg.py`` implements baseline ITU-T T.81
-  (huffman entropy layer + vectorized 8×8 DCT) and plugs into both
-  decode layers like PNG does.  Clearly marked; the Ray-side shape
-  (actor pool, small batches for large binary rows, per-row status)
-  is real and tested.
+Every kind decodes for REAL: PNG/WAV/AVI via ``functions/codecs.py``
+and baseline ITU-T T.81 JPEG via ``functions/jpeg.py`` (huffman
+entropy layer + vectorized 8×8 DCT).  The only undecodable family is
+inter-frame compressed video, which the AVI codec rejects loudly
+per row (status column) instead of stubbing.
 
 Payload rows are ``(item_id, kind, payload:binary, meta:string)``;
 ``payload_table_from_documents`` manufactures the deterministic
@@ -34,7 +32,6 @@ corpus from any text table for tests/benches.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import struct
 from wave import Error as wave_Error
@@ -195,57 +192,6 @@ class HeaderDecoder:
             for k in _META_KEYS:
                 rows[k].append(meta[k])
             rows["payload_bytes"].append(len(p))
-        cols = {"item_id": batch.column("item_id"),
-                "kind": batch.column("kind")}
-        for k in (*_META_KEYS, "payload_bytes"):
-            cols[k] = pa.array(rows[k], pa.int64())
-        cols["status"] = pa.array(rows["status"], pa.string())
-        return pa.table(cols)
-
-
-class StubDecoder:
-    """STUB: full pixel/sample decode placeholder.
-
-    A real deployment replaces ``_decode`` with PIL.Image.open /
-    soundfile.read / ffmpeg; none are installed in this sandbox.  The
-    fake derives "decoded" dimensions from a blake2b digest of the
-    payload — stable, content-dependent, cheap — and raises on empty
-    payloads the way a real decoder raises on truncated files.  Header
-    METADATA is real (see :class:`HeaderDecoder`); only bulk decode is
-    stubbed."""
-
-    def __init__(self, target_size: int = 224):
-        self.target_size = target_size  # resize target (plumbed, unused)
-
-    def _decode(self, payload: bytes, kind: str) -> dict:
-        if not payload:
-            raise ValueError("empty payload")  # real decoders raise too
-        d = hashlib.blake2b(payload, digest_size=8).digest()
-        if kind == "image":
-            return {"width": 64 + d[0] * 4, "height": 64 + d[1] * 4,
-                    "channels": 3, "frames": 1, "sample_rate": 0}
-        if kind == "audio":
-            return {"width": 0, "height": 0, "channels": 1 + d[0] % 2,
-                    "frames": 1000 + int.from_bytes(d[1:3], "big"),
-                    "sample_rate": 16000}
-        return {"width": 320 + d[0] * 2, "height": 240 + d[1] * 2,
-                "channels": 3, "frames": 1 + d[2], "sample_rate": 0}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("item_id").to_pylist()
-        kinds = batch.column("kind").to_pylist()
-        payloads = batch.column("payload").to_pylist()
-        rows = {k: [] for k in (*_META_KEYS, "payload_bytes", "status")}
-        for p, kd in zip(payloads, kinds):
-            try:
-                meta = self._decode(p or b"", kd)
-                rows["status"].append("ok")
-            except ValueError as e:
-                meta = dict.fromkeys(_META_KEYS, 0)
-                rows["status"].append(f"error: {e}")
-            for k in _META_KEYS:
-                rows[k].append(meta[k])
-            rows["payload_bytes"].append(len(p or b""))
         cols = {"item_id": batch.column("item_id"),
                 "kind": batch.column("kind")}
         for k in (*_META_KEYS, "payload_bytes"):
@@ -416,8 +362,8 @@ class PixelDecoder:
     T.81 via ``functions/jpeg.py``), WAV → PCM samples, uncompressed
     AVI → frame stack, integer content stats per row.  Same
     actor-pool shape and per-row-status contract as
-    :class:`HeaderDecoder`; replaces :class:`StubDecoder` for all
-    four kinds."""
+    :class:`HeaderDecoder`; all four kinds decode for real (the r4
+    StubDecoder placeholder is gone)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .codecs import avi_decode_frames, png_decode, wav_decode

@@ -905,6 +905,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           index_dir=idx)
         return out.select_columns(["query_id", "neighbor_id", "rank"])
 
+    def q_knn_ivf_append(sf_dir: str):
+        """Incremental IVF maintenance (crawl-over-crawl): build the
+        index from the EVEN-vec_id half only, append the odd half to
+        the FROZEN centroids (ann.append_ivf_index — cost ∝ |new|,
+        existing cell fragments never rewritten), then probe.  The
+        fixture fits the centroid sample so the probe is exact over
+        the union: the result must equal the exact-kNN SQL twin over
+        the FULL table — green only if the appended fragments are
+        assigned, written and served correctly alongside the base."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+
+        def _half(parity):
+            def f(b):
+                ids = np.asarray(b.column("vec_id"))
+                return b.filter(pa.array(ids % 2 == parity))
+            return f
+
+        emb = _emb(sf_dir)
+        idx = tempfile.mkdtemp(prefix="aor_ivf_append_")
+        ann.build_ivf_index(
+            emb.map_batches(_half(0), batch_format="pyarrow"), idx,
+            n_clusters=16)
+        ann.append_ivf_index(
+            emb.map_batches(_half(1), batch_format="pyarrow"), idx)
+        out = ann.knn_ivf_probe(idx, KNN_QUERIES, k=KNN_K)
+        return out.select_columns(["query_id", "neighbor_id", "rank"])
+
     def q_knn_lsh(sf_dir: str):
         """Sign-LSH bucketed kNN (zero-shuffle approximate path) over
         the shared planted-copy harness: each query's exact copy has
@@ -1953,11 +1983,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup": q_paragraph_dedup,
         "url_canonical_dedup": q_url_canonical_dedup,
         "curate_corpus_v3": q_curate_v3,
-        "common_paragraphs": q_common_paragraphs,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_audio_stats": q_mm_audio_stats,
         "mm_video_frames": q_mm_video_frames,
         "mm_jpeg_stats": q_mm_jpeg_stats,
+        "knn_ivf_append": q_knn_ivf_append,
         "pdf_extract": q_pdf_extract,
         "mixed_extract": q_mixed_extract,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1993,10 +2023,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-verified queries take window priority); all three are
         # pure maps untouched since r3, pytest-covered, and hash-green in
         # the committed full-registry check_oracles run
-        # (ORACLES_r5_full.log, rerun at final HEAD).  corpus_split
-        # (r4-hash-green, pure LCG untouched this round, artifact-
-        # covered) rotated out late-r5 for the NEW mm_jpeg_stats. ---------
+        # (ORACLES_r5_full.log, rerun at final HEAD).  corpus_split and
+        # common_paragraphs (both r4-hash-green, untouched this round,
+        # artifact-covered) rotated out late-r5 for the NEW
+        # mm_jpeg_stats and knn_ivf_append. --------------------------------
         "corpus_split": q_corpus_split,
+        "common_paragraphs": q_common_paragraphs,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fingerprint,
         "doc_normalize": q_doc_normalize,
@@ -2285,6 +2317,22 @@ def oracle_sql() -> dict[str, str]:
             # (partitioned brute force; ann.py docstring) and shares
             # the exact-kNN oracle; at scale nprobe drops to C/2 and
             # quality is gated by the clustered recall ≥ 0.9 pytest
+            "WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])), 9) AS sim "
+            f"FROM embeddings q, embeddings e "
+            f"WHERE q.vec_id < {len(KNN_QUERIES)} AND e.vec_id != q.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)"
+            " AS rank FROM s) "
+            f"SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {KNN_K}"
+        ),
+        "knn_ivf_append": (
+            # incremental-maintenance twin: base (even ids) + appended
+            # (odd ids) must serve the SAME exact result as one index
+            # over the full table — the adaptive probe covers every
+            # cell at fixture scale, so any mis-assigned, dropped or
+            # double-written appended fragment breaks the hash
             "WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
             "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
             "CAST(e.embedding AS DOUBLE[])), 9) AS sim "

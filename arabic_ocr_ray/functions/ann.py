@@ -263,6 +263,51 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
     return C
 
 
+def append_ivf_index(new_ds, index_dir: str,
+                     id_col: str = "vec_id", col: str = "embedding"):
+    """Incremental index maintenance — the crawl-over-crawl shape:
+    assign NEW vectors to the EXISTING centroids (no retrain, no
+    rebuild, no read of existing cell data) and append them as fresh
+    parquet fragments inside the same ``ivf_cell=<c>/`` directories.
+    Cost ∝ |new| only; :func:`knn_ivf_probe` reads the union
+    transparently because probing is directory-level (every fragment
+    in a probed cell dir is scored, whichever build wrote it).
+
+    Centroids are frozen by design: cell assignment must stay
+    consistent with the fragments already on disk, so drift is a
+    REBUILD decision (``build_ivf_index``, mode=overwrite), not an
+    append — the same contract FAISS's ``add`` has.  Returns the
+    (C, d) centroid matrix used."""
+    import json
+
+    import ray
+
+    C = _load_centroids(index_dir)
+    cref = ray.put(C)
+
+    def assign(b: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        E = _normalize(vectors_matrix(b.column(col)))
+        cell = np.argmax(np.round(E @ C_.T, 9), axis=1)
+        return pa.table({
+            id_col: b.column(id_col),
+            col: b.column(col),
+            "ivf_cell": pa.array(cell.astype(np.int32)),
+        })
+
+    (new_ds.select_columns([id_col, col])
+     .map_batches(assign, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["ivf_cell"]))
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_rows"] = int(meta.get("n_rows", 0)) + int(new_ds.count())
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return C
+
+
 def _load_centroids(index_dir: str) -> np.ndarray:
     return np.load(os.path.join(index_dir, "_centroids.npy"))
 

@@ -392,6 +392,58 @@ def test_knn_ivf_exact_at_small_scale(ray_session):
     pd.testing.assert_frame_equal(exact, ivf[exact.columns])
 
 
+def test_ivf_append_incremental(ray_session, tmp_path):
+    """append_ivf_index: build from half the vectors, append the rest
+    to the frozen centroids — probe over the union must EXACTLY equal
+    a probe over a from-scratch index on the full table (fixture
+    scale ⇒ both are exact brute force), existing cell fragments must
+    not be rewritten, and _meta.json must track the union count."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = np.random.RandomState(33)
+    E = rng.randn(400, 32)
+    t = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    base = rd.from_arrow(t.filter(pa.array(
+        [i % 2 == 0 for i in range(400)])))
+    new = rd.from_arrow(t.filter(pa.array(
+        [i % 2 == 1 for i in range(400)])))
+    idx = str(tmp_path / "ivf_app")
+    C = ann.build_ivf_index(base, idx, n_clusters=8, sample_limit=4096)
+    before = {
+        os.path.join(d, f): os.path.getmtime(os.path.join(idx, d, f))
+        for d in os.listdir(idx) if d.startswith("ivf_cell=")
+        for f in os.listdir(os.path.join(idx, d))}
+    C2 = ann.append_ivf_index(new, idx)
+    assert np.array_equal(C, C2)  # centroids frozen, not retrained
+    for rel, mtime in before.items():  # old fragments untouched
+        d, f = os.path.split(rel)
+        assert os.path.getmtime(os.path.join(idx, d, f)) == mtime
+    meta = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta["n_rows"] == 400
+    total = sum(
+        pq.read_metadata(os.path.join(idx, d, f)).num_rows
+        for d in os.listdir(idx) if d.startswith("ivf_cell=")
+        for f in os.listdir(os.path.join(idx, d))
+        if f.endswith(".parquet"))
+    assert total == 400  # union fully indexed, no dup rows
+    qids = [0, 1, 7, 250]  # both parities, incl. appended-side ids
+    got = (ann.knn_ivf_probe(idx, qids, k=5).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    exact = (ann.knn_bruteforce(rd.from_arrow(t), qids, k=5)
+             .to_pandas().sort_values(["query_id", "rank"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, got[exact.columns])
+
+
 def test_connected_components_triangle_and_chain(ray_session):
     """Label propagation: a triangle, a 4-chain (needs >1 round), and
     an isolated pair all resolve to min-id clusters."""

@@ -12,6 +12,9 @@ session.
     python -m arabic_ocr_ray.cli gen     -o pages.parquet -n 1000 [--seed 42]
     python -m arabic_ocr_ray.cli curate  -i extracted/ -b bench.parquet -o out/
     python -m arabic_ocr_ray.cli export  -i curated/ -o shards/ --n-shards 16
+    python -m arabic_ocr_ray.cli index build  -i embeddings.parquet -x idx/
+    python -m arabic_ocr_ray.cli index append -i new.parquet -x idx/
+    python -m arabic_ocr_ray.cli index probe  -x idx/ --ids 0,1,2 -k 5
 """
 
 from __future__ import annotations
@@ -76,6 +79,25 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--id-col", default="url")
     pp.add_argument("--size-col", default=None)
 
+    pi = sub.add_parser(
+        "index", help="materialized IVF ANN index over an embedding "
+                      "column (build / incremental append / probe)")
+    pi.add_argument("action", choices=["build", "append", "probe"])
+    pi.add_argument("-x", "--index", required=True,
+                    help="index directory (cell-partitioned parquet)")
+    pi.add_argument("-i", "--input", default=None,
+                    help="embeddings parquet (build/append)")
+    pi.add_argument("--ids", default=None,
+                    help="comma-separated query vec_ids (probe)")
+    pi.add_argument("-k", type=int, default=5)
+    pi.add_argument("--nprobe", type=int, default=None)
+    pi.add_argument("--clusters", type=int, default=16)
+    pi.add_argument("--id-col", default="vec_id")
+    pi.add_argument("--col", default="embedding")
+    pi.add_argument("-o", "--output", default=None,
+                    help="probe: write result parquet here instead of "
+                         "printing rows")
+
     args = p.parse_args(argv)
 
     import ray
@@ -137,6 +159,48 @@ def main(argv: list[str] | None = None) -> int:
             n = read_parquet_clean(args.output,
                                    columns=["url"]).count()
             print(json.dumps({"path": args.output, "survivors": n}))
+        elif args.mode == "index":
+            from .functions import ann
+            from .sources.parquet import read_parquet_clean
+
+            if args.action == "build":
+                if not args.input:
+                    p.error("index build requires -i/--input")
+                C = ann.build_ivf_index(
+                    read_parquet_clean(args.input), args.index,
+                    n_clusters=args.clusters,
+                    id_col=args.id_col, col=args.col)
+                meta = json.load(open(f"{args.index}/_meta.json"))
+                print(json.dumps({"index": args.index,
+                                  "cells": int(C.shape[0]),
+                                  "rows": meta["n_rows"]}))
+            elif args.action == "append":
+                if not args.input:
+                    p.error("index append requires -i/--input")
+                new_ds = read_parquet_clean(args.input)
+                added = new_ds.count()
+                ann.append_ivf_index(new_ds, args.index,
+                                     id_col=args.id_col, col=args.col)
+                meta = json.load(open(f"{args.index}/_meta.json"))
+                print(json.dumps({"index": args.index,
+                                  "rows_added": int(added),
+                                  "rows_total": meta["n_rows"]}))
+            else:  # probe
+                if not args.ids:
+                    p.error("index probe requires --ids")
+                qids = [int(x) for x in args.ids.split(",") if x != ""]
+                out = ann.knn_ivf_probe(args.index, qids, k=args.k,
+                                        nprobe=args.nprobe,
+                                        id_col=args.id_col,
+                                        col=args.col)
+                if args.output:
+                    out.write_parquet(args.output)
+                    print(json.dumps({"path": args.output,
+                                      "rows": out.count()}))
+                else:
+                    rows = out.to_pandas().sort_values(
+                        ["query_id", "rank"]).to_dict("records")
+                    print(json.dumps({"rows": rows}, default=int))
         elif args.mode == "export":
             from .pipelines.export import export_training_shards
             from .sources.parquet import read_parquet_clean

@@ -537,6 +537,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return paragraphs.dedup_paragraphs(
             pages, col="text", id_col="url", mode="keep_first")
 
+    def q_para_dedup_incremental(sf_dir: str):
+        """Crawl-over-crawl paragraph dedup — the incremental member
+        of the paragraph family (exact has snapshot_diff, near-dup has
+        the bipartite pass): build the MATERIALIZED paragraph-counter
+        table from the even-url half (the "base crawl", its text read
+        once and never re-shuffled), merge the odd half's counts in
+        (epoch swap), then drop_all-dedup ONLY the new docs against
+        the merged counter.  Must equal full-corpus drop_all over
+        base ∪ new restricted to new docs — the SQL twin."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+
+        from arabic_ocr_ray.functions import paragraphs
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "text"])
+
+        def half(parity):
+            def f(b):
+                suf = np.array([int(u[-8:]) % 2
+                                for u in b.column("url").to_pylist()])
+                return b.filter(pa.array(suf == parity))
+            return f
+
+        cdir = tempfile.mkdtemp(prefix="aor_paracnt_")
+        paragraphs.build_paragraph_counts(
+            pages.map_batches(half(0), batch_format="pyarrow"), cdir,
+            col="text")
+        new = pages.map_batches(half(1), batch_format="pyarrow")
+        paragraphs.update_paragraph_counts(new, cdir, col="text")
+        return paragraphs.dedup_paragraphs_incremental(
+            new, cdir, col="text", id_col="url", max_occurrences=1)
+
     def q_url_canonical_dedup(sf_dir: str):
         """Canonical-URL dedup over a deterministically-derived messy
         snapshot (the fixture serves clean urls, so the query plants
@@ -1976,11 +2011,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_prototypes": q_train_prototypes,
         "curate_corpus": q_curate_corpus,
         "extract_incremental": q_extract_incremental,
-        "latest_capture": q_latest_capture,
         "snapshot_diff": q_snapshot_diff,
         "jaccard_dup_pairs": q_jaccard_dup,
         "near_dup_pairs": q_near_dup,
         "doc_paragraph_dedup": q_paragraph_dedup,
+        "para_dedup_incremental": q_para_dedup_incremental,
         "url_canonical_dedup": q_url_canonical_dedup,
         "curate_corpus_v3": q_curate_v3,
         "mm_pixel_stats": q_mm_pixel_stats,
@@ -2026,8 +2061,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (ORACLES_r5_full.log, rerun at final HEAD).  corpus_split and
         # common_paragraphs (both r4-hash-green, untouched this round,
         # artifact-covered) rotated out late-r5 for the NEW
-        # mm_jpeg_stats and knn_ivf_append. --------------------------------
+        # mm_jpeg_stats, knn_ivf_append and para_dedup_incremental
+        # (latest_capture likewise r4-green/untouched/artifact-covered). -----------------------------
         "corpus_split": q_corpus_split,
+        "latest_capture": q_latest_capture,
         "common_paragraphs": q_common_paragraphs,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fingerprint,
@@ -2562,6 +2599,34 @@ def oracle_sql() -> dict[str, str]:
             f"  UNION ALL"
             f"  SELECT url, pos, para FROM p WHERE para = ''"
             f" ) GROUP BY url"
+        ),
+        "para_dedup_incremental": (
+            # incremental twin: counts over base ∪ new (the merged
+            # counter table), applied to NEW (odd-url-suffix) docs
+            # only — drop a non-empty paragraph iff its union-wide
+            # count exceeds 1, empties always survive, all-dropped
+            # docs vanish via GROUP BY
+            f"WITH p AS ("
+            f" SELECT url,"
+            f" generate_subscripts(string_split(text, chr(10)), 1)"
+            f" AS pos,"
+            f" unnest(string_split(text, chr(10))) AS para"
+            f" FROM read_parquet('{pages}')"
+            f"), cnt AS ("
+            f" SELECT para, count(*) AS n FROM p"
+            f" WHERE para <> '' GROUP BY para"
+            f"), kept AS ("
+            f" SELECT s.url, s.pos, s.para FROM p s"
+            f" JOIN cnt c ON s.para = c.para"
+            f" WHERE CAST(right(s.url, 8) AS BIGINT) % 2 = 1"
+            f" AND c.n <= 1"
+            f" UNION ALL"
+            f" SELECT url, pos, para FROM p"
+            f" WHERE CAST(right(url, 8) AS BIGINT) % 2 = 1"
+            f" AND para = ''"
+            f") SELECT url,"
+            f" string_agg(para, chr(10) ORDER BY pos) AS text"
+            f" FROM kept GROUP BY url"
         ),
         "url_canonical_dedup": (
             # the derived messy spellings (utm idx%3, fragment idx%5,

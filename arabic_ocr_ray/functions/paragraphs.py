@@ -268,3 +268,207 @@ def common_paragraphs(ds, min_docs: int = 2, col: str = "text",
     return (ds.map_batches(partials, batch_format="pyarrow")
             .groupby("__jk", num_partitions=num_partitions)
             .map_groups(arrow_clean(fold), batch_format="pandas"))
+
+
+# --- incremental (crawl-over-crawl) paragraph dedup ------------------------
+#
+# The missing member of the incremental family (exact: snapshot_diff;
+# near-dup: near_dup_pairs_bipartite): a MATERIALIZED paragraph-
+# occurrence counter table, so deduplicating crawl N+1 never re-reads
+# or re-shuffles the base corpus TEXT — only the counter table
+# (≈ distinct paragraphs, orders of magnitude smaller than the
+# corpus) merges with the new crawl's counts.  Epoch layout:
+#
+#     counts_dir/_current          -> "epoch-<k>" (atomic pointer)
+#     counts_dir/epoch-<k>/*.parquet   (para, n, __jk)
+#
+# An update writes epoch-<k+1> fully, swaps the pointer atomically,
+# then removes the old epoch — a failed update leaves a dangling
+# un-pointed directory the next run overwrites (resume-safe).  The
+# counter is drop_all-composable by construction; keep_first does not
+# compose across crawls without per-occurrence order state and stays a
+# full-corpus operation by contract.
+
+def _counts_partials(col: str, num_partitions: int):
+    def partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(b.column(col), "").combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(texts, "\n"))
+        df = pd.DataFrame({"para": np.asarray(flat)})
+        df = df[df["para"] != ""]
+        g = df.groupby("para", sort=True).size()
+        out = pa.table({
+            "para": pa.array(g.index.to_numpy(), pa.string()),
+            "n": pa.array(g.to_numpy(), pa.int64()),
+        })
+        return out.append_column(
+            "__jk", partition_ids([out.column("para")], num_partitions))
+    return partials
+
+
+def _fold_counts(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("para", sort=True)["n"].sum()
+    out = pd.DataFrame({"para": g.index.to_numpy(),
+                        "n": g.to_numpy()})
+    return out
+
+
+def _current_epoch(counts_dir: str) -> str:
+    import os
+
+    with open(os.path.join(counts_dir, "_current")) as f:
+        return f.read().strip()
+
+
+def _write_epoch(counts_ds, counts_dir: str, epoch: str,
+                 num_partitions: int) -> None:
+    """Fold partials → write one epoch dir → swap the pointer."""
+    import os
+
+    out = (counts_ds
+           .groupby("__jk", num_partitions=num_partitions)
+           .map_groups(arrow_clean(_fold_counts), batch_format="pandas")
+           .map_batches(lambda b: b.append_column(
+               "__jk", partition_ids([b.column("para")],
+                                     num_partitions)),
+               batch_format="pyarrow"))
+    epoch_dir = os.path.join(counts_dir, epoch)
+    out.write_parquet(epoch_dir, mode="overwrite")
+    tmp = os.path.join(counts_dir, f"_current.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(epoch)
+    os.replace(tmp, os.path.join(counts_dir, "_current"))
+
+
+def build_paragraph_counts(ds, counts_dir: str, col: str = "text",
+                           num_partitions: int = _PARTITIONS) -> None:
+    """Materialize the corpus-wide paragraph-occurrence counter for a
+    BASE crawl: explode → map-side per-batch combine → ONE para-keyed
+    fold → ``epoch-0``.  The base text is read exactly once and never
+    again by later updates."""
+    import os
+
+    os.makedirs(counts_dir, exist_ok=True)
+    _write_epoch(ds.map_batches(_counts_partials(col, num_partitions),
+                                batch_format="pyarrow"),
+                 counts_dir, "epoch-0", num_partitions)
+
+
+def read_paragraph_counts(counts_dir: str):
+    """→ Dataset(para, n, __jk) of the CURRENT epoch."""
+    import os
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(counts_dir, _current_epoch(counts_dir)))
+
+
+def update_paragraph_counts(new_ds, counts_dir: str,
+                            col: str = "text",
+                            num_partitions: int = _PARTITIONS) -> None:
+    """Merge a NEW crawl's paragraph counts into the counter table:
+    union(current epoch, new partials) → one para-keyed sum fold →
+    next epoch → atomic pointer swap → old epoch removed.  Cost ∝
+    |distinct paragraphs| + |new crawl|; the base corpus text is not
+    touched."""
+    import os
+    import shutil
+
+    cur = _current_epoch(counts_dir)
+    nxt = f"epoch-{int(cur.split('-')[1]) + 1}"
+    merged = read_paragraph_counts(counts_dir).union(
+        new_ds.map_batches(_counts_partials(col, num_partitions),
+                           batch_format="pyarrow"))
+    _write_epoch(merged, counts_dir, nxt, num_partitions)
+    shutil.rmtree(os.path.join(counts_dir, cur), ignore_errors=True)
+
+
+def dedup_paragraphs_incremental(new_ds, counts_dir: str,
+                                 col: str = "text",
+                                 id_col: str = "doc_id",
+                                 max_occurrences: int = 1,
+                                 num_partitions: int = _PARTITIONS):
+    """→ Dataset(id_col, col) — drop_all paragraph dedup of the NEW
+    crawl against the MERGED counter table (run
+    :func:`update_paragraph_counts` first so counts cover base ∪ new):
+    a new document's non-empty paragraph is dropped iff its global
+    count exceeds ``max_occurrences``; empty paragraphs always
+    survive; all-dropped documents vanish (GROUP BY parity with
+    :func:`dedup_paragraphs`).
+
+    Shuffle shape: counter rows and new-crawl paragraph rows co-locate
+    on the SAME para-hash key (one fixed-partition shuffle whose
+    counter side is ≈ distinct paragraphs, not the corpus), the drop
+    decision is a partition-local dict lookup, and one id-keyed
+    shuffle reassembles — the base corpus text never moves at all."""
+    def explode_key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = explode_paragraphs(b, col=col, id_col=id_col)
+        para_jk = np.asarray(
+            partition_ids([t.column("para")], num_partitions))
+        id_jk = np.asarray(
+            partition_ids([t.column(id_col)], num_partitions))
+        is_empty = pc.equal(t.column("para"), "").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t.column(id_col),
+            "pos": t.column("pos"),
+            "para": t.column("para"),
+            "n": pa.array(np.zeros(t.num_rows, np.int64)),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+            "__jk": pa.array(np.where(is_empty, id_jk, para_jk),
+                             pa.int32()),
+        })
+
+    sch = new_ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+
+    def tag_counts(b: pa.Table) -> pa.Table:
+        nr = b.num_rows
+        return pa.table({
+            id_col: pa.nulls(nr, idt),
+            "pos": pa.array(np.full(nr, -1, np.int64)),
+            "para": b.column("para"),
+            "n": b.column("n"),
+            "side": pa.array(np.zeros(nr, np.int8)),
+            "__jk": b.column("__jk"),
+        })
+
+    counts = read_paragraph_counts(counts_dir).map_batches(
+        tag_counts, batch_format="pyarrow")
+    tagged = new_ds.map_batches(explode_key, batch_format="pyarrow")
+
+    int_id = pa.types.is_integer(idt)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        nmap = pd.Series(c["n"].to_numpy(), index=c["para"].to_numpy())
+        nmap = nmap[~nmap.index.duplicated()]  # defensive: one row/para
+        ns = s["para"].map(nmap).fillna(0).to_numpy()
+        keep = (s["para"].to_numpy() == "") | (ns <= max_occurrences)
+        out = s.loc[keep, [id_col, "pos", "para"]]
+        if int_id:  # counter-side nulls floated the whole id column
+            out = out.astype({id_col: np.int64})
+        return out
+
+    decided = (counts.union(tagged)
+               .groupby("__jk", num_partitions=num_partitions)
+               .map_groups(arrow_clean(fold), batch_format="pandas"))
+
+    def add_rk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__rk", partition_ids([b.column(id_col)], num_partitions))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        g = df.groupby(id_col, sort=True)["para"].agg("\n".join)
+        return pd.DataFrame({id_col: g.index.to_numpy(),
+                             col: g.values})
+
+    return (decided.map_batches(add_rk, batch_format="pyarrow")
+            .groupby("__rk", num_partitions=num_partitions)
+            .map_groups(arrow_clean(reassemble), batch_format="pandas"))

@@ -296,3 +296,64 @@ def test_dedup_paragraphs_broadcast_string_ids(ray_session):
                                        reassembly="broadcast")
            .to_pandas().set_index("doc_id")["text"].to_dict())
     assert got == {"a": "dup", "c": "keep me here"}
+
+
+def test_incremental_counts_and_dedup(ray_session, tmp_path):
+    """Crawl-over-crawl: build counts on the base, update with the new
+    crawl, dedup the NEW docs against the merged counter — must equal
+    dedup_paragraphs(drop_all) over base∪new restricted to new docs;
+    epoch pointer advances and the old epoch dir is gone."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import paragraphs as P
+
+    boiler = "COOKIE BANNER"
+    base = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"{boiler}\nbase one\n\nkeep a",
+                          f"{boiler}\nbase two",
+                          "unique base"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([f"{boiler}\nnew one\n\nnew tail",
+                          boiler,                      # all dropped
+                          "fresh solo\nbase one"],     # cross-crawl dup
+                        pa.string()),
+    })
+    cdir = str(tmp_path / "counts")
+    P.build_paragraph_counts(rd.from_arrow(base), cdir,
+                             col="text", num_partitions=8)
+    assert P._current_epoch(cdir) == "epoch-0"
+    P.update_paragraph_counts(rd.from_arrow(new), cdir,
+                              col="text", num_partitions=8)
+    assert P._current_epoch(cdir) == "epoch-1"
+    assert not os.path.exists(os.path.join(cdir, "epoch-0"))
+
+    got = (P.dedup_paragraphs_incremental(
+        rd.from_arrow(new), cdir, col="text", id_col="doc_id",
+        max_occurrences=1, num_partitions=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    union = pa.concat_tables([base, new])
+    full = (P.dedup_paragraphs(rd.from_arrow(union), col="text",
+                               id_col="doc_id", mode="drop_all",
+                               max_occurrences=1, num_partitions=8)
+            .to_pandas())
+    want = (full[full["doc_id"] >= 10]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # semantic spot checks: boiler (2× base + 2× new) gone everywhere,
+    # 'base one' (cross-crawl 2×) gone, blanks survive, doc 11 vanished
+    assert got["doc_id"].tolist() == [10, 12]
+    assert got.loc[0, "text"] == "new one\n\nnew tail"
+    assert got.loc[1, "text"] == "fresh solo"
+
+    # counter values are the union's truth
+    cnt = (P.read_paragraph_counts(cdir).to_pandas()
+           .set_index("para")["n"])
+    assert cnt[boiler] == 4 and cnt["base one"] == 2

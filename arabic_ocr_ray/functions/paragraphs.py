@@ -295,12 +295,11 @@ def _counts_partials(col: str, num_partitions: int):
 
         texts = pc.fill_null(b.column(col), "").combine_chunks()
         flat = pc.list_flatten(pc.split_pattern(texts, "\n"))
-        df = pd.DataFrame({"para": np.asarray(flat)})
-        df = df[df["para"] != ""]
-        g = df.groupby("para", sort=True).size()
+        s = pd.Series(np.asarray(flat))
+        vc = s[s != ""].value_counts(sort=False)  # hash-based, no sort
         out = pa.table({
-            "para": pa.array(g.index.to_numpy(), pa.string()),
-            "n": pa.array(g.to_numpy(), pa.int64()),
+            "para": pa.array(vc.index.to_numpy(), pa.string()),
+            "n": pa.array(vc.to_numpy(), pa.int64()),
         })
         return out.append_column(
             "__jk", partition_ids([out.column("para")], num_partitions))
@@ -308,10 +307,15 @@ def _counts_partials(col: str, num_partitions: int):
 
 
 def _fold_counts(df: pd.DataFrame) -> pd.DataFrame:
-    g = df.groupby("para", sort=True)["n"].sum()
-    out = pd.DataFrame({"para": g.index.to_numpy(),
-                        "n": g.to_numpy()})
-    return out
+    # __jk is the group key (constant here): carried through so the
+    # epoch write needs no second hash pass over every paragraph
+    g = df.groupby("para", sort=False)["n"].sum()
+    jk = np.int32(df["__jk"].iloc[0]) if len(df) else np.int32(0)
+    return pd.DataFrame({
+        "para": g.index.to_numpy(),
+        "n": g.to_numpy(),
+        "__jk": np.full(len(g), jk, dtype=np.int32),
+    })
 
 
 def _current_epoch(counts_dir: str) -> str:
@@ -328,11 +332,8 @@ def _write_epoch(counts_ds, counts_dir: str, epoch: str,
 
     out = (counts_ds
            .groupby("__jk", num_partitions=num_partitions)
-           .map_groups(arrow_clean(_fold_counts), batch_format="pandas")
-           .map_batches(lambda b: b.append_column(
-               "__jk", partition_ids([b.column("para")],
-                                     num_partitions)),
-               batch_format="pyarrow"))
+           .map_groups(arrow_clean(_fold_counts),
+                       batch_format="pandas"))
     epoch_dir = os.path.join(counts_dir, epoch)
     out.write_parquet(epoch_dir, mode="overwrite")
     tmp = os.path.join(counts_dir, f"_current.tmp{os.getpid()}")

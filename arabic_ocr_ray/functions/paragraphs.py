@@ -390,7 +390,9 @@ def dedup_paragraphs_incremental(new_ds, counts_dir: str,
                                  col: str = "text",
                                  id_col: str = "doc_id",
                                  max_occurrences: int = 1,
-                                 num_partitions: int = _PARTITIONS):
+                                 num_partitions: int = _PARTITIONS,
+                                 reassembly: str = "shuffle",
+                                 max_broadcast_drops: int = 2_000_000):
     """→ Dataset(id_col, col) — drop_all paragraph dedup of the NEW
     crawl against the MERGED counter table (run
     :func:`update_paragraph_counts` first so counts cover base ∪ new):
@@ -399,11 +401,63 @@ def dedup_paragraphs_incremental(new_ds, counts_dir: str,
     survive; all-dropped documents vanish (GROUP BY parity with
     :func:`dedup_paragraphs`).
 
-    Shuffle shape: counter rows and new-crawl paragraph rows co-locate
-    on the SAME para-hash key (one fixed-partition shuffle whose
-    counter side is ≈ distinct paragraphs, not the corpus), the drop
-    decision is a partition-local dict lookup, and one id-keyed
-    shuffle reassembles — the base corpus text never moves at all."""
+    ``reassembly="broadcast"``: the dup inventory (counter rows with
+    ``n > max_occurrences``) broadcasts once via ``ray.put`` and the
+    whole dedup becomes ONE pure map over the new crawl — a document's
+    paragraphs are already co-located in its own row, so NO shuffle
+    touches either crawl.  Same BOUNDED-SMALL-SIDE contract as
+    :func:`dedup_paragraphs`'s broadcast mode: raises above
+    ``max_broadcast_drops`` distinct dup paragraphs instead of
+    silently shipping an unbounded set (boilerplate grows with the
+    crawl; the shuffle mode is the unbounded-safe default).
+
+    Shuffle shape: only the counter rows that can CAUSE a drop —
+    ``n > max_occurrences``, the boilerplate/dup inventory, typically
+    a sliver of the counter — ride the para-hash shuffle next to the
+    new-crawl paragraph rows (a lookup miss already means keep, so
+    pruning the ≤-threshold rows changes no decision); the drop
+    decision is a partition-local lookup, and one id-keyed shuffle
+    reassembles — the base corpus text never moves at all."""
+    if reassembly not in ("shuffle", "broadcast"):
+        raise ValueError(f"reassembly={reassembly!r}")
+
+    if reassembly == "broadcast":
+        import pyarrow.compute as pc
+        import ray
+
+        dups_ds = read_paragraph_counts(counts_dir).map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("n"), max_occurrences))
+            .select(["para"]),
+            batch_format="pyarrow").materialize()
+        n_dups = dups_ds.count()
+        if n_dups > max_broadcast_drops:
+            raise ValueError(
+                f"{n_dups} dup paragraphs exceed max_broadcast_drops="
+                f"{max_broadcast_drops}; use reassembly='shuffle' "
+                f"(unbounded-safe) instead")
+        dupset = frozenset(
+            p for b in dups_ds.iter_batches(batch_format="pyarrow")
+            for p in b.column("para").to_pylist())
+        ref = ray.put(dupset)
+
+        def rewrite(b: pa.Table) -> pa.Table:
+            dset = ray.get(ref)  # local object-store hit per worker
+            out_i, out_t = [], []
+            ids = b.column(id_col).to_pylist()
+            texts = pc.fill_null(b.column(col), "").to_pylist()
+            for i, t in zip(ids, texts):
+                segs = [p for p in t.split("\n")
+                        if p == "" or p not in dset]
+                if segs:  # all-dropped docs vanish (GROUP BY parity)
+                    out_i.append(i)
+                    out_t.append("\n".join(segs))
+            return pa.table({
+                id_col: pa.array(out_i, b.schema.field(id_col).type),
+                col: pa.array(out_t, pa.string())})
+
+        return new_ds.map_batches(rewrite, batch_format="pyarrow")
+
     def explode_key(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -428,6 +482,12 @@ def dedup_paragraphs_incremental(new_ds, counts_dir: str,
     idt = dict(zip(sch.names, sch.types))[id_col]
 
     def tag_counts(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # prune: rows at or under the threshold can never drop a new
+        # paragraph (miss ⇒ count 0 ⇒ keep), so only the dup
+        # inventory ships through the shuffle
+        b = b.filter(pc.greater(b.column("n"), max_occurrences))
         nr = b.num_rows
         return pa.table({
             id_col: pa.nulls(nr, idt),

@@ -357,3 +357,51 @@ def test_incremental_counts_and_dedup(ray_session, tmp_path):
     cnt = (P.read_paragraph_counts(cdir).to_pandas()
            .set_index("para")["n"])
     assert cnt[boiler] == 4 and cnt["base one"] == 2
+
+
+def test_incremental_broadcast_mode_parity_and_guard(ray_session,
+                                                     tmp_path):
+    """Broadcast reassembly (zero-shuffle fast path) must produce
+    byte-identical output to the shuffle mode, and the bounded-small-
+    side guard must refuse an oversized dup inventory."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import paragraphs as P
+
+    base = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["dup a\nsolo base\n\ndup b",
+                          "dup a\ndup b"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["dup a\nnew solo\n\ndup b",
+                          "dup a"], pa.string()),
+    })
+    cdir = str(tmp_path / "c")
+    P.build_paragraph_counts(rd.from_arrow(base), cdir,
+                             col="text", num_partitions=4)
+    P.update_paragraph_counts(rd.from_arrow(new), cdir,
+                              col="text", num_partitions=4)
+    kw = dict(col="text", id_col="doc_id", max_occurrences=1,
+              num_partitions=4)
+    shuf = (P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
+                                           **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    bcast = (P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
+                                            reassembly="broadcast",
+                                            **kw)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bcast, shuf)
+    assert bcast["doc_id"].tolist() == [10]
+    assert bcast.loc[0, "text"] == "new solo\n"
+    with pytest.raises(ValueError, match="max_broadcast_drops"):
+        P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
+                                       reassembly="broadcast",
+                                       max_broadcast_drops=1, **kw)
+    with pytest.raises(ValueError, match="reassembly"):
+        P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
+                                       reassembly="bogus", **kw)

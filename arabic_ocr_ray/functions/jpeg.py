@@ -380,6 +380,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 50,
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("image exceeds JPEG's 16-bit dimension limit")
 
     qt_l = quant_table(QT_LUM, quality)
     sub = 2 if (not gray and subsampling == "420") else 1
@@ -413,7 +415,7 @@ def jpeg_encode(arr: np.ndarray, quality: int = 50,
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
         out += bytes(int(x) for x in qt[ZIGZAG])
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps),
-                                     8, mh and h, w, len(comps))  # SOF0
+                                     8, h, w, len(comps))          # SOF0
     for cid, hs, vs, tq, _, _ in comps:
         out += struct.pack("BBB", cid, (hs << 4) | vs, tq)
     huff_specs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]

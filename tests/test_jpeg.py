@@ -112,6 +112,23 @@ def test_fuzz_any_dims_round_trip(h, w, q, seed):
     assert out.shape == (h, w) and out.dtype == np.uint8
 
 
+@settings(max_examples=12, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24),
+       sub=st.sampled_from(["444", "420"]), seed=st.integers(0, 2**16))
+def test_fuzz_rgb_round_trip(h, w, sub, seed):
+    """RGB through both chroma modes on arbitrary dims: exact shape,
+    uint8, no crash — the color-path twin of the gray fuzz."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=80, subsampling=sub))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+
+def test_rejects_oversized_dims():
+    with pytest.raises(ValueError, match="16-bit"):
+        jpeg_encode(np.zeros((1, 70000), np.uint8))
+
+
 def test_pixel_decoder_jpeg_rows_and_corrupt_status():
     docs = pa.table({
         "doc_id": pa.array([1, 2, 3, 97 * 2], pa.int64()),

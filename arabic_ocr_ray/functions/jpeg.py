@@ -152,9 +152,15 @@ def _encode_codes(bits, vals):
     return codes
 
 
-#: spec-table → decode-LUT cache; real streams reuse the Annex K
-#: tables, so per-image DHT segments hit this after the first build
+#: spec-table → decode-LUT cache.  Streams from non-optimizing
+#: encoders reuse the four Annex K tables, but libjpeg -optimize /
+#: mozjpeg output carries per-image tables, so a long-lived decoder
+#: actor would otherwise accumulate one ~0.5 MB list per distinct
+#: spec forever — bounded by clear-on-full (same policy as the
+#: extract label cache): the common-table hit rate is what matters,
+#: and those re-enter the cache immediately after a clear.
 _LUT_CACHE: dict = {}
+_LUT_CACHE_MAX = 64
 
 
 def _decode_table(bits, vals):
@@ -176,6 +182,8 @@ def _decode_table(bits, vals):
                 k += 1
                 code += 1
             code <<= 1
+        if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.clear()
         lut = _LUT_CACHE[key] = arr.tolist()
     return lut
 
@@ -495,8 +503,18 @@ def _split_scan(data: bytes, pos: int):
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF/JPEG bytes → (h, w) uint8 gray or (h, w, 3) RGB.
 
-    Raises ``ValueError`` on non-JPEG, truncated, progressive (SOF2)
-    or otherwise unsupported-by-baseline input."""
+    Raises ``ValueError`` on ANY malformed input — non-JPEG,
+    truncated, progressive (SOF2), corrupt segment lengths, short
+    DHT/SOF/SOS tables — never ``struct.error``/``IndexError``: the
+    decoder is a crawl-facing surface and PixelDecoder's per-row
+    error isolation catches ``ValueError`` only."""
+    try:
+        return _jpeg_decode_impl(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _jpeg_decode_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -631,7 +649,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
 
 def probe_jpeg(p: bytes) -> dict:
-    """Header-only dims probe (marker walk to SOF), for HeaderDecoder."""
+    """Header-only dims probe (marker walk to SOF), for HeaderDecoder.
+    Like :func:`jpeg_decode`, corrupt input raises ``ValueError`` only."""
+    try:
+        return _probe_jpeg_impl(p)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _probe_jpeg_impl(p: bytes) -> dict:
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         raise ValueError("bad jpeg header")
     pos = 2

@@ -215,9 +215,10 @@ def decode_metadata(ds, concurrency: int = 4, batch_size: int = 16,
 
 # --- REAL bulk decode (PNG pixels / WAV PCM; stdlib codecs) ----------------
 #
-# Closes the r4 "StubDecoder" weakness for the two formats stdlib can
-# genuinely decode (functions/codecs.py).  Video bulk decode remains
-# stubbed — no codec exists in this sandbox — and stays loudly marked.
+# Closes the r4 "StubDecoder" weakness: every payload kind decodes for
+# real — PNG/WAV/uncompressed-AVI via functions/codecs.py, baseline
+# JPEG via functions/jpeg.py.  Inter-frame compressed video is the one
+# thing rejected (loudly, per row) rather than decoded.
 #
 # Synthetic-corpus content formulas (integer, SQL-twinned):
 # nb = octet_length(utf-8 text), r = nb % 256

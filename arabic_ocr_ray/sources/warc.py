@@ -96,13 +96,24 @@ def _warcinfo() -> bytes:
             b"\r\n" + body + b"\r\n\r\n")
 
 
-def parse_warc_bytes(data: bytes) -> pa.Table:
+def parse_warc_bytes(data: bytes, strict: bool = False) -> pa.Table:
     """One WARC file's bytes → pages-schema Arrow table.
 
     Pure Content-Length arithmetic (no marker splitting); non-response
     records (warcinfo, request, metadata) are skipped.  Per-record
     Python is unavoidable for a record-framed format — the payload
-    handling is zero-copy slicing, and one file is one task."""
+    handling is zero-copy slicing, and one file is one task.
+
+    Malformed-record isolation (real CC archives do contain oddities —
+    the per-record twin of PixelDecoder/PdfExtractor's per-row status):
+    a response record missing WARC-Target-URI / WARC-Date, with an
+    unparseable date, or whose HTTP payload lacks the CRLFCRLF header
+    terminator is SKIPPED (framing is unaffected: the record-level
+    Content-Length was read fine).  Only a record-level Content-Length
+    that won't parse stops the file — the framing itself is lost at
+    that point and resyncing on ``WARC/1.0`` markers would corrupt
+    records (payloads may legally contain them).  ``strict=True``
+    raises ``ValueError`` instead, for fixture-validation paths."""
     urls, tss, htmls, langs = [], [], [], []
     pos, n = 0, len(data)
     while pos < n:
@@ -113,21 +124,38 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
         for line in data[pos:hdr_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get(b"content-length", b"0"))
+        try:
+            clen = int(headers.get(b"content-length", b"0"))
+            if clen < 0:
+                raise ValueError("negative Content-Length")
+        except ValueError:
+            if strict:
+                raise ValueError(
+                    f"unparseable record Content-Length at offset {pos}")
+            break  # framing lost — cannot locate the next record
         payload = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen + 4  # skip record separator CRLFCRLF
         if headers.get(b"warc-type") != b"response":
             continue
-        http_end = payload.find(b"\r\n\r\n")
-        http_headers: dict[bytes, bytes] = {}
-        for line in payload[:http_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            http_headers[k.strip().lower()] = v.strip()
-        body_len = int(http_headers.get(b"content-length",
-                                        str(len(payload) - http_end - 4)
-                                        .encode()))
-        urls.append(headers[b"warc-target-uri"].decode())
-        tss.append(_ts_us(headers[b"warc-date"]))
+        try:
+            url = headers[b"warc-target-uri"].decode()
+            ts = _ts_us(headers[b"warc-date"])
+            http_end = payload.find(b"\r\n\r\n")
+            if http_end < 0:
+                raise ValueError("no HTTP header terminator in payload")
+            http_headers: dict[bytes, bytes] = {}
+            for line in payload[:http_end].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                http_headers[k.strip().lower()] = v.strip()
+            body_len = int(http_headers.get(
+                b"content-length",
+                str(len(payload) - http_end - 4).encode()))
+        except (KeyError, ValueError, UnicodeDecodeError) as e:
+            if strict:
+                raise ValueError(f"malformed response record: {e}") from e
+            continue  # skip this record; framing already advanced
+        urls.append(url)
+        tss.append(ts)
         htmls.append(payload[http_end + 4:http_end + 4 + body_len])
         lg = http_headers.get(b"content-language")
         langs.append(lg.decode() if lg is not None else None)

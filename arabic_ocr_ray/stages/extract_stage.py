@@ -139,7 +139,8 @@ class MixedExtract(ExtractText):
             return super().__call__(batch)
         from ..functions.pdftext import pdf_extract
 
-        html_idx = [i for i in range(len(htmls)) if i not in set(pdf_idx)]
+        pdf_set = set(pdf_idx)
+        html_idx = [i for i in range(len(htmls)) if i not in pdf_set]
         parts = []
         if html_idx:
             parts.append((html_idx, super().__call__(batch.take(html_idx))))

@@ -165,3 +165,63 @@ def test_header_decoder_probes_jpeg_kind():
     assert r["status"] == "ok"
     assert r["width"] == 8 * (2 + nb % 6)
     assert r["height"] == 8 * (2 + (nb * 3) % 5)
+
+
+def test_corrupt_segments_raise_valueerror_not_struct_error():
+    """Corrupt (non-truncated) input must raise ValueError — the only
+    exception PixelDecoder/HeaderDecoder's per-row isolation catches —
+    never struct.error / IndexError (which would kill the whole task)."""
+    good = jpeg_encode(np.full((16, 16), 99, np.uint8), quality=50)
+    # SOF0 segment length shrunk to 4: too short for the >BHHB unpack
+    sof = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof + 2:sof + 4] = (4).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))
+    # DHT shrunk mid-BITS: bits[length-1] would IndexError
+    dht = good.index(b"\xff\xc4")
+    bad = bytearray(good)
+    bad[dht + 2:dht + 4] = (10).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))
+    # SOS claiming 200 scan components: seg[1+2*c] out of range
+    sos = good.index(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos + 4] = 200
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))
+    # probe on a payload truncated right after SOF marker + length
+    with pytest.raises(ValueError):
+        probe_jpeg(b"\xff\xd8\xff\xc0\x00\x20\x08\x00")
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_corrupt_bytes_never_escape_valueerror(seed):
+    """Byte-flip fuzz over a real stream (restart markers + 4:2:0):
+    decode/probe either succeed or raise ValueError — nothing else."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    good = jpeg_encode(img, quality=75, subsampling="420",
+                       restart_interval=2)
+    bad = bytearray(good)
+    for p in rng.integers(2, len(bad), size=4):
+        bad[int(p)] = int(rng.integers(0, 256))
+    for fn in (jpeg_decode, probe_jpeg):
+        try:
+            fn(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_lut_cache_is_bounded():
+    """Per-image optimized Huffman tables must not grow decoder-actor
+    RSS without bound: the LUT cache clears on full."""
+    from arabic_ocr_ray.functions import jpeg as J
+
+    J._LUT_CACHE.clear()
+    bits = [0, 1] + [0] * 14              # one code of length 2
+    for v in range(J._LUT_CACHE_MAX + 9):
+        J._decode_table(bits, [v])        # 73 distinct table specs
+    assert 0 < len(J._LUT_CACHE) <= J._LUT_CACHE_MAX
+    J._LUT_CACHE.clear()

@@ -126,3 +126,45 @@ def test_warc_gz_round_trip(ray_session, tmp_path):
     mixed = _canon_pages(
         W.read_warc_pages(str(tmp_path / "gz")).to_pandas())
     assert len(mixed) == 240  # 120 gz + 120 plain copies
+
+
+def test_malformed_records_skipped_not_fatal():
+    """One bad record in a 1 GiB archive must not kill the file's
+    parse task: record-level framing survives, the bad record is
+    skipped, good neighbors still come through (strict=True raises)."""
+    import pytest
+
+    good1 = W.record_bytes("http://a.example/1", 1_000_000, b"<p>A</p>", "en")
+    good2 = W.record_bytes("http://a.example/2", 2_000_000, b"<p>B</p>", "ar")
+    # response record missing WARC-Target-URI
+    no_uri = good1.replace(b"WARC-Target-URI: http://a.example/1\r\n", b"")
+    # response whose HTTP payload has no CRLFCRLF terminator
+    http = b"HTTP/1.1 200 OK no-terminator <p>C</p>"
+    no_term = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"WARC-Target-URI: http://a.example/3\r\n"
+               b"WARC-Date: 1970-01-01T00:00:03.000000Z\r\n"
+               b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+               b"\r\n" + http + b"\r\n\r\n")
+    # unparseable WARC-Date
+    bad_date = good1.replace(b"WARC-Date: 1970-01-01T00:00:01.000000Z",
+                             b"WARC-Date: not-a-date")
+    t = W.parse_warc_bytes(good1 + no_uri + no_term + bad_date + good2)
+    assert t.column("url").to_pylist() == [
+        "http://a.example/1", "http://a.example/2"]
+    assert t.column("html").to_pylist() == [b"<p>A</p>", b"<p>B</p>"]
+    with pytest.raises(ValueError, match="malformed"):
+        W.parse_warc_bytes(no_uri, strict=True)
+    # record-level Content-Length garbage: framing is lost — parse
+    # stops there but keeps everything before it (strict raises)
+    bad_frame = (b"WARC/1.0\r\n"
+                 b"WARC-Type: response\r\n"
+                 b"WARC-Target-URI: http://a.example/9\r\n"
+                 b"WARC-Date: 1970-01-01T00:00:09.000000Z\r\n"
+                 b"Content-Length: banana\r\n"
+                 b"\r\n" + b"junk" + b"\r\n\r\n")
+    broken = good1 + bad_frame + good2
+    t2 = W.parse_warc_bytes(broken)
+    assert t2.column("url").to_pylist() == ["http://a.example/1"]
+    with pytest.raises(ValueError, match="Content-Length"):
+        W.parse_warc_bytes(broken, strict=True)

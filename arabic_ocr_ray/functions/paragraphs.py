@@ -325,6 +325,33 @@ def _current_epoch(counts_dir: str) -> str:
         return f.read().strip()
 
 
+def _resolve_partitions(counts_dir: str,
+                        num_partitions: int | None) -> int:
+    """The stored ``__jk`` keys are ``hash(para) % N`` with N fixed at
+    build time; any consumer hashing with a different N lands counter
+    rows and new-crawl rows in different groups — every lookup would
+    miss and NO duplicate would ever drop, silently.  So N is recorded
+    in ``_meta.json`` at build and every update/dedup resolves it from
+    there; passing an explicit conflicting value raises instead of
+    silently disabling drops."""
+    import json
+    import os
+
+    meta_path = os.path.join(counts_dir, "_meta.json")
+    try:
+        with open(meta_path) as f:
+            stored = int(json.load(f)["num_partitions"])
+    except FileNotFoundError:
+        # pre-meta counter dir: trust the caller (legacy behavior)
+        return num_partitions if num_partitions else _PARTITIONS
+    if num_partitions is not None and num_partitions != stored:
+        raise ValueError(
+            f"num_partitions={num_partitions} conflicts with the "
+            f"counter's build-time value {stored} (stored __jk keys "
+            f"are hash % {stored}); omit the argument or rebuild")
+    return stored
+
+
 def _write_epoch(counts_ds, counts_dir: str, epoch: str,
                  num_partitions: int) -> None:
     """Fold partials → write one epoch dir → swap the pointer."""
@@ -348,9 +375,12 @@ def build_paragraph_counts(ds, counts_dir: str, col: str = "text",
     BASE crawl: explode → map-side per-batch combine → ONE para-keyed
     fold → ``epoch-0``.  The base text is read exactly once and never
     again by later updates."""
+    import json
     import os
 
     os.makedirs(counts_dir, exist_ok=True)
+    with open(os.path.join(counts_dir, "_meta.json"), "w") as f:
+        json.dump({"num_partitions": int(num_partitions)}, f)
     _write_epoch(ds.map_batches(_counts_partials(col, num_partitions),
                                 batch_format="pyarrow"),
                  counts_dir, "epoch-0", num_partitions)
@@ -368,15 +398,18 @@ def read_paragraph_counts(counts_dir: str):
 
 def update_paragraph_counts(new_ds, counts_dir: str,
                             col: str = "text",
-                            num_partitions: int = _PARTITIONS) -> None:
+                            num_partitions: int | None = None) -> None:
     """Merge a NEW crawl's paragraph counts into the counter table:
     union(current epoch, new partials) → one para-keyed sum fold →
     next epoch → atomic pointer swap → old epoch removed.  Cost ∝
     |distinct paragraphs| + |new crawl|; the base corpus text is not
-    touched."""
+    touched.  ``num_partitions`` is resolved from the counter's own
+    ``_meta.json`` (see :func:`_resolve_partitions`); an explicit
+    conflicting value raises."""
     import os
     import shutil
 
+    num_partitions = _resolve_partitions(counts_dir, num_partitions)
     cur = _current_epoch(counts_dir)
     nxt = f"epoch-{int(cur.split('-')[1]) + 1}"
     merged = read_paragraph_counts(counts_dir).union(
@@ -390,7 +423,7 @@ def dedup_paragraphs_incremental(new_ds, counts_dir: str,
                                  col: str = "text",
                                  id_col: str = "doc_id",
                                  max_occurrences: int = 1,
-                                 num_partitions: int = _PARTITIONS,
+                                 num_partitions: int | None = None,
                                  reassembly: str = "shuffle",
                                  max_broadcast_drops: int = 2_000_000):
     """→ Dataset(id_col, col) — drop_all paragraph dedup of the NEW
@@ -417,9 +450,14 @@ def dedup_paragraphs_incremental(new_ds, counts_dir: str,
     new-crawl paragraph rows (a lookup miss already means keep, so
     pruning the ≤-threshold rows changes no decision); the drop
     decision is a partition-local lookup, and one id-keyed shuffle
-    reassembles — the base corpus text never moves at all."""
+    reassembles — the base corpus text never moves at all.
+
+    ``num_partitions`` is resolved from the counter's ``_meta.json``
+    (the stored ``__jk`` keys fix it at build time); an explicit
+    conflicting value raises."""
     if reassembly not in ("shuffle", "broadcast"):
         raise ValueError(f"reassembly={reassembly!r}")
+    num_partitions = _resolve_partitions(counts_dir, num_partitions)
 
     if reassembly == "broadcast":
         import pyarrow.compute as pc
@@ -502,23 +540,34 @@ def dedup_paragraphs_incremental(new_ds, counts_dir: str,
         tag_counts, batch_format="pyarrow")
     tagged = new_ds.map_batches(explode_key, batch_format="pyarrow")
 
-    int_id = pa.types.is_integer(idt)
+    def fold(t: pa.Table) -> pa.Table:
+        # Arrow end to end: a pandas fold would convert the id column
+        # (int64 + counter-side nulls) to float64, silently corrupting
+        # hash-derived ids above 2^53 on the round trip back.
+        import pyarrow.compute as pc
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[df["side"] == 0]
-        s = df[df["side"] == 1]
-        nmap = pd.Series(c["n"].to_numpy(), index=c["para"].to_numpy())
-        nmap = nmap[~nmap.index.duplicated()]  # defensive: one row/para
-        ns = s["para"].map(nmap).fillna(0).to_numpy()
-        keep = (s["para"].to_numpy() == "") | (ns <= max_occurrences)
-        out = s.loc[keep, [id_col, "pos", "para"]]
-        if int_id:  # counter-side nulls floated the whole id column
-            out = out.astype({id_col: np.int64})
-        return out
+        t = t.combine_chunks()
+        side = t.column("side")
+        s = t.filter(pc.equal(side, 1))
+        if s.num_rows == 0:
+            return s.select([id_col, "pos", "para"])
+        c = t.filter(pc.equal(side, 0))
+        paras = s.column("para")
+        if c.num_rows:
+            # index_in keeps the FIRST match (one row/para by
+            # construction; defensive vs duplicates like the old fold)
+            idx = pc.index_in(paras,
+                              value_set=c.column("para").combine_chunks())
+            ns = pc.fill_null(pc.take(c.column("n"), idx), 0)
+        else:
+            ns = pa.array(np.zeros(s.num_rows, np.int64))
+        keep = pc.or_(pc.equal(paras, ""),
+                      pc.less_equal(ns, max_occurrences))
+        return s.filter(keep).select([id_col, "pos", "para"])
 
     decided = (counts.union(tagged)
                .groupby("__jk", num_partitions=num_partitions)
-               .map_groups(arrow_clean(fold), batch_format="pandas"))
+               .map_groups(fold, batch_format="pyarrow"))
 
     def add_rk(b: pa.Table) -> pa.Table:
         return b.append_column(

@@ -405,3 +405,71 @@ def test_incremental_broadcast_mode_parity_and_guard(ray_session,
     with pytest.raises(ValueError, match="reassembly"):
         P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
                                        reassembly="bogus", **kw)
+
+
+def test_incremental_counter_partition_meta(ray_session, tmp_path):
+    """The counter records its build-time num_partitions: consumers
+    resolve it from _meta.json (omitting the arg just works), and an
+    explicit conflicting value raises instead of silently landing
+    counter and new-crawl rows in different groups (which would
+    disable every drop)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import paragraphs as P
+
+    base = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["dup\nsolo"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([10], pa.int64()),
+        "text": pa.array(["dup\nnew solo"], pa.string()),
+    })
+    cdir = str(tmp_path / "c")
+    P.build_paragraph_counts(rd.from_arrow(base), cdir,
+                             col="text", num_partitions=8)
+    with pytest.raises(ValueError, match="num_partitions"):
+        P.update_paragraph_counts(rd.from_arrow(new), cdir,
+                                  col="text", num_partitions=4)
+    P.update_paragraph_counts(rd.from_arrow(new), cdir, col="text")
+    with pytest.raises(ValueError, match="num_partitions"):
+        P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
+                                       col="text", id_col="doc_id",
+                                       num_partitions=16)
+    got = (P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
+                                          col="text", id_col="doc_id")
+           .to_pandas())
+    assert got["text"].tolist() == ["new solo"]  # 'dup' (2x) dropped
+
+
+def test_incremental_dedup_preserves_large_int_ids(ray_session,
+                                                   tmp_path):
+    """Hash-derived int64 ids above 2^53: the decision fold must not
+    round-trip ids through float64 (counter-side nulls would float the
+    column and collapse adjacent ids)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import paragraphs as P
+
+    big = 2**62 + 2**61  # not representable exactly as float64 ±1
+    base = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["boiler\nbase solo"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([big, big + 1, big + 3], pa.int64()),
+        "text": pa.array(["boiler\nkeep a", "boiler\nkeep b",
+                          "keep c"], pa.string()),
+    })
+    cdir = str(tmp_path / "c")
+    P.build_paragraph_counts(rd.from_arrow(base), cdir,
+                             col="text", num_partitions=4)
+    P.update_paragraph_counts(rd.from_arrow(new), cdir, col="text")
+    got = (P.dedup_paragraphs_incremental(rd.from_arrow(new), cdir,
+                                          col="text", id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [big, big + 1, big + 3]
+    assert got["text"].tolist() == ["keep a", "keep b", "keep c"]

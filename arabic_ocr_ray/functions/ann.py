@@ -264,47 +264,78 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
 
 
 def append_ivf_index(new_ds, index_dir: str,
-                     id_col: str = "vec_id", col: str = "embedding"):
+                     id_col: str = "vec_id", col: str = "embedding",
+                     append_id: str | None = None):
     """Incremental index maintenance — the crawl-over-crawl shape:
     assign NEW vectors to the EXISTING centroids (no retrain, no
-    rebuild, no read of existing cell data) and append them as fresh
-    parquet fragments inside the same ``ivf_cell=<c>/`` directories.
-    Cost ∝ |new| only; :func:`knn_ivf_probe` reads the union
-    transparently because probing is directory-level (every fragment
-    in a probed cell dir is scored, whichever build wrote it).
+    rebuild, no read of existing cell data) and append them as a
+    fresh ``append-<id>/ivf_cell=<c>/`` fragment set.  Cost ∝ |new|
+    only; :func:`knn_ivf_probe` reads base + append cell dirs as one
+    union (every fragment in a probed cell is scored, whichever build
+    wrote it).
+
+    Crash/retry safety (two-phase commit): fragments are written to
+    ``_staging-<id>/`` (underscore-prefixed — invisible to probes;
+    overwrite mode makes a retried staging write clean), then ONE
+    atomic directory rename publishes them, then the meta update
+    records the append under its id — so a crashed append never
+    serves partial data, and re-running it (same ``append_id``; the
+    default auto-id re-derives the same value under the documented
+    single-writer contract) resumes instead of duplicating vectors:
+    already-committed ⇒ no-op, committed-but-unrecorded ⇒ finish the
+    meta, uncommitted ⇒ restage.  The committed row count is read
+    from parquet metadata, not by re-executing ``new_ds``.
 
     Centroids are frozen by design: cell assignment must stay
     consistent with the fragments already on disk, so drift is a
-    REBUILD decision (``build_ivf_index``, mode=overwrite), not an
-    append — the same contract FAISS's ``add`` has.  Returns the
-    (C, d) centroid matrix used."""
+    REBUILD decision (``build_ivf_index``, mode=overwrite, which also
+    clears all append dirs), not an append — the same contract
+    FAISS's ``add`` has.  Returns the (C, d) centroid matrix used."""
     import json
 
+    import pyarrow.dataset as pads
     import ray
-
-    C = _load_centroids(index_dir)
-    cref = ray.put(C)
-
-    def assign(b: pa.Table) -> pa.Table:
-        C_ = ray.get(cref)
-        E = _normalize(vectors_matrix(b.column(col)))
-        cell = np.argmax(np.round(E @ C_.T, 9), axis=1)
-        return pa.table({
-            id_col: b.column(id_col),
-            col: b.column(col),
-            "ivf_cell": pa.array(cell.astype(np.int32)),
-        })
-
-    (new_ds.select_columns([id_col, col])
-     .map_batches(assign, batch_format="pyarrow")
-     .write_parquet(index_dir, partition_cols=["ivf_cell"]))
 
     meta_path = os.path.join(index_dir, "_meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    meta["n_rows"] = int(meta.get("n_rows", 0)) + int(new_ds.count())
-    with open(meta_path, "w") as f:
+    appends: dict = meta.setdefault("appends", {})
+    if append_id is None:
+        append_id = f"a{len(appends)}"
+    append_id = str(append_id)
+    C = _load_centroids(index_dir)
+    if append_id in appends:
+        return C  # fully committed earlier: idempotent no-op
+
+    commit_dir = os.path.join(index_dir, f"append-{append_id}")
+    if not os.path.isdir(commit_dir):
+        staging = os.path.join(index_dir, f"_staging-{append_id}")
+        cref = ray.put(C)
+
+        def assign(b: pa.Table) -> pa.Table:
+            C_ = ray.get(cref)
+            E = _normalize(vectors_matrix(b.column(col)))
+            cell = np.argmax(np.round(E @ C_.T, 9), axis=1)
+            return pa.table({
+                id_col: b.column(id_col),
+                col: b.column(col),
+                "ivf_cell": pa.array(cell.astype(np.int32)),
+            })
+
+        (new_ds.select_columns([id_col, col])
+         .map_batches(assign, batch_format="pyarrow")
+         .write_parquet(staging, partition_cols=["ivf_cell"],
+                        mode="overwrite"))
+        os.rename(staging, commit_dir)  # THE commit point (atomic)
+
+    appends[append_id] = int(pads.dataset(commit_dir).count_rows())
+    base = int(meta.get("n_rows_base", meta.get("n_rows", 0)))
+    meta["n_rows_base"] = base
+    meta["n_rows"] = base + sum(appends.values())
+    tmp = f"{meta_path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, meta_path)
     return C
 
 
@@ -345,9 +376,18 @@ def knn_ivf_probe(index_dir: str, query_ids: list[int], k: int = 5,
     import ray.data as rd
 
     C = _load_centroids(index_dir)
-    cells_on_disk = sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(index_dir)
-        if d.startswith("ivf_cell="))
+    # base layout + any committed append-<id>/ layers (two-phase
+    # appends; in-flight _staging-* dirs are deliberately invisible)
+    roots = [index_dir] + sorted(
+        os.path.join(index_dir, d) for d in os.listdir(index_dir)
+        if d.startswith("append-"))
+    cell_dirs: dict[int, list[str]] = {}
+    for root in roots:
+        for d in os.listdir(root):
+            if d.startswith("ivf_cell="):
+                cell_dirs.setdefault(int(d.split("=", 1)[1]), []) \
+                    .append(os.path.join(root, d))
+    cells_on_disk = sorted(cell_dirs)
     if nprobe is None:
         # small index (fits the centroid sample) ⇒ nothing to prune
         # ⇒ probe all cells ⇒ exact partitioned brute force
@@ -375,10 +415,10 @@ def knn_ivf_probe(index_dir: str, query_ids: list[int], k: int = 5,
     # batch spanning cells still scores each cell against exactly its
     # probing queries.
     files = [
-        os.path.join(index_dir, f"ivf_cell={c}", f)
+        os.path.join(cd, f)
         for c in sorted(cell_to_queries)
-        for f in sorted(os.listdir(
-            os.path.join(index_dir, f"ivf_cell={c}")))
+        for cd in cell_dirs[c]
+        for f in sorted(os.listdir(cd))
         if f.endswith(".parquet")]
     if not files:
         return rd.from_arrow(pa.table({

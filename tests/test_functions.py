@@ -429,12 +429,14 @@ def test_ivf_append_incremental(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(idx, d, f)) == mtime
     meta = json.load(open(os.path.join(idx, "_meta.json")))
     assert meta["n_rows"] == 400
-    total = sum(
-        pq.read_metadata(os.path.join(idx, d, f)).num_rows
-        for d in os.listdir(idx) if d.startswith("ivf_cell=")
-        for f in os.listdir(os.path.join(idx, d))
-        if f.endswith(".parquet"))
-    assert total == 400  # union fully indexed, no dup rows
+
+    def total_rows():
+        return sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _, fs in os.walk(idx) for f in fs
+            if f.endswith(".parquet"))
+
+    assert total_rows() == 400  # union fully indexed, no dup rows
     qids = [0, 1, 7, 250]  # both parities, incl. appended-side ids
     got = (ann.knn_ivf_probe(idx, qids, k=5).to_pandas()
            .sort_values(["query_id", "rank"]).reset_index(drop=True))
@@ -442,6 +444,48 @@ def test_ivf_append_incremental(ray_session, tmp_path):
              .to_pandas().sort_values(["query_id", "rank"])
              .reset_index(drop=True))
     pd.testing.assert_frame_equal(exact, got[exact.columns])
+
+    # retry safety: re-running the SAME append (auto-id re-derives
+    # "a0": commit dir exists, meta has it) is an exact no-op
+    ann.append_ivf_index(new, idx, append_id="a0")
+    assert total_rows() == 400
+    assert json.load(open(os.path.join(idx, "_meta.json")))["n_rows"] \
+        == 400
+
+    # crash between commit-rename and meta write: strip the meta
+    # entry (data is on disk, unrecorded) — the retry must finish the
+    # bookkeeping from parquet metadata, never restage or duplicate
+    m = json.load(open(os.path.join(idx, "_meta.json")))
+    del m["appends"]["a0"]
+    m["n_rows"] = m["n_rows_base"]
+    json.dump(m, open(os.path.join(idx, "_meta.json"), "w"))
+    frag_before = {
+        os.path.join(root, f): os.path.getmtime(os.path.join(root, f))
+        for root, _, fs in os.walk(idx) for f in fs
+        if f.endswith(".parquet")}
+    ann.append_ivf_index(new, idx)  # auto-id re-derives a0
+    assert total_rows() == 400
+    assert json.load(open(os.path.join(idx, "_meta.json")))["n_rows"] \
+        == 400
+    for p, mt in frag_before.items():  # nothing rewritten
+        assert os.path.getmtime(p) == mt
+
+    # crash mid-staging: a leftover _staging dir must be invisible to
+    # probes and cleanly overwritten by the retry
+    os.makedirs(os.path.join(idx, "_staging-a1", "ivf_cell=0"),
+                exist_ok=True)
+    got2 = (ann.knn_ivf_probe(idx, qids, k=5).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, got2[exact.columns])
+    extra = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1000], pa.int64()),
+        "embedding": pa.array([[1.0] * 32], pa.list_(pa.float32())),
+    }))
+    ann.append_ivf_index(extra, idx, append_id="a1")
+    assert total_rows() == 401
+    assert not os.path.exists(os.path.join(idx, "_staging-a1"))
+    assert json.load(open(os.path.join(idx, "_meta.json")))["n_rows"] \
+        == 401
 
 
 def test_connected_components_triangle_and_chain(ray_session):

@@ -274,6 +274,8 @@ def _decode_mcu_run(db: bytes, order, dc_tabs, ac_tabs, zz_store,
                         sym = e & 0xFF
                         if k == 0:
                             size = sym
+                            if size > 11:  # T.81 table F.1: DC SSSS 0..11
+                                raise ValueError("bad DC symbol")
                         else:
                             if sym == 0x00:            # EOB
                                 break
@@ -510,7 +512,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     error isolation catches ``ValueError`` only."""
     try:
         return _jpeg_decode_impl(data)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, OverflowError) as e:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -569,10 +571,15 @@ def _jpeg_decode_impl(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
+            if fh == 0 or fw == 0 or not 1 <= nc <= 4:
+                raise ValueError("bad SOF dimensions/component count")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
-                comps.append([cid, hv >> 4, hv & 15, tq])
+                h_s, v_s = hv >> 4, hv & 15
+                if not (1 <= h_s <= 4 and 1 <= v_s <= 4):
+                    raise ValueError("bad SOF sampling factors")
+                comps.append([cid, h_s, v_s, tq])
             frame = (fh, fw, comps)
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

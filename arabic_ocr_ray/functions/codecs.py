@@ -38,6 +38,26 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/px (8-bit)
 
 
+def _corrupt_guard(fn):
+    """Decoders are crawl-facing: corrupt bytes must surface as the
+    ValueError that PixelDecoder's per-row isolation catches, never a
+    stdlib internal — struct.error from a short unpack, IndexError
+    from a short slice, RuntimeError from wave's chunk seek on a
+    mangled RIFF, OverflowError from an absurd declared size — any of
+    which would kill the whole map_batches task."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data, *a, **kw):
+        try:
+            return fn(data, *a, **kw)
+        except (struct.error, IndexError,
+                OverflowError, RuntimeError) as e:
+            raise ValueError(
+                f"corrupt payload: {type(e).__name__}: {e}") from e
+    return wrapped
+
+
 def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
     """(h, w) or (h, w, c) uint8 → real PNG bytes (8-bit depth).
 
@@ -80,6 +100,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_corrupt_guard
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, c) uint8.  8-bit non-interlaced only (the
     standard web/thumbnail case); anything else raises ValueError."""
@@ -165,6 +186,7 @@ def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+@_corrupt_guard
 def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV bytes → ((frames, channels) int16, sample_rate).
     16-bit PCM only (the canonical synthetic/web-audio case)."""
@@ -229,6 +251,7 @@ def avi_encode(frames: np.ndarray, fps: int = 30) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_corrupt_guard
 def avi_decode_frames(data: bytes) -> np.ndarray:
     """Uncompressed RIFF AVI bytes → (f, h, w, 3) uint8 RGB.
 

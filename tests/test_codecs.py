@@ -233,3 +233,40 @@ def test_pixel_decoder_video_totals():
                      - 256 * max(0, r + w - 256))
             for r in (((nb + 3 * t) % 256) for t in range(f)))
         assert row["sum_px"] == exp
+
+
+def test_corrupt_bytes_never_escape_isolation_exceptions():
+    """Byte-flip fuzz across all three codecs and their probes:
+    corrupt input must raise only exceptions PixelDecoder /
+    HeaderDecoder's per-row isolation catches (ValueError, EOFError,
+    zlib.error, wave.Error, KeyError) — a struct.error / IndexError /
+    RuntimeError escape would kill the whole map_batches task."""
+    import wave
+
+    from arabic_ocr_ray.functions.codecs import (avi_decode_frames,
+                                                 avi_encode, wav_encode)
+    from arabic_ocr_ray.functions.multimodal import (probe_avi,
+                                                     probe_png,
+                                                     probe_wav)
+
+    ok = (ValueError, EOFError, zlib.error, wave.Error, KeyError)
+    rng0 = np.random.default_rng(7)
+    png = png_encode(rng0.integers(0, 256, size=(20, 30, 3),
+                                   dtype=np.uint8))
+    wav = wav_encode(rng0.integers(-32768, 32767, size=(800, 2))
+                     .astype(np.int16), 16000)
+    avi = avi_encode(rng0.integers(0, 256, size=(3, 16, 20, 3),
+                                   dtype=np.uint8))
+    cases = [(png_decode, png), (wav_decode, wav),
+             (avi_decode_frames, avi),
+             (probe_png, png), (probe_wav, wav), (probe_avi, avi)]
+    for seed in range(120):
+        rng = np.random.default_rng(seed)
+        for fn, good in cases:
+            bad = bytearray(good)
+            for p in rng.integers(2, len(bad), size=4):
+                bad[int(p)] = int(rng.integers(0, 256))
+            try:
+                fn(bytes(bad))
+            except ok:
+                pass

@@ -300,7 +300,8 @@ def append_ivf_index(new_ds, index_dir: str,
     with open(meta_path) as f:
         meta = json.load(f)
     appends: dict = meta.setdefault("appends", {})
-    if append_id is None:
+    auto_id = append_id is None
+    if auto_id:
         append_id = f"a{len(appends)}"
     append_id = str(append_id)
     C = _load_centroids(index_dir)
@@ -308,6 +309,18 @@ def append_ivf_index(new_ds, index_dir: str,
         return C  # fully committed earlier: idempotent no-op
 
     commit_dir = os.path.join(index_dir, f"append-{append_id}")
+    if auto_id and os.path.isdir(commit_dir):
+        # An orphaned commit dir (a previous append crashed between
+        # rename and meta write) holds SOME dataset's vectors — with
+        # an auto-derived id we cannot know whether it was this one.
+        # Silently adopting it would drop the new vectors without a
+        # trace; only an EXPLICIT append_id may resume a crash.
+        raise ValueError(
+            f"orphaned committed append at {commit_dir} (a previous "
+            f"append crashed before its meta update). Pass "
+            f"append_id={append_id!r} explicitly to finish THAT "
+            f"append's bookkeeping, or remove the directory, then "
+            f"retry this one")
     if not os.path.isdir(commit_dir):
         staging = os.path.join(index_dir, f"_staging-{append_id}")
         cref = ray.put(C)

@@ -637,7 +637,8 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
     idmap = ds.select_columns([id_col]).map_batches(
         lambda b: pa.table({"idh": _idh(b.column(id_col)),
                             "orig": b.column(id_col)}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # feeds BOTH joins: pin
+    # so the id-column scan + hash does not re-execute per consumer
     j1 = hash_join(cand, idmap, on="a", right_on="idh",
                    num_partitions=32)
 

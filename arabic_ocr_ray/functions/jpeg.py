@@ -601,6 +601,14 @@ def _jpeg_decode_impl(data: bytes) -> np.ndarray:
 
     fh, fw, comps = frame
     scan_comps, spos = scan
+    if len(scan_comps) != len(comps):
+        # A T.81-legal baseline file may carry one scan per component
+        # (non-interleaved).  This decoder handles the single
+        # interleaved scan only — decoding just the first scan would
+        # return a one-plane image with status "ok", silently wrong.
+        raise ValueError(
+            f"scan covers {len(scan_comps)}/{len(comps)} components "
+            f"(non-interleaved multi-scan JPEG unsupported)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))

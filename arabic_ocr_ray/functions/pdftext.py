@@ -497,7 +497,14 @@ def _page_content(objs: dict, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def _walk_pages(objs: dict, node, out: list) -> None:
+def _walk_pages(objs: dict, node, out: list,
+                _depth: int = 0) -> None:
+    # Depth bound: a corrupt /Kids reference can point back into the
+    # tree (cycle) — unbounded recursion would escape the per-row
+    # isolation as RecursionError and kill the whole batch.  Real
+    # page trees are a few levels deep; 64 is generous.
+    if _depth > 64:
+        raise ValueError("page tree too deep (cyclic /Kids?)")
     node = _deref(objs, node)
     if not isinstance(node, dict):
         raise ValueError("malformed page tree node")
@@ -505,7 +512,7 @@ def _walk_pages(objs: dict, node, out: list) -> None:
         out.append(node)
         return
     for kid in _deref(objs, node.get("/Kids")) or []:
-        _walk_pages(objs, kid, out)
+        _walk_pages(objs, kid, out, _depth + 1)
 
 
 def _decode_text(raw: bytes) -> str:
@@ -720,7 +727,8 @@ class PdfExtractor:
                 n_spans.append(r["n_spans"])
                 status.append("ok")
             except (ValueError, KeyError, TypeError, zlib.error,
-                    UnicodeDecodeError, AssertionError):
+                    UnicodeDecodeError, AssertionError,
+                    RecursionError):
                 texts.append("")
                 n_pages.append(0)
                 n_spans.append(0)

@@ -226,6 +226,23 @@ def write_warc_from_pages(pages_parquet: str, out_dir: str,
         df = df.sort_values("url", kind="mergesort")
         k = int(df["shard"].iat[0])
         path = os.path.join(out_dir, f"part-{k}{ext}")
+        if os.path.exists(path):
+            # Resume validation (same contract as export.py's shard
+            # resume): a pre-existing file must actually hold this
+            # shard's records — a stale out_dir from a different
+            # input would otherwise survive under a fresh-looking
+            # manifest that does not describe its contents.
+            with open(path, "rb") as f:
+                raw = f.read()
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            n_existing = parse_warc_bytes(raw).num_rows
+            if n_existing != len(df):
+                raise ValueError(
+                    f"resume mismatch: {path} holds {n_existing} "
+                    f"response records but the current input has "
+                    f"{len(df)} for shard {k}; the out_dir is stale "
+                    f"— remove it or write elsewhere")
         if not os.path.exists(path):
             dt = df["warc_ts"]
             if str(dt.dtype) == "datetime64[ns]":

@@ -132,25 +132,31 @@ class MixedExtract(ExtractText):
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column("html").to_pylist()
-        pdf_idx = [i for i, h in enumerate(htmls)
-                   if h is not None and bytes(h[:5]) == b"%PDF-"]
-        if not pdf_idx:
+        import pyarrow.compute as pc
+
+        # Magic-byte sniff stays in Arrow: a to_pylist here would copy
+        # EVERY payload into Python objects just to test 5 bytes (and
+        # the html rows would be materialized again inside the parent
+        # __call__) — on the hot fused stage that doubles byte copies.
+        head = pc.binary_slice(
+            pc.fill_null(batch.column("html"), b""), 0, 5)
+        ispdf = pc.equal(head, b"%PDF-").to_numpy(zero_copy_only=False)
+        if not ispdf.any():
             return super().__call__(batch)
         from ..functions.pdftext import pdf_extract
 
-        pdf_set = set(pdf_idx)
-        html_idx = [i for i in range(len(htmls)) if i not in pdf_set]
+        pdf_idx = np.flatnonzero(ispdf)
+        html_idx = np.flatnonzero(~ispdf)
         parts = []
-        if html_idx:
+        if len(html_idx):
             parts.append((html_idx, super().__call__(batch.take(html_idx))))
 
         urls = batch.column("url").take(pdf_idx)
+        payloads = batch.column("html").take(pdf_idx).to_pylist()
         texts, status = [], []
         n_spans = np.empty(len(pdf_idx), dtype=np.int32)
         html_bytes = np.empty(len(pdf_idx), dtype=np.int64)
-        for j, i in enumerate(pdf_idx):
-            payload = htmls[i]
+        for j, payload in enumerate(payloads):
             try:
                 r = pdf_extract(payload)
                 texts.append(r["text"])

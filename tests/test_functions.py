@@ -453,8 +453,13 @@ def test_ivf_append_incremental(ray_session, tmp_path):
         == 400
 
     # crash between commit-rename and meta write: strip the meta
-    # entry (data is on disk, unrecorded) — the retry must finish the
-    # bookkeeping from parquet metadata, never restage or duplicate
+    # entry (data is on disk, unrecorded).  Auto-id must REFUSE the
+    # orphan (it cannot know whose vectors the dir holds — silently
+    # adopting it would drop the new dataset without a trace); an
+    # EXPLICIT id resumes: finish the bookkeeping from parquet
+    # metadata, never restage or duplicate
+    import pytest
+
     m = json.load(open(os.path.join(idx, "_meta.json")))
     del m["appends"]["a0"]
     m["n_rows"] = m["n_rows_base"]
@@ -463,7 +468,9 @@ def test_ivf_append_incremental(ray_session, tmp_path):
         os.path.join(root, f): os.path.getmtime(os.path.join(root, f))
         for root, _, fs in os.walk(idx) for f in fs
         if f.endswith(".parquet")}
-    ann.append_ivf_index(new, idx)  # auto-id re-derives a0
+    with pytest.raises(ValueError, match="orphaned"):
+        ann.append_ivf_index(new, idx)  # auto-id: must not adopt
+    ann.append_ivf_index(new, idx, append_id="a0")  # explicit resume
     assert total_rows() == 400
     assert json.load(open(os.path.join(idx, "_meta.json")))["n_rows"] \
         == 400

@@ -225,3 +225,16 @@ def test_lut_cache_is_bounded():
         J._decode_table(bits, [v])        # 73 distinct table specs
     assert 0 < len(J._LUT_CACHE) <= J._LUT_CACHE_MAX
     J._LUT_CACHE.clear()
+
+
+def test_non_interleaved_multiscan_rejected_loudly():
+    """A scan covering fewer components than SOF declares (T.81-legal
+    non-interleaved layout) must raise, not silently decode one plane
+    with status ok."""
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+           + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + b"\x03"
+           + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    sos = (b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+           + b"\x01\x00" + b"\x00\x3f\x00")
+    with pytest.raises(ValueError, match="non-interleaved|components"):
+        jpeg_decode(b"\xff\xd8" + sof + sos + b"\xff\xd9")

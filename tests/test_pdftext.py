@@ -343,3 +343,25 @@ def test_fuzz_span_strings_survive_all_paths(parts):
     text = " ".join(parts)
     r = P.pdf_extract(P.doc_to_pdf(text, 17))
     assert r["text"] == "\n".join(_wrap(text))
+
+
+def test_cyclic_kids_raises_valueerror_not_recursionerror():
+    """A corrupt /Kids reference pointing back into the page tree must
+    raise ValueError (per-row isolation contract), not blow the stack
+    with RecursionError and kill the whole batch."""
+    import re
+
+    import pytest
+
+    from arabic_ocr_ray.functions.pdftext import pdf_extract, text_to_pdf
+
+    good = text_to_pdf("alpha\nbeta\ngamma", 7)
+    m = re.search(rb"(\d+) 0 obj\s*<<[^>]*?/Type /Pages", good, re.S)
+    assert m, "fixture PDF must contain a Pages node"
+    pages_num = m.group(1)
+    k = re.search(rb"/Kids \[(\d+) 0 R", good)
+    assert k, "fixture PDF must contain a /Kids array"
+    # repoint the first kid at the Pages node itself: a cycle
+    bad = good[:k.start(1)] + pages_num + good[k.end(1):]
+    with pytest.raises(ValueError, match="page tree|malformed"):
+        pdf_extract(bad)

@@ -168,3 +168,26 @@ def test_malformed_records_skipped_not_fatal():
     assert t2.column("url").to_pylist() == ["http://a.example/1"]
     with pytest.raises(ValueError, match="Content-Length"):
         W.parse_warc_bytes(broken, strict=True)
+
+
+def test_warc_write_resume_validates_stale_files(ray_session, tmp_path):
+    """Skip-if-exists resume must verify the pre-existing file holds
+    this shard's records (export.py's contract): a stale out_dir from
+    a different input raises instead of surviving under a fresh
+    manifest; a genuine re-run with the same input succeeds."""
+    import pytest
+
+    t = pages_table(60, seed=9)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "warc")
+    W.write_warc_from_pages(src, out, n_files=2).materialize()
+    # same input again: valid resume, counts match, no error
+    man = W.write_warc_from_pages(src, out, n_files=2).to_pandas()
+    assert int(man["n_records"].sum()) == 60
+    # different input (twice the rows) against the stale out_dir
+    t2 = pages_table(120, seed=9)
+    src2 = str(tmp_path / "pages2.parquet")
+    pq.write_table(t2, src2)
+    with pytest.raises(Exception, match="resume mismatch"):
+        W.write_warc_from_pages(src2, out, n_files=2).materialize()

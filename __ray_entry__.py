@@ -510,6 +510,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ref, k=8),
             {"doc_id": "int64", "n_hits": "int64"})
 
+    def q_exact_substring_spans(sf_dir: str):
+        """ExactSubstr-style duplicated-span detection (Lee et al.
+        2022 shape): per doc, the count of 8-token gram starts whose
+        gram appears in another doc, and the union length of those
+        windows = total duplicated-span tokens.  Three bounded
+        exchanges; corpus text never shuffles."""
+        return _typed(
+            dedup.exact_substring_spans(_docs(sf_dir), k=8),
+            {"doc_id": "int64", "n_dup_positions": "int64",
+             "n_covered_tokens": "int64"})
+
+    def q_rare_tokens(sf_dir: str):
+        """Corpus-vocabulary rarity signal (CCNet/Gopher filter
+        family): per doc, total tokens and occurrences of
+        corpus-hapax tokens (frequency < 2).  One token-keyed Sum
+        shuffle + a semi join of the rare vocabulary."""
+        return _typed(
+            text.rare_token_stats(_docs(sf_dir), min_count=2),
+            {"doc_id": "int64", "n_tokens": "int64",
+             "n_rare": "int64"})
+
+    def q_near_dup_keep_best(sf_dir: str):
+        """Cluster representative election: near-dup pairs →
+        connected components → keep the LONGEST member per cluster
+        (ties → min id) — the keep-one step of a FineWeb-style sweep
+        with a quality-aware policy instead of arbitrary min-id."""
+        return _typed(
+            dedup.near_dup_keep_best(_docs(sf_dir), threshold=0.8),
+            {"cluster_id": "int64", "kept_doc_id": "int64",
+             "n_members": "int64"})
+
     def q_mixture_resample(sf_dir: str):
         """Domain-mixing resample: deterministic LCG-hash sampling to
         target per-source permille weights — integer-exact rates, so
@@ -2026,6 +2057,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": q_pdf_extract,
         "mixed_extract": q_mixed_extract,
         "doc_decontaminate": q_doc_decontaminate,
+        # --- new this session (never driver-verified => window priority) --
+        "exact_substring_spans": q_exact_substring_spans,
+        "doc_rare_tokens": q_rare_tokens,
+        "near_dup_keep_best": q_near_dup_keep_best,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -2048,9 +2083,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_lines": q_dup_lines,
         "doc_line_filter": q_line_filter,
         "doc_redact_pii": q_redact_pii,
-        "doc_bigram_repetition": q_bigram_repetition,
-        "doc_char_stats": q_char_stats,
-        "doc_lang_id": q_lang_id,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -2062,7 +2094,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # common_paragraphs (both r4-hash-green, untouched this round,
         # artifact-covered) rotated out late-r5 for the NEW
         # mm_jpeg_stats, knn_ivf_append and para_dedup_incremental
-        # (latest_capture likewise r4-green/untouched/artifact-covered). -----------------------------
+        # (latest_capture likewise r4-green/untouched/artifact-covered).
+        # doc_bigram_repetition / doc_char_stats / doc_lang_id (pure maps
+        # untouched since r3, pytest-covered) yielded their window slots
+        # to the three NEW late-r5 queries above; all three are
+        # hash-green in the committed full-registry artifact rerun at
+        # final HEAD (ORACLES_r5_full.log). -------------------------------
+        "doc_bigram_repetition": q_bigram_repetition,
+        "doc_char_stats": q_char_stats,
+        "doc_lang_id": q_lang_id,
         "corpus_split": q_corpus_split,
         "latest_capture": q_latest_capture,
         "common_paragraphs": q_common_paragraphs,
@@ -2753,6 +2793,90 @@ def oracle_sql() -> dict[str, str]:
             r" WHERE doc_id % 10 <> 0"
             r") SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits"
             r" FROM dg JOIN bg USING (g) GROUP BY 1"
+        ),
+        "exact_substring_spans": (
+            # every 8-token gram START position whose gram string
+            # appears in >= 2 distinct docs; coverage = distinct token
+            # indices under the union of those 8-wide windows (the
+            # engine's sorted-diff interval union, expressed as a
+            # DISTINCT expansion)
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+') AS toks FROM documents"
+            r"), g AS ("
+            r" SELECT doc_id, i AS pos, "
+            + " || ' ' || ".join(f"toks[i+{j}]" for j in range(8)) +
+            r" AS g FROM tk,"
+            r" unnest(generate_series(1, len(toks) - 7)) AS u(i)"
+            r"), dup AS ("
+            r" SELECT g FROM g GROUP BY g"
+            r" HAVING count(DISTINCT doc_id) >= 2"
+            r"), hit AS ("
+            r" SELECT doc_id, pos FROM g JOIN dup USING (g)"
+            r"), cov AS ("
+            r" SELECT doc_id, count(*) AS n_cov FROM ("
+            r"  SELECT DISTINCT doc_id, pos + j AS t FROM hit,"
+            r"  unnest(generate_series(0, 7)) AS v(j)"
+            r" ) GROUP BY doc_id"
+            r") SELECT h.doc_id,"
+            r" CAST(count(*) AS BIGINT) AS n_dup_positions,"
+            r" CAST(min(c.n_cov) AS BIGINT) AS n_covered_tokens"
+            r" FROM hit h JOIN cov c USING (doc_id) GROUP BY h.doc_id"
+        ),
+        "doc_rare_tokens": (
+            # corpus token frequencies -> occurrences of sub-min_count
+            # (hapax, min_count=2) tokens per doc; every doc appears
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+') AS toks FROM documents"
+            r"), t AS ("
+            r" SELECT doc_id, unnest(toks) AS token FROM tk"
+            r"), cnt AS ("
+            r" SELECT token, count(*) AS n FROM t GROUP BY 1"
+            r"), r AS ("
+            r" SELECT t.doc_id, count(*) AS n_rare FROM t"
+            r" JOIN cnt USING (token) WHERE cnt.n < 2 GROUP BY 1"
+            r") SELECT tk.doc_id,"
+            r" CAST(len(tk.toks) AS BIGINT) AS n_tokens,"
+            r" CAST(coalesce(r.n_rare, 0) AS BIGINT) AS n_rare"
+            r" FROM tk LEFT JOIN r USING (doc_id)"
+        ),
+        "near_dup_keep_best": (
+            # the near_dup_clusters closure + per-cluster argmax on
+            # text length (ties -> min doc id)
+            r"WITH RECURSIVE "
+            r"tk AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            r"'[^ \t\n\r\f\v]+') AS toks FROM documents), "
+            r"sh AS (SELECT DISTINCT doc_id, "
+            r"toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s "
+            r"FROM tk, unnest(generate_series(1, len(toks) - 2)) AS u(i)), "
+            r"cnt AS (SELECT doc_id, count(*) AS n FROM sh "
+            r"GROUP BY doc_id), "
+            r"inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) "
+            r"AS i FROM sh a JOIN sh b ON a.s = b.s "
+            r"AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            r"pairs AS (SELECT i.a, i.b FROM inter i "
+            r"JOIN cnt ca ON ca.doc_id = i.a "
+            r"JOIN cnt cb ON cb.doc_id = i.b "
+            r"WHERE ca.n >= 5 AND cb.n >= 5 "
+            r"AND i.i * 1000 >= 800 * (ca.n + cb.n - i.i)), "
+            r"edges AS (SELECT a AS s, b AS t FROM pairs "
+            r"UNION ALL SELECT b, a FROM pairs), "
+            r"reach AS (SELECT DISTINCT s AS id, s AS lab FROM edges "
+            r"UNION SELECT e.s AS id, r.lab FROM edges e "
+            r"JOIN reach r ON r.id = e.t), "
+            r"comp AS (SELECT id AS doc_id, min(lab) AS cluster_id "
+            r"FROM reach GROUP BY id), "
+            r"stats AS (SELECT c.cluster_id, c.doc_id, "
+            r"length(d.text) AS n_chars FROM comp c "
+            r"JOIN documents d USING (doc_id)), "
+            r"mx AS (SELECT cluster_id, max(n_chars) AS m, "
+            r"count(*) AS n_members FROM stats GROUP BY 1) "
+            r"SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id, "
+            r"CAST(min(s.doc_id) AS BIGINT) AS kept_doc_id, "
+            r"CAST(min(mx.n_members) AS BIGINT) AS n_members "
+            r"FROM stats s JOIN mx ON mx.cluster_id = s.cluster_id "
+            r"AND s.n_chars = mx.m GROUP BY s.cluster_id"
         ),
         "jaccard_dup_pairs": (
             # EXACT self-join twin: same trigram-Jaccard CTE as

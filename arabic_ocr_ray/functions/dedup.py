@@ -884,6 +884,170 @@ def jaccard_dup_pairs(ds, threshold: float = 0.7,
         ds, threshold, col, id_col)
 
 
+def _ngram_hash_all(h: np.ndarray, k: int) -> np.ndarray:
+    """Token-hash array → per-POSITION k-gram hashes (FNV fold; same
+    hash as :func:`ngram_hashes` but without the distinct)."""
+    m = h.size - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        acc = h[0:m].copy()
+        for j in range(1, k):
+            acc = acc * _FNV_P ^ h[j:j + m]
+    return acc
+
+
+def exact_substring_spans(ds, k: int = 8, col: str = "text",
+                          id_col: str = "doc_id",
+                          num_partitions: int = 64):
+    """ExactSubstr-style duplicated-span detection (the suffix-array
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed as k-gram co-location): a
+    token position is DUPLICATED when some k-token gram starting
+    there also appears in at least one OTHER document.  Every shared
+    verbatim span of ≥ k tokens is found exactly — each of its
+    length-k windows is a shared gram — without building a suffix
+    array.  → Dataset(id, n_dup_positions = gram starts whose gram is
+    cross-doc shared, n_covered_tokens = tokens under the union of
+    those k-windows, i.e. the total length of the maximal duplicated
+    spans); docs with no shared gram don't appear (inner-join twin).
+
+    Scale shape (three bounded exchanges, corpus text never moves):
+      1. distinct (gram, doc) rows → groupby(gram-hash partition) →
+         grams seen in ≥ 2 docs.  Shuffle ∝ corpus token count;
+         per-partition fold is one vectorized value_counts.
+      2. per-position (gram, doc, pos) rows semi-joined against the
+         dup-gram table on gram — re-tokenizing here is deliberate:
+         cheaper than carrying every position through exchange 1.
+      3. surviving (doc, pos) rows — bounded by the DUPLICATED
+         volume, not the corpus — fold per doc-hash partition into
+         interval-union lengths (sorted-diff, vectorized).
+    Hashes are the same crc32+FNV fold as :func:`ngram_hashes`
+    (collision odds documented there); the SQL twin joins on gram
+    STRINGS."""
+    from .joins import hash_join
+
+    def gram_doc_rows(b: pa.Table) -> pa.Table:
+        gs, take = [], []
+        for i, t in enumerate(b.column(col).to_pylist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            g = np.unique(_ngram_hash_all(_token_crc_array(toks), k))
+            if g.size:
+                gs.append(g)
+                take.append(np.full(g.size, i, np.int64))
+        if not gs:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "pk": pa.array([], pa.int32())})
+        g = np.concatenate(gs)
+        ids = b.column(id_col).take(
+            pa.array(np.concatenate(take), pa.int64()))
+        t = pa.table({"g": pa.array(g, pa.int64()), id_col: ids})
+        return t.append_column(
+            "pk", partition_ids([t.column("g")], num_partitions))
+
+    def dup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct per (g, doc) ⇒ size == distinct-doc count
+        sizes = g["g"].value_counts()
+        return pd.DataFrame({"g": sizes.index[sizes >= 2].to_numpy()})
+
+    dup = (ds.map_batches(gram_doc_rows, batch_format="pyarrow")
+           .groupby("pk").map_groups(arrow_clean(dup_fold),
+                                     batch_format="pandas"))
+
+    def gram_pos_rows(b: pa.Table) -> pa.Table:
+        gs, ps, take = [], [], []
+        for i, t in enumerate(b.column(col).to_pylist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            g = _ngram_hash_all(_token_crc_array(toks), k)
+            if g.size:
+                gs.append(g)
+                ps.append(np.arange(g.size, dtype=np.int64))
+                take.append(np.full(g.size, i, np.int64))
+        if not gs:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "pos": pa.array([], pa.int64())})
+        ids = b.column(id_col).take(
+            pa.array(np.concatenate(take), pa.int64()))
+        return pa.table({
+            "g": pa.array(np.concatenate(gs), pa.int64()),
+            id_col: ids,
+            "pos": pa.array(np.concatenate(ps), pa.int64())})
+
+    hits = hash_join(
+        ds.map_batches(gram_pos_rows, batch_format="pyarrow"),
+        dup, on="g", how="semi",
+        num_partitions=num_partitions).drop_columns(["g"])
+
+    def add_dk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "dk", partition_ids([b.column(id_col)], num_partitions))
+
+    def cover_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values([id_col, "pos"], kind="stable")
+        ids = g2[id_col].to_numpy()
+        pos = g2["pos"].to_numpy()
+        d = np.empty(len(pos), dtype=np.int64)
+        if len(pos):
+            d[0] = k
+            np.minimum(pos[1:] - pos[:-1], k, out=d[1:])
+            d[np.r_[True, ids[1:] != ids[:-1]]] = k
+        out = (pd.DataFrame({id_col: ids, "c": d})
+               .groupby(id_col, sort=False)["c"]
+               .agg(n_dup_positions="size", n_covered_tokens="sum")
+               .reset_index())
+        return out
+
+    return (hits.map_batches(add_dk, batch_format="pyarrow")
+            .groupby("dk").map_groups(arrow_clean(cover_fold),
+                                      batch_format="pandas"))
+
+
+def near_dup_keep_best(ds, threshold: float = 0.8, col: str = "text",
+                       id_col: str = "doc_id"):
+    """Quality-aware cluster representative election — the keep-one
+    step of a FineWeb-style dedup sweep, but keeping the RICHEST
+    member (longest text; ties → smallest id) instead of an arbitrary
+    min-id: near-dup pairs → connected components → per-cluster
+    argmax.  → Dataset(cluster_id, kept_doc_id, n_members).
+
+    Scale shape: only the pair GRAPH and one (id, n_chars) row per
+    clustered doc shuffle — the length column is computed with one
+    vectorized ``utf8_length`` over a pruned read, joined to the
+    component table on id, and elected with one cluster-keyed fold;
+    corpus text never moves beyond the shingling already inside
+    :func:`near_dup_pairs`."""
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    pairs = near_dup_pairs(ds, threshold, col, id_col)
+    comps = dedup_connected_components(pairs)
+
+    def lens(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_chars": pc.utf8_length(b.column(col)).cast(pa.int64())})
+
+    j = hash_join(comps,
+                  ds.select_columns([id_col, col])
+                    .map_batches(lens, batch_format="pyarrow"),
+                  on="doc_id", right_on=id_col)
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g["n_chars"].max()
+        return pd.DataFrame({
+            "cluster_id": [g["cluster_id"].iloc[0]],
+            "kept_doc_id": [g.loc[g["n_chars"] == mx, "doc_id"].min()],
+            "n_members": [len(g)]})
+
+    return j.groupby("cluster_id").map_groups(arrow_clean(elect),
+                                              batch_format="pandas")
+
+
 #: Pair graphs at or below this many (directed) edges are solved with
 #: one driver-side union-find instead of the distributed loop: ONE
 #: Ray sort-shuffle round costs more wall-clock than scanning 2M edges

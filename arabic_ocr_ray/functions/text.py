@@ -286,6 +286,93 @@ def tfidf_top_terms(ds, k: int = 3, num_partitions: int = 32):
                         num_partitions=num_partitions)
 
 
+def _doc_token_rows(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, token, c) whitespace-token frequency rows, complete
+    in-batch (a row is a whole document) — the map-side partial for
+    vocabulary-keyed statistics.  Id column passes through typed."""
+    from collections import Counter
+
+    ids = batch.column("doc_id")
+    out_tok: list = []
+    out_c: list = []
+    take: list = []
+    for i, t in enumerate(batch.column("text").to_pylist()):
+        c = Counter(_WS_SPLIT.findall((t or "").lower()))
+        for tok in sorted(c):
+            out_tok.append(tok)
+            out_c.append(c[tok])
+            take.append(i)
+    return pa.table({
+        "doc_id": ids.take(pa.array(take, pa.int64())),
+        "token": pa.array(out_tok, pa.string()),
+        "c": pa.array(out_c, pa.int64()),
+    })
+
+
+def rare_token_stats(ds, min_count: int = 2, num_partitions: int = 32):
+    """Corpus-vocabulary quality signal (the CCNet / Gopher filter
+    family's "rare word" ratio): per document, how many token
+    OCCURRENCES belong to tokens whose WHOLE-CORPUS frequency is
+    below ``min_count`` — garbage, OCR noise and misspellings
+    concentrate in corpus-hapax vocabulary.  → Dataset(doc_id,
+    n_tokens, n_rare); every doc appears (n_rare = 0 when clean), so
+    a filter/threshold composes downstream.
+
+    Shuffle inventory (the 100 TB shape):
+      1. (doc, token, c) rows are map-side complete (a row is a whole
+         doc) and — like :func:`tfidf_top_terms`'s tf side — feed two
+         consumers lazily; re-tokenizing beats materializing a
+         token-count-sized intermediate.
+      2. corpus counts: ONE token-keyed ``Sum`` shuffle of the
+         per-doc partials (never raw occurrences).
+      3. the rare vocabulary is filtered from those counts
+         (∝ distinct tokens, skew-free by construction — rare means
+         count < min_count) and semi-joined back on token.
+      4. final combine: the surviving rows (bounded by rare volume,
+         reshaped to (doc, 0, c) partials) UNION the shuffle-free
+         per-doc totals (doc, n_tokens, 0), folded by ONE doc-keyed
+         ``Sum`` — no join, every doc appears.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    rows = ds.map_batches(_doc_token_rows, batch_format="pyarrow")
+    counts = (rows.select_columns(["token", "c"])
+              .groupby("token").aggregate(Sum("c", alias_name="n")))
+
+    def only_rare(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.less(b.column("n"), min_count))
+                .select(["token"]))
+
+    rare = counts.map_batches(only_rare, batch_format="pyarrow")
+
+    def as_rare_partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
+            "n_rare": b.column("c")})
+
+    rare_part = (hash_join(rows, rare, on="token", how="semi",
+                           num_partitions=num_partitions)
+                 .map_batches(as_rare_partial, batch_format="pyarrow"))
+
+    def totals(b: pa.Table) -> pa.Table:
+        n = [len(_WS_SPLIT.findall((t or "").lower()))
+             for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_rare": pa.nulls(b.num_rows, pa.int64()).fill_null(0)})
+
+    return (ds.map_batches(totals, batch_format="pyarrow")
+            .union(rare_part)
+            .groupby("doc_id")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_rare", alias_name="n_rare")))
+
+
 def replace_composites(text: str) -> str:
     """X2 analog surface (integrator.py:39-43): sentinel → composite."""
     from ..html.tokenizer import COMPOSITE, COMPOSITE_SENTINEL

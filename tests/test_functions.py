@@ -1137,3 +1137,124 @@ def test_snapshot_diff_empty_when_identical(ray_session):
     })
     out = dedup.snapshot_diff(rd.from_arrow(t), rd.from_arrow(t))
     assert out.count() == 0
+
+
+# ---------------- exact-substring spans ------------------------------------
+
+def test_exact_substring_spans_planted(ray_session):
+    import ray.data as rd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    docs = [
+        "x1 x2 x3 " + shared + " y1 y2",          # doc 0: dup @ pos 3
+        shared + " z1 z2 z3 z4 z5 z6 z7",         # doc 1: dup @ pos 0
+        "only unique words here nothing shared at all",  # doc 2
+    ]
+    out = dedup.exact_substring_spans(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # one shared 8-gram per doc, covering exactly its 8 tokens
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_dup_positions"].tolist() == [1, 1]
+    assert out["n_covered_tokens"].tolist() == [8, 8]
+
+
+def test_exact_substring_spans_long_span_union(ray_session):
+    import ray.data as rd
+
+    # 12 shared tokens => 5 shared 8-grams per copy, union = 12 tokens
+    span = " ".join(f"w{i}" for i in range(12))
+    docs = ["pre1 pre2 " + span, span + " post1 post2 post3"]
+    out = dedup.exact_substring_spans(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["n_dup_positions"].tolist() == [5, 5]
+    assert out["n_covered_tokens"].tolist() == [12, 12]
+
+
+def test_exact_substring_spans_two_disjoint_spans(ray_session):
+    import ray.data as rd
+
+    s1 = " ".join(f"a{i}" for i in range(8))
+    s2 = " ".join(f"b{i}" for i in range(8))
+    docs = [s1 + " mid1 mid2 mid3 " + s2,      # two disjoint dup spans
+            s1 + " other tail words here qq",
+            "lead in tokens " + s2]
+    out = dedup.exact_substring_spans(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    assert r0["n_dup_positions"] == 2
+    assert r0["n_covered_tokens"] == 16  # 8 + 8, intervals don't merge
+
+
+def test_exact_substring_spans_within_doc_repeat_not_dup(ray_session):
+    import ray.data as rd
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = [rep + " sep " + rep,  # repeated only WITHIN one doc
+            "totally different other words entirely unrelated here now"]
+    out = dedup.exact_substring_spans(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    assert len(out) == 0  # cross-doc sharing required
+
+
+# ---------------- rare-token stats -----------------------------------------
+
+def test_rare_token_stats_hand_case(ray_session):
+    import ray.data as rd
+
+    docs = [
+        "common common unique1",      # unique1 is corpus-hapax
+        "common unique2 unique2",     # unique2 occurs twice => not rare
+        "",                           # empty doc still appears
+    ]
+    out = text.rare_token_stats(
+        rd.from_arrow(_docs_table(docs)), min_count=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_tokens"].tolist() == [3, 3, 0]
+    assert out["n_rare"].tolist() == [1, 0, 0]
+
+
+def test_rare_token_stats_min_count_threshold(ray_session):
+    import ray.data as rd
+
+    docs = ["t t t", "t u", "u v"]  # corpus: t=4, u=2, v=1
+    out = text.rare_token_stats(
+        rd.from_arrow(_docs_table(docs)), min_count=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # u (2 < 3) and v (1 < 3) are rare; t is not
+    assert out["n_rare"].tolist() == [0, 1, 2]
+
+
+# ---------------- keep-best election ---------------------------------------
+
+def test_near_dup_keep_best_elects_longest(ray_session):
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    longer = base + " with extra trailing context appended here"
+    docs = [base, longer,
+            "completely unrelated text about something else entirely "
+            "with many distinct words nobody shares at all today"]
+    out = dedup.near_dup_keep_best(
+        rd.from_arrow(_docs_table(docs)), threshold=0.5).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["cluster_id"] == 0          # min id in component
+    assert r["kept_doc_id"] == 1         # the longer member wins
+    assert r["n_members"] == 2
+
+
+def test_near_dup_keep_best_tie_breaks_min_id(ray_session):
+    import ray.data as rd
+
+    t = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [t, t, "unrelated filler words with no overlap whatsoever "
+            "spanning enough tokens to shingle cleanly thanks"]
+    out = dedup.near_dup_keep_best(
+        rd.from_arrow(_docs_table(docs)), threshold=0.8).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["kept_doc_id"] == 0  # equal length => min id

@@ -521,6 +521,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"doc_id": "int64", "n_dup_positions": "int64",
              "n_covered_tokens": "int64"})
 
+    def q_exact_substring_dedup(sf_dir: str):
+        """The ExactSubstr ACTION (keep-first): rewrite every doc that
+        shares a ≥8-token span with a smaller-id doc, dropping the
+        covered tokens; only changed docs are emitted, and a totally-
+        covered doc vanishes.  Case-sensitive original tokens; output
+        text is kept tokens joined by single spaces."""
+        return _typed(
+            dedup.exact_substring_dedup(_docs(sf_dir), k=8),
+            {"doc_id": "int64", "text": "object"})
+
     def q_rare_tokens(sf_dir: str):
         """Corpus-vocabulary rarity signal (CCNet/Gopher filter
         family): per doc, total tokens and occurrences of
@@ -2059,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q_doc_decontaminate,
         # --- new this session (never driver-verified => window priority) --
         "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "doc_rare_tokens": q_rare_tokens,
         "near_dup_keep_best": q_near_dup_keep_best,
         # --- the 27 rows r4 parked past the window, rotated back in ------
@@ -2082,7 +2093,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count_bpe": q_bpe_token_count,
         "doc_dup_lines": q_dup_lines,
         "doc_line_filter": q_line_filter,
-        "doc_redact_pii": q_redact_pii,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -2099,7 +2109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # untouched since r3, pytest-covered) yielded their window slots
         # to the three NEW late-r5 queries above; all three are
         # hash-green in the committed full-registry artifact rerun at
-        # final HEAD (ORACLES_r5_full.log). -------------------------------
+        # final HEAD (ORACLES_r5_full.log).  doc_redact_pii (same
+        # status) yielded its slot to exact_substring_dedup. -------------
+        "doc_redact_pii": q_redact_pii,
         "doc_bigram_repetition": q_bigram_repetition,
         "doc_char_stats": q_char_stats,
         "doc_lang_id": q_lang_id,
@@ -2822,6 +2834,39 @@ def oracle_sql() -> dict[str, str]:
             r" CAST(count(*) AS BIGINT) AS n_dup_positions,"
             r" CAST(min(c.n_cov) AS BIGINT) AS n_covered_tokens"
             r" FROM hit h JOIN cov c USING (doc_id) GROUP BY h.doc_id"
+        ),
+        "exact_substring_dedup": (
+            # keep-first rewrite: position p of doc d is dropped iff
+            # some 8-gram window covering p also appears in a doc with
+            # a smaller id; changed docs only; a totally-covered doc
+            # has no kept rows and vanishes.  CASE-SENSITIVE (no
+            # lower()) — the action dedups raw tokens
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(text,"
+            r" '[^ \t\n\r\f\v]+') AS toks FROM documents"
+            r"), tok AS ("
+            r" SELECT doc_id, i AS pos, toks[i] AS tok FROM tk,"
+            r" unnest(generate_series(1, len(toks))) AS u(i)"
+            r"), g AS ("
+            r" SELECT doc_id, i AS pos, "
+            + " || ' ' || ".join(f"toks[i+{j}]" for j in range(8)) +
+            r" AS g FROM tk,"
+            r" unnest(generate_series(1, len(toks) - 7)) AS u(i)"
+            r"), mn AS ("
+            r" SELECT g, min(doc_id) AS m FROM g GROUP BY g"
+            r"), hit AS ("
+            r" SELECT g.doc_id, g.pos FROM g JOIN mn USING (g)"
+            r" WHERE g.doc_id > mn.m"
+            r"), cov AS ("
+            r" SELECT DISTINCT doc_id, pos + j AS p FROM hit,"
+            r" unnest(generate_series(0, 7)) AS v(j)"
+            r"), changed AS (SELECT DISTINCT doc_id FROM cov)"
+            r" SELECT t.doc_id,"
+            r" string_agg(t.tok, ' ' ORDER BY t.pos) AS text"
+            r" FROM tok t JOIN changed c USING (doc_id)"
+            r" LEFT JOIN cov ON cov.doc_id = t.doc_id"
+            r" AND cov.p = t.pos"
+            r" WHERE cov.p IS NULL GROUP BY t.doc_id"
         ),
         "doc_rare_tokens": (
             # corpus token frequencies -> occurrences of sub-min_count

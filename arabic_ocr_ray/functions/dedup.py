@@ -1006,6 +1006,147 @@ def exact_substring_spans(ds, k: int = 8, col: str = "text",
                                       batch_format="pandas"))
 
 
+def exact_substring_dedup(ds, k: int = 8, col: str = "text",
+                          id_col: str = "doc_id",
+                          num_partitions: int = 64):
+    """The ExactSubstr dedup ACTION (Lee et al. 2022): remove every
+    duplicated ≥k-token span from all but its first occurrence.
+    Keep-first rule, position-local and deterministic: token position
+    p of doc d is dropped iff some k-gram window covering p also
+    appears in a document with a SMALLER id — so exactly one copy
+    (the min-id doc's) of every shared span survives corpus-wide.
+    Tokens are case-SENSITIVE original tokens (the paper dedups raw
+    bytes; the spans operator's lowercased stats are a different
+    surface).  → Dataset(id, text) for CHANGED docs only, text =
+    kept tokens joined by single spaces (token-normalized — a
+    rewritten doc has no original whitespace to preserve); docs whose
+    every token is covered vanish (nothing left to emit).
+
+    Scale shape: same three bounded exchanges as
+    :func:`exact_substring_spans` (per-gram min-id fold instead of
+    the ≥2-distinct filter; grams seen in one doc only are dropped
+    before the join — they can never produce a hit), then ONE
+    id-keyed join of the packed hit-start lists against the corpus —
+    the only stage that moves document text, bounded by the CHANGED
+    doc set."""
+    from .joins import hash_join
+
+    def gram_doc_rows(b: pa.Table) -> pa.Table:
+        gs, take = [], []
+        for i, t in enumerate(b.column(col).to_pylist()):
+            toks = _TOKEN_RE.findall(t or "")
+            g = np.unique(_ngram_hash_all(_token_crc_array(toks), k))
+            if g.size:
+                gs.append(g)
+                take.append(np.full(g.size, i, np.int64))
+        if not gs:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "pk": pa.array([], pa.int32())})
+        g = np.concatenate(gs)
+        ids = b.column(id_col).take(
+            pa.array(np.concatenate(take), pa.int64()))
+        t = pa.table({"g": pa.array(g, pa.int64()), id_col: ids})
+        return t.append_column(
+            "pk", partition_ids([t.column("g")], num_partitions))
+
+    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("g", sort=False)[id_col]
+               .agg(m="min", nd="size").reset_index())
+        # single-doc grams can never satisfy doc > min(doc): drop
+        # them here so the position join ships only actionable grams
+        agg = agg.loc[agg["nd"] >= 2, ["g", "m"]]
+        return agg
+
+    mn = (ds.map_batches(gram_doc_rows, batch_format="pyarrow")
+          .groupby("pk").map_groups(arrow_clean(min_fold),
+                                    batch_format="pandas"))
+
+    def gram_pos_rows(b: pa.Table) -> pa.Table:
+        gs, ps, take = [], [], []
+        for i, t in enumerate(b.column(col).to_pylist()):
+            toks = _TOKEN_RE.findall(t or "")
+            g = _ngram_hash_all(_token_crc_array(toks), k)
+            if g.size:
+                gs.append(g)
+                ps.append(np.arange(g.size, dtype=np.int64))
+                take.append(np.full(g.size, i, np.int64))
+        if not gs:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "pos": pa.array([], pa.int64())})
+        ids = b.column(id_col).take(
+            pa.array(np.concatenate(take), pa.int64()))
+        return pa.table({
+            "g": pa.array(np.concatenate(gs), pa.int64()),
+            id_col: ids,
+            "pos": pa.array(np.concatenate(ps), pa.int64())})
+
+    joined = hash_join(
+        ds.map_batches(gram_pos_rows, batch_format="pyarrow"),
+        mn, on="g", num_partitions=num_partitions)
+
+    def later_copies(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.greater(b.column(id_col), b.column("m"))
+        out = b.filter(keep).select([id_col, "pos"])
+        return out.append_column(
+            "dk", partition_ids([out.column(id_col)], num_partitions))
+
+    def pack_starts(g: pd.DataFrame) -> pa.Table:
+        g2 = g.sort_values([id_col, "pos"], kind="stable")
+        ids = g2[id_col].to_numpy()
+        pos = g2["pos"].to_numpy()
+        uniq, first = np.unique(ids, return_index=True)
+        # int64-LE blobs, not list<int64>: Acero hash joins reject
+        # nested payload types, binary rides through untouched
+        return pa.table({
+            id_col: pa.array(uniq),
+            "starts": pa.array(
+                [s.astype("<i8").tobytes()
+                 for s in np.split(pos, first[1:])],
+                pa.binary())})
+
+    packed = (joined.map_batches(later_copies, batch_format="pyarrow")
+              .groupby("dk").map_groups(arrow_clean(pack_starts),
+                                        batch_format="pandas"))
+
+    sch = ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    if not isinstance(id_type, pa.DataType):
+        from .joins import _pa_type
+        id_type = _pa_type(id_type)
+    docs_joined = hash_join(
+        ds.select_columns([id_col, col]), packed,
+        on=id_col, num_partitions=num_partitions,
+        right_schema=pa.schema([(id_col, id_type),
+                                ("starts", pa.binary())]))
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        ids_out, texts_out = [], []
+        starts_col = b.column("starts").to_pylist()
+        ids_col = b.column(id_col).to_pylist()
+        for i, t in enumerate(b.column(col).to_pylist()):
+            toks = _TOKEN_RE.findall(t or "")
+            n = len(toks)
+            diff = np.zeros(n + 1, dtype=np.int64)
+            s = np.frombuffer(starts_col[i], dtype="<i8")
+            np.add.at(diff, s, 1)
+            np.add.at(diff, np.minimum(s + k, n), -1)
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            if kept:
+                ids_out.append(ids_col[i])
+                texts_out.append(" ".join(kept))
+        return pa.table({
+            id_col: pa.array(ids_out, b.schema.field(id_col).type),
+            col: pa.array(texts_out, pa.string())})
+
+    return docs_joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 def near_dup_keep_best(ds, threshold: float = 0.8, col: str = "text",
                        id_col: str = "doc_id"):
     """Quality-aware cluster representative election — the keep-one

@@ -91,7 +91,9 @@ def _jk_for(arr: pa.ChunkedArray, n_parts: int) -> pa.Array:
 def hash_join(left_ds, right_ds, on: str | list[str],
               right_on: str | list[str] | None = None,
               how: str = "inner", num_partitions: int = _PARTITIONS,
-              right_distinct: bool = False):
+              right_distinct: bool = False,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """→ Dataset joined on one key or a composite key list.  ``how`` ∈
     {"inner", "left", "semi", "anti"}; ``left`` = left outer (every
     left row survives, right payload null on miss); semi/anti keep the
@@ -113,7 +115,11 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
     if len(rkeys) != len(keys):
         raise ValueError("right_on arity != on arity")
-    ls, rs = left_ds.schema(), right_ds.schema()
+    # explicit schema hints sidestep the fetch-by-execution that a
+    # side built from map_groups needs — and which returns None when
+    # that side is (legitimately) empty
+    ls = left_schema if left_schema is not None else left_ds.schema()
+    rs = right_schema if right_schema is not None else right_ds.schema()
     ltypes = {n: _pa_type(t) for n, t in zip(ls.names, ls.types)}
     rtypes = {n: _pa_type(t) for n, t in zip(rs.names, rs.types)}
     key_ts = [ltypes[k] for k in keys]

@@ -1258,3 +1258,55 @@ def test_near_dup_keep_best_tie_breaks_min_id(ray_session):
         rd.from_arrow(_docs_table(docs)), threshold=0.8).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["kept_doc_id"] == 0  # equal length => min id
+
+
+# ---------------- exact-substring dedup (the keep-first action) -------------
+
+def test_exact_substring_dedup_keep_first(ray_session):
+    import ray.data as rd
+
+    shared = "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta"  # 8 toks
+    docs = [
+        shared + " tail0 tail1",            # doc 0: first copy, kept
+        "head0 head1 " + shared + " tailX",  # doc 1: span removed
+        "no overlap here with anything else at all today",
+    ]
+    out = dedup.exact_substring_dedup(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    assert out["doc_id"].tolist() == [1]   # only the changed doc
+    assert out["text"].iloc[0] == "head0 head1 tailX"
+
+
+def test_exact_substring_dedup_case_sensitive(ray_session):
+    import ray.data as rd
+
+    a = "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta"
+    docs = [a, a.lower() + " extra trailing tokens here"]  # case differs
+    out = dedup.exact_substring_dedup(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    assert len(out) == 0  # no case-insensitive matching in the ACTION
+
+
+def test_exact_substring_dedup_total_erasure_vanishes(ray_session):
+    import ray.data as rd
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = [span + " and some more words", span,  # doc 1 IS the span
+            "unrelated filler text with enough words to stand alone"]
+    out = dedup.exact_substring_dedup(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    assert len(out) == 0 or 1 not in out["doc_id"].tolist()
+    # doc 1's only tokens were all covered => it emits nothing
+
+
+def test_exact_substring_dedup_chain_keeps_min_only(ray_session):
+    import ray.data as rd
+
+    span = " ".join(f"c{i}" for i in range(10))
+    docs = [span + " t0", span + " t1 t2", span + " t3 t4 t5"]
+    out = dedup.exact_substring_dedup(
+        rd.from_arrow(_docs_table(docs)), k=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # docs 1 and 2 both lose the span (shared with doc 0)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["text"].tolist() == ["t1 t2", "t3 t4 t5"]

@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .arrowout import arrow_clean
+from .joins import _pa_type as _joins_pa_type
 from .parthash import partition_ids
 
 _TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")  # explicit ASCII ws class — matches the RE2 oracles (see text.py)
@@ -335,6 +336,19 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
     # recomputing the whole LSH banding for the two consumers below
     cand_ds = cand_ds.materialize()
 
+    if cand_ds.count() == 0:
+        # zero candidates (a clean corpus) is a normal outcome: return
+        # a TYPED empty so downstream consumers (connected components,
+        # keep-best, unions) see the same schema as a non-empty run
+        # instead of a schemaless dataset that crashes plan-time
+        # schema fetches.  count() is metadata-only post-materialize.
+        import ray.data as rd
+        it = _joins_pa_type(id_type)
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], it),
+            "b": pa.array([], it),
+            "jaccard_x1000": pa.array([], pa.int64())}))
+
     def tag_pairs(b: pa.Table) -> pa.Table:
         vp = partition_ids([b.column("a"), b.column("b")],
                            num_partitions)
@@ -375,7 +389,11 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float,
     docs_needed = hash_join(
         docs_ds.select_columns([id_col, col]), need,
         on=id_col, how="inner", num_partitions=num_partitions,
-        right_distinct=True)
+        right_distinct=True,
+        # static hint: skips the plan-time fetch-by-execution of the
+        # need-rows map chain
+        right_schema=pa.schema([(id_col, _joins_pa_type(id_type)),
+                                ("vp", pa.int32())]))
 
     def tag_docs(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -897,6 +915,69 @@ def _ngram_hash_all(h: np.ndarray, k: int) -> np.ndarray:
     return acc
 
 
+def _id_pa_type(ds, id_col: str) -> pa.DataType:
+    """Input dataset's id column type as a normalized Arrow type (the
+    schema-hint currency of :func:`~.joins.hash_join`)."""
+    sch = ds.schema()
+    return _joins_pa_type(sch.types[sch.names.index(id_col)])
+
+
+def _substr_gram_doc_fn(col: str, id_col: str, k: int,
+                        num_partitions: int, casefold: bool):
+    """(gram, doc, pk) DISTINCT rows per doc — the vocabulary side of
+    both ExactSubstr operators; ``casefold`` is the ONLY divergence
+    between the spans (lowercased stats) and dedup (raw-byte action)
+    variants, so it is a parameter, not a copy."""
+    def gram_doc_rows(b: pa.Table) -> pa.Table:
+        gs, take = [], []
+        for i, t in enumerate(b.column(col).to_pylist()):
+            t = (t or "")
+            toks = _TOKEN_RE.findall(t.lower() if casefold else t)
+            g = np.unique(_ngram_hash_all(_token_crc_array(toks), k))
+            if g.size:
+                gs.append(g)
+                take.append(np.full(g.size, i, np.int64))
+        if not gs:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "pk": pa.array([], pa.int32())})
+        g = np.concatenate(gs)
+        ids = b.column(id_col).take(
+            pa.array(np.concatenate(take), pa.int64()))
+        t = pa.table({"g": pa.array(g, pa.int64()), id_col: ids})
+        return t.append_column(
+            "pk", partition_ids([t.column("g")], num_partitions))
+    return gram_doc_rows
+
+
+def _substr_gram_pos_fn(col: str, id_col: str, k: int, casefold: bool):
+    """(gram, doc, pos) per-POSITION rows — the join probe side of
+    both ExactSubstr operators (same casefold contract as above)."""
+    def gram_pos_rows(b: pa.Table) -> pa.Table:
+        gs, ps, take = [], [], []
+        for i, t in enumerate(b.column(col).to_pylist()):
+            t = (t or "")
+            toks = _TOKEN_RE.findall(t.lower() if casefold else t)
+            g = _ngram_hash_all(_token_crc_array(toks), k)
+            if g.size:
+                gs.append(g)
+                ps.append(np.arange(g.size, dtype=np.int64))
+                take.append(np.full(g.size, i, np.int64))
+        if not gs:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "pos": pa.array([], pa.int64())})
+        ids = b.column(id_col).take(
+            pa.array(np.concatenate(take), pa.int64()))
+        return pa.table({
+            "g": pa.array(np.concatenate(gs), pa.int64()),
+            id_col: ids,
+            "pos": pa.array(np.concatenate(ps), pa.int64())})
+    return gram_pos_rows
+
+
 def exact_substring_spans(ds, k: int = 8, col: str = "text",
                           id_col: str = "doc_id",
                           num_partitions: int = 64):
@@ -927,60 +1008,35 @@ def exact_substring_spans(ds, k: int = 8, col: str = "text",
     STRINGS."""
     from .joins import hash_join
 
-    def gram_doc_rows(b: pa.Table) -> pa.Table:
-        gs, take = [], []
-        for i, t in enumerate(b.column(col).to_pylist()):
-            toks = _TOKEN_RE.findall((t or "").lower())
-            g = np.unique(_ngram_hash_all(_token_crc_array(toks), k))
-            if g.size:
-                gs.append(g)
-                take.append(np.full(g.size, i, np.int64))
-        if not gs:
-            return pa.table({
-                "g": pa.array([], pa.int64()),
-                id_col: pa.array([], b.schema.field(id_col).type),
-                "pk": pa.array([], pa.int32())})
-        g = np.concatenate(gs)
-        ids = b.column(id_col).take(
-            pa.array(np.concatenate(take), pa.int64()))
-        t = pa.table({"g": pa.array(g, pa.int64()), id_col: ids})
-        return t.append_column(
-            "pk", partition_ids([t.column("g")], num_partitions))
+    id_type = _id_pa_type(ds, id_col)
 
     def dup_fold(g: pd.DataFrame) -> pd.DataFrame:
         # rows are distinct per (g, doc) ⇒ size == distinct-doc count
         sizes = g["g"].value_counts()
         return pd.DataFrame({"g": sizes.index[sizes >= 2].to_numpy()})
 
-    dup = (ds.map_batches(gram_doc_rows, batch_format="pyarrow")
+    dup = (ds.map_batches(
+               _substr_gram_doc_fn(col, id_col, k, num_partitions,
+                                   casefold=True),
+               batch_format="pyarrow")
            .groupby("pk").map_groups(arrow_clean(dup_fold),
                                      batch_format="pandas"))
 
-    def gram_pos_rows(b: pa.Table) -> pa.Table:
-        gs, ps, take = [], [], []
-        for i, t in enumerate(b.column(col).to_pylist()):
-            toks = _TOKEN_RE.findall((t or "").lower())
-            g = _ngram_hash_all(_token_crc_array(toks), k)
-            if g.size:
-                gs.append(g)
-                ps.append(np.arange(g.size, dtype=np.int64))
-                take.append(np.full(g.size, i, np.int64))
-        if not gs:
-            return pa.table({
-                "g": pa.array([], pa.int64()),
-                id_col: pa.array([], b.schema.field(id_col).type),
-                "pos": pa.array([], pa.int64())})
-        ids = b.column(id_col).take(
-            pa.array(np.concatenate(take), pa.int64()))
-        return pa.table({
-            "g": pa.array(np.concatenate(gs), pa.int64()),
-            id_col: ids,
-            "pos": pa.array(np.concatenate(ps), pa.int64())})
-
+    # static schema hints: the dup side is a map_groups output whose
+    # fetch-by-execution schema probe would RUN the whole gram-count
+    # shuffle a second time (and return None on a legitimately empty
+    # result — a corpus with no ≥k-token doc must yield empty, not
+    # crash)
     hits = hash_join(
-        ds.map_batches(gram_pos_rows, batch_format="pyarrow"),
+        ds.map_batches(
+            _substr_gram_pos_fn(col, id_col, k, casefold=True),
+            batch_format="pyarrow"),
         dup, on="g", how="semi",
-        num_partitions=num_partitions).drop_columns(["g"])
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("g", pa.int64()), (id_col, id_type),
+                               ("pos", pa.int64())]),
+        right_schema=pa.schema([("g", pa.int64())])
+    ).drop_columns(["g"])
 
     def add_dk(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -1031,25 +1087,7 @@ def exact_substring_dedup(ds, k: int = 8, col: str = "text",
     doc set."""
     from .joins import hash_join
 
-    def gram_doc_rows(b: pa.Table) -> pa.Table:
-        gs, take = [], []
-        for i, t in enumerate(b.column(col).to_pylist()):
-            toks = _TOKEN_RE.findall(t or "")
-            g = np.unique(_ngram_hash_all(_token_crc_array(toks), k))
-            if g.size:
-                gs.append(g)
-                take.append(np.full(g.size, i, np.int64))
-        if not gs:
-            return pa.table({
-                "g": pa.array([], pa.int64()),
-                id_col: pa.array([], b.schema.field(id_col).type),
-                "pk": pa.array([], pa.int32())})
-        g = np.concatenate(gs)
-        ids = b.column(id_col).take(
-            pa.array(np.concatenate(take), pa.int64()))
-        t = pa.table({"g": pa.array(g, pa.int64()), id_col: ids})
-        return t.append_column(
-            "pk", partition_ids([t.column("g")], num_partitions))
+    id_type = _id_pa_type(ds, id_col)
 
     def min_fold(g: pd.DataFrame) -> pd.DataFrame:
         agg = (g.groupby("g", sort=False)[id_col]
@@ -1059,34 +1097,24 @@ def exact_substring_dedup(ds, k: int = 8, col: str = "text",
         agg = agg.loc[agg["nd"] >= 2, ["g", "m"]]
         return agg
 
-    mn = (ds.map_batches(gram_doc_rows, batch_format="pyarrow")
+    mn = (ds.map_batches(
+              _substr_gram_doc_fn(col, id_col, k, num_partitions,
+                                  casefold=False),
+              batch_format="pyarrow")
           .groupby("pk").map_groups(arrow_clean(min_fold),
                                     batch_format="pandas"))
 
-    def gram_pos_rows(b: pa.Table) -> pa.Table:
-        gs, ps, take = [], [], []
-        for i, t in enumerate(b.column(col).to_pylist()):
-            toks = _TOKEN_RE.findall(t or "")
-            g = _ngram_hash_all(_token_crc_array(toks), k)
-            if g.size:
-                gs.append(g)
-                ps.append(np.arange(g.size, dtype=np.int64))
-                take.append(np.full(g.size, i, np.int64))
-        if not gs:
-            return pa.table({
-                "g": pa.array([], pa.int64()),
-                id_col: pa.array([], b.schema.field(id_col).type),
-                "pos": pa.array([], pa.int64())})
-        ids = b.column(id_col).take(
-            pa.array(np.concatenate(take), pa.int64()))
-        return pa.table({
-            "g": pa.array(np.concatenate(gs), pa.int64()),
-            id_col: ids,
-            "pos": pa.array(np.concatenate(ps), pa.int64())})
-
+    # static schema hints: see exact_substring_spans — without them
+    # the mn side's plan-time schema probe re-runs the min_fold
+    # shuffle and crashes on an all-short corpus
     joined = hash_join(
-        ds.map_batches(gram_pos_rows, batch_format="pyarrow"),
-        mn, on="g", num_partitions=num_partitions)
+        ds.map_batches(
+            _substr_gram_pos_fn(col, id_col, k, casefold=False),
+            batch_format="pyarrow"),
+        mn, on="g", num_partitions=num_partitions,
+        left_schema=pa.schema([("g", pa.int64()), (id_col, id_type),
+                               ("pos", pa.int64())]),
+        right_schema=pa.schema([("g", pa.int64()), ("m", id_type)]))
 
     def later_copies(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1113,11 +1141,6 @@ def exact_substring_dedup(ds, k: int = 8, col: str = "text",
               .groupby("dk").map_groups(arrow_clean(pack_starts),
                                         batch_format="pandas"))
 
-    sch = ds.schema()
-    id_type = sch.types[sch.names.index(id_col)]
-    if not isinstance(id_type, pa.DataType):
-        from .joins import _pa_type
-        id_type = _pa_type(id_type)
     docs_joined = hash_join(
         ds.select_columns([id_col, col]), packed,
         on=id_col, num_partitions=num_partitions,
@@ -1165,6 +1188,7 @@ def near_dup_keep_best(ds, threshold: float = 0.8, col: str = "text",
 
     from .joins import hash_join
 
+    id_type = _id_pa_type(ds, id_col)
     pairs = near_dup_pairs(ds, threshold, col, id_col)
     comps = dedup_connected_components(pairs)
 
@@ -1173,20 +1197,39 @@ def near_dup_keep_best(ds, threshold: float = 0.8, col: str = "text",
             id_col: b.column(id_col),
             "n_chars": pc.utf8_length(b.column(col)).cast(pa.int64())})
 
+    # static hints: comps is the tail of the whole pairs→CC chain —
+    # a plan-time schema probe would re-run it end to end
     j = hash_join(comps,
                   ds.select_columns([id_col, col])
                     .map_batches(lens, batch_format="pyarrow"),
-                  on="doc_id", right_on=id_col)
+                  on="doc_id", right_on=id_col,
+                  left_schema=pa.schema([("doc_id", id_type),
+                                         ("cluster_id", id_type)]),
+                  right_schema=pa.schema([(id_col, id_type),
+                                          ("n_chars", pa.int64())]))
 
-    def elect(g: pd.DataFrame) -> pd.DataFrame:
-        mx = g["n_chars"].max()
+    def add_ck(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ck", partition_ids([b.column("cluster_id")], 64))
+
+    def elect_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # whole hash partition at once: sort puts each cluster's
+        # (longest, then smallest-id) member first; one drop_duplicates
+        # elects every cluster in the partition — never a Python call
+        # per cluster (the per-key map_groups anti-pattern)
+        g2 = g.sort_values(["cluster_id", "n_chars", "doc_id"],
+                           ascending=[True, False, True],
+                           kind="stable")
+        sizes = g2.groupby("cluster_id", sort=False).size()
+        first = g2.drop_duplicates("cluster_id")
         return pd.DataFrame({
-            "cluster_id": [g["cluster_id"].iloc[0]],
-            "kept_doc_id": [g.loc[g["n_chars"] == mx, "doc_id"].min()],
-            "n_members": [len(g)]})
+            "cluster_id": first["cluster_id"].to_numpy(),
+            "kept_doc_id": first["doc_id"].to_numpy(),
+            "n_members": sizes.loc[first["cluster_id"]].to_numpy()})
 
-    return j.groupby("cluster_id").map_groups(arrow_clean(elect),
-                                              batch_format="pandas")
+    return (j.map_batches(add_ck, batch_format="pyarrow")
+            .groupby("ck").map_groups(arrow_clean(elect_fold),
+                                      batch_format="pandas"))
 
 
 #: Pair graphs at or below this many (directed) edges are solved with

@@ -354,8 +354,21 @@ def rare_token_stats(ds, min_count: int = 2, num_partitions: int = 32):
             "n_tokens": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
             "n_rare": b.column("c")})
 
+    # static schema hints: the rare side is filtered off a groupby
+    # aggregate whose plan-time schema probe would re-run the whole
+    # token-count shuffle (and return None on an all-empty corpus —
+    # which must yield (doc, n, 0) rows, not crash)
+    from .joins import _pa_type
+    sch = ds.schema()
+    id_type = _pa_type(sch.types[sch.names.index("doc_id")])
     rare_part = (hash_join(rows, rare, on="token", how="semi",
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions,
+                           left_schema=pa.schema([
+                               ("doc_id", id_type),
+                               ("token", pa.string()),
+                               ("c", pa.int64())]),
+                           right_schema=pa.schema([
+                               ("token", pa.string())]))
                  .map_batches(as_rare_partial, batch_format="pyarrow"))
 
     def totals(b: pa.Table) -> pa.Table:

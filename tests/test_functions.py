@@ -1310,3 +1310,64 @@ def test_exact_substring_dedup_chain_keeps_min_only(ray_session):
     # docs 1 and 2 both lose the span (shared with doc 0)
     assert out["doc_id"].tolist() == [1, 2]
     assert out["text"].tolist() == ["t1 t2", "t3 t4 t5"]
+
+
+def test_exact_substring_family_all_short_corpus_empty(ray_session):
+    # a corpus where no doc reaches k tokens is a normal input: both
+    # operators must yield EMPTY, not crash on the schemaless-empty
+    # map_groups side of their position join (regression: the join
+    # lacked the static schema hints and died at plan time)
+    import ray.data as rd
+
+    docs = rd.from_arrow(_docs_table(["a b c", "d e", "f", ""]))
+    assert dedup.exact_substring_spans(docs, k=8).take_all() == []
+    assert dedup.exact_substring_dedup(docs, k=8).take_all() == []
+
+
+def test_rare_token_stats_all_empty_docs(ray_session):
+    # every-doc-appears contract must hold when no doc tokenizes to
+    # anything (regression: schemaless-empty rare side crashed the
+    # semi join instead of yielding (doc, 0, 0) rows)
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import rare_token_stats
+
+    out = (rare_token_stats(rd.from_arrow(_docs_table(["", "  "])))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_tokens"].tolist() == [0, 0]
+    assert out["n_rare"].tolist() == [0, 0]
+
+
+def test_near_dup_family_clean_corpus_empty(ray_session):
+    # zero near-dup candidates is the normal clean-corpus outcome:
+    # pairs, clusters and keep-best must all return typed-empty
+    # results (regression: verify_pairs_jaccard's need-side join
+    # crashed on the schemaless-empty candidate set)
+    import ray.data as rd
+
+    docs = rd.from_arrow(_docs_table(
+        ["totally different words here entirely now",
+         "another unrelated set of tokens follows here"]))
+    assert dedup.near_dup_pairs(docs).take_all() == []
+    assert dedup.dedup_connected_components(
+        dedup.near_dup_pairs(docs)).take_all() == []
+    assert dedup.near_dup_keep_best(docs).take_all() == []
+
+
+def test_near_dup_keep_best_multi_cluster_partition_fold(ray_session):
+    # several clusters land in one hash partition: the vectorized
+    # elect fold must still produce one row per cluster with the
+    # longest-then-min-id policy per cluster independently
+    import ray.data as rd
+
+    base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base2 = "one two three four five six seven eight nine ten"
+    docs = [base1, base1 + " extra", base2 + " longer tail", base2]
+    out = (dedup.near_dup_keep_best(
+               rd.from_arrow(_docs_table(docs)), threshold=0.5)
+           .to_pandas().sort_values("cluster_id")
+           .reset_index(drop=True))
+    assert out["cluster_id"].tolist() == [0, 2]
+    assert out["kept_doc_id"].tolist() == [1, 2]  # longest member each
+    assert out["n_members"].tolist() == [2, 2]

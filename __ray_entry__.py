@@ -944,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ``a`` is dropped (the planted copies sit at id+1e6, so
         dropping ``b`` would touch no real doc and the row would be
         vacuous); survivors keep their metadata columns."""
+        import pyarrow as pa
+
         from arabic_ocr_ray.functions.joins import hash_join
 
         pairs = dedup.embedding_near_dup_pairs(
@@ -951,8 +953,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         drop = pairs.select_columns(["a"])
         docs = _rp(os.path.join(sf_dir, "documents.parquet"),
                    columns=["doc_id", "lang", "source"])
+        # static hint: drop is the whole embedding-near-dup tail —
+        # without it the plan-time schema probe runs it twice
         return hash_join(docs, drop, on="doc_id", right_on="a",
-                         how="anti", num_partitions=8)
+                         how="anti", num_partitions=8,
+                         right_schema=pa.schema([("a", pa.int64())]))
 
     def q_emb_near_dup_gather(sf_dir: str):
         """Same planted harness as embedding_near_dup, through the
@@ -1157,9 +1162,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .map_batches(lpart, batch_format="pyarrow")
                .groupby("l_orderkey", num_partitions=16)
                .aggregate(Sum("rev_e4", alias_name="rev_e4")))
-        joined = hash_join(rev, j0, on="l_orderkey",
-                           right_on="o_orderkey", how="inner",
-                           num_partitions=16)
+        # static hints: rev is an aggregate and j0 a select over a
+        # join — either side's plan-time schema probe would execute
+        # its whole upstream shuffle a second time
+        joined = hash_join(
+            rev, j0, on="l_orderkey",
+            right_on="o_orderkey", how="inner", num_partitions=16,
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("rev_e4", pa.int64())]),
+            right_schema=pa.schema([
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string())]))
 
         def finish(b: pa.Table) -> pa.Table:
             # NO final rounding: the integer e4 fold is exact, and the
@@ -1631,8 +1645,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Count(alias_name="n_ev"))
         cust = _rp(os.path.join(sf_dir, "customer.parquet"),
                    columns=["c_custkey", "c_mktsegment"])
+        # static hint: skips the plan-time execution of the event
+        # count aggregate
         j = hash_join(cust, cnt, on="c_custkey", right_on="user_id",
-                      how="left", num_partitions=16)
+                      how="left", num_partitions=16,
+                      right_schema=pa.schema([("user_id", pa.int64()),
+                                              ("n_ev", pa.int64())]))
 
         def fin(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -1768,8 +1786,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg = (evc.groupby(["user_id", "event_type"])
                .aggregate(Sum("v_c", alias_name="s"),
                           Count(alias_name="n")))
+        # static hint: skips the plan-time execution of the per-user
+        # Sum/Count aggregate
         j = hash_join(evc, agg, on=["user_id", "event_type"],
-                      how="inner", num_partitions=16)
+                      how="inner", num_partitions=16,
+                      right_schema=pa.schema([
+                          ("user_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("s", pa.int64()), ("n", pa.int64())]))
 
         def above(b: pa.Table) -> pa.Table:
             v = np.asarray(b.column("v_c"), dtype=np.int64)

@@ -560,7 +560,17 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
 
     from .joins import hash_join
 
-    with_df = hash_join(ex, df_tbl, on="sh", num_partitions=num_partitions)
+    eff_id_type = (pa.int64() if hashed_ids
+                   else _joins_pa_type(orig_id_type))
+    # static hints: df_tbl is a map_groups fold — without them the
+    # plan-time schema probe re-runs its shuffle (and dies on an
+    # all-short corpus where ex is legitimately empty)
+    with_df = hash_join(
+        ex, df_tbl, on="sh", num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, eff_id_type),
+                               ("sh", pa.int64())]),
+        right_schema=pa.schema([("sh", pa.int64()),
+                                ("df", pa.int64())]))
 
     def add_dpk(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -657,15 +667,23 @@ def _prefix_filter_candidates(ds, threshold: float, col: str,
                             "orig": b.column(id_col)}),
         batch_format="pyarrow").materialize()  # feeds BOTH joins: pin
     # so the id-column scan + hash does not re-execute per consumer
+    # static hints: cand is the tail of the whole prefix-filter chain
+    # — a plan-time schema probe would re-run it (and return None on a
+    # pair-free corpus)
+    oid = _joins_pa_type(orig_id_type)
     j1 = hash_join(cand, idmap, on="a", right_on="idh",
-                   num_partitions=32)
+                   num_partitions=32,
+                   left_schema=pa.schema([("a", pa.int64()),
+                                          ("b", pa.int64())]))
 
     def keep_b(b: pa.Table) -> pa.Table:
         return pa.table({"b": b.column("b"),
                          "a_orig": b.column("orig")})
 
     j2 = hash_join(j1.map_batches(keep_b, batch_format="pyarrow"),
-                   idmap, on="b", right_on="idh", num_partitions=32)
+                   idmap, on="b", right_on="idh", num_partitions=32,
+                   left_schema=pa.schema([("b", pa.int64()),
+                                          ("a_orig", oid)]))
 
     def canon(b: pa.Table) -> pa.Table:
         x, y = b.column("a_orig"), b.column("orig")

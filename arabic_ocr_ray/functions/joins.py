@@ -117,9 +117,19 @@ def hash_join(left_ds, right_ds, on: str | list[str],
         raise ValueError("right_on arity != on arity")
     # explicit schema hints sidestep the fetch-by-execution that a
     # side built from map_groups needs — and which returns None when
-    # that side is (legitimately) empty
-    ls = left_schema if left_schema is not None else left_ds.schema()
-    rs = right_schema if right_schema is not None else right_ds.schema()
+    # that side is (legitimately) empty.  A side that is itself a
+    # hash_join output carries its statically-known schema in
+    # _aor_known_schema (stamped below): without it, every chained
+    # join would EXECUTE its upstream join at plan time just to read
+    # the schema, then re-execute it in the real pipeline.
+    ls = (left_schema if left_schema is not None
+          else getattr(left_ds, "_aor_known_schema", None))
+    if ls is None:
+        ls = left_ds.schema()
+    rs = (right_schema if right_schema is not None
+          else getattr(right_ds, "_aor_known_schema", None))
+    if rs is None:
+        rs = right_ds.schema()
     ltypes = {n: _pa_type(t) for n, t in zip(ls.names, ls.types)}
     rtypes = {n: _pa_type(t) for n, t in zip(rs.names, rs.types)}
     key_ts = [ltypes[k] for k in keys]
@@ -200,8 +210,12 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     # cap the shuffle at the key-space size — __jk has exactly
     # num_partitions distinct values, so more aggregators than that
     # is pure actor-startup overhead (measured 6× on the CC loop)
-    return (tagged.groupby("__jk", num_partitions=num_partitions)
-            .map_groups(join_part, batch_format="pyarrow"))
+    out = (tagged.groupby("__jk", num_partitions=num_partitions)
+           .map_groups(join_part, batch_format="pyarrow"))
+    # statically known regardless of data: downstream hash_joins read
+    # this instead of executing the whole join for a schema probe
+    out._aor_known_schema = out_schema
+    return out
 
 
 def _key_pk(k: np.ndarray, n_parts: int) -> np.ndarray:

@@ -271,8 +271,15 @@ def tfidf_top_terms(ds, k: int = 3, num_partitions: int = 32):
     tf = ds.map_batches(term_count_partials, batch_format="pyarrow")
     df = (tf.select_columns(["token"])
           .groupby("token").aggregate(Count(alias_name="df")))
+    # static hints: without them the df side's plan-time schema probe
+    # executes the whole tf→Count shuffle a second time
     joined = hash_join(tf, df, on="token", how="inner",
-                       num_partitions=num_partitions)
+                       num_partitions=num_partitions,
+                       left_schema=pa.schema([("doc_id", pa.int64()),
+                                              ("token", pa.string()),
+                                              ("tf", pa.int64())]),
+                       right_schema=pa.schema([("token", pa.string()),
+                                               ("df", pa.int64())]))
 
     def score(b: pa.Table) -> pa.Table:
         tfv = b.column("tf").to_pylist()

@@ -60,9 +60,16 @@ def curate_corpus(docs_ds, min_tokens: int = 5, max_digit_pm: int = 300,
 
     qd = docs_ds.map_batches(gate, batch_format="pyarrow")
 
+    from ..functions.joins import _pa_type
+    idt = _pa_type(dict(zip(docs_ds.schema().names,
+                            docs_ds.schema().types))["doc_id"])
+    id_hint = pa.schema([("doc_id", idt)])
     keep_ids = dedup.dedup_exact(
         qd, col="text", id_col="doc_id").select_columns(["doc_id"])
-    survivors = hash_join(qd, keep_ids, on="doc_id", how="semi")
+    # static hints: both small sides are aggregate/fold tails whose
+    # plan-time schema probe would run their whole shuffle twice
+    survivors = hash_join(qd, keep_ids, on="doc_id", how="semi",
+                          right_schema=id_hint)
 
     if checkpoint_dir is not None:
         from ..sources.parquet import read_parquet_clean
@@ -76,7 +83,8 @@ def curate_corpus(docs_ds, min_tokens: int = 5, max_digit_pm: int = 300,
                                  col="text", id_col="doc_id")
     drop = pairs.select_columns(["b"]).map_batches(
         lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
-    kept = hash_join(survivors, drop, on="doc_id", how="anti")
+    kept = hash_join(survivors, drop, on="doc_id", how="anti",
+                     right_schema=id_hint)
 
     from ray.data.aggregate import Count, Sum
 
@@ -157,8 +165,14 @@ def curate_corpus_v2(docs_ds, min_tokens: int = 20,
     keep_ids = dedup.dedup_exact(
         gated, col="clean_text",
         id_col="doc_id").select_columns(["doc_id"])
+    # static hint: the keep_ids aggregate would otherwise execute
+    # twice (plan-time schema probe + real run)
+    from ..functions.joins import _pa_type
+    idt = _pa_type(dict(zip(docs_ds.schema().names,
+                            docs_ds.schema().types))["doc_id"])
     survivors = hash_join(gated, keep_ids, on="doc_id", how="semi",
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions,
+                          right_schema=pa.schema([("doc_id", idt)]))
     return grouped_topk(
         survivors.select_columns(["doc_id", "source", "lang",
                                   "n_tokens"]),

@@ -356,8 +356,11 @@ def extract_incremental(
                 .select(["url"]))
 
     todo = diff.map_batches(todo_only, batch_format="pyarrow")
+    # static hint: todo is the snapshot_diff tail — without it the
+    # plan-time schema probe runs the whole diff a second time
     pages = hash_join(new_pages_ds, todo, on="url", how="semi",
-                      num_partitions=num_partitions)
+                      num_partitions=num_partitions,
+                      right_schema=pa.schema([("url", pa.string())]))
     return pages.map_batches(
         ExtractText,
         fn_constructor_kwargs={

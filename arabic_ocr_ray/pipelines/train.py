@@ -117,8 +117,14 @@ def train_model(
     # crash class; see functions/joins.py:hash_join)
     from ..functions.joins import hash_join
 
+    # static hint: per_url is a map_groups fold — without it the
+    # plan-time schema probe runs the spans shuffle a second time
     joined = hash_join(pages, per_url, on="url",
-                       num_partitions=num_partitions)
+                       num_partitions=num_partitions,
+                       right_schema=pa.schema([
+                           ("url", pa.string()),
+                           ("labels_json", pa.string()),
+                           ("texts_json", pa.string())]))
     ex = joined.map_batches(
         _ExamplesBatch,
         batch_format="pyarrow",

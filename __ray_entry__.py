@@ -541,6 +541,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"doc_id": "int64", "n_tokens": "int64",
              "n_rare": "int64"})
 
+    def q_lm_surprise(sf_dir: str):
+        """CCNet quality scoring (Wenzek et al. 2020): per-doc
+        cross-entropy under a reference bigram LM, quantized to whole
+        bits so it is integer-exact (no float log anywhere).
+        Reference slice = doc_id % 10 == 0; LM = add-one bigram
+        counts over it, broadcast ONCE via ray.put (vocabulary-sized,
+        guarded); scoring = one pure streaming map — corpus text
+        never shuffles."""
+        import numpy as np
+
+        import pyarrow as pa
+
+        from arabic_ocr_ray.functions.text import (
+            bigram_lm_ref,
+            lm_surprise_stats,
+        )
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "text"])
+
+        def ref_only(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array(ids % 10 == 0))
+
+        lm = bigram_lm_ref(
+            docs.map_batches(ref_only, batch_format="pyarrow"))
+        return _typed(
+            lm_surprise_stats(docs, lm),
+            {"doc_id": "int64", "n_pairs": "int64",
+             "surprise_bits": "int64", "oov_pairs": "int64"})
+
     def q_near_dup_keep_best(sf_dir: str):
         """Cluster representative election: near-dup pairs →
         connected components → keep the LONGEST member per cluster
@@ -2096,12 +2127,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "doc_rare_tokens": q_rare_tokens,
         "near_dup_keep_best": q_near_dup_keep_best,
+        "doc_lm_surprise": q_lm_surprise,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
         "q5_local_supplier": q_q5_local_supplier,
         "q14_promo_revenue": q_q14_promo_revenue,
-        "segment_order_stats": q_segment_order_stats,
         "order_customer_join": q_order_customer_join,
         "events_above_type_mean": q_events_above_type_mean,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2143,7 +2174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # maps/groupbys untouched by the late-r5 join changes,
         # artifact-covered at the refreshed final HEAD) yielded their
         # slots to the six join/aggregate queries the 1a91b02
-        # schema-hint sweep touched. -------------------------------------
+        # schema-hint sweep touched; segment_order_stats (r4-green,
+        # untouched, artifact-covered) yielded its slot to the NEW
+        # doc_lm_surprise. -------------------------------------------
+        "segment_order_stats": q_segment_order_stats,
         "events_hourly": q_events_hourly,
         "event_type_counts": q_event_type_counts,
         "doc_token_count": q_token_count,
@@ -2918,6 +2952,46 @@ def oracle_sql() -> dict[str, str]:
             r" CAST(len(tk.toks) AS BIGINT) AS n_tokens,"
             r" CAST(coalesce(r.n_rare, 0) AS BIGINT) AS n_rare"
             r" FROM tk LEFT JOIN r USING (doc_id)"
+        ),
+        "doc_lm_surprise": (
+            # add-one bigram LM over the doc_id%10==0 reference slice;
+            # per-pair surprise in WHOLE BITS: bitlen(c1+V)-bitlen(c2+1)
+            # with bitlen(x) = length(printf('%b', x)) — integer-exact,
+            # no float log; every doc appears (zeros when < 2 tokens)
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+') AS t FROM documents"
+            r"), u AS ("
+            r" SELECT doc_id, unnest(t) AS w,"
+            r" generate_subscripts(t, 1) AS i FROM tk"
+            r"), pairs AS ("
+            r" SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM u a"
+            r" JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1"
+            r"), ref_u AS ("
+            r" SELECT w, count(*) AS c1 FROM u"
+            r" WHERE doc_id % 10 = 0 GROUP BY w"
+            r"), ref_b AS ("
+            r" SELECT w1, w2, count(*) AS c2 FROM pairs"
+            r" WHERE doc_id % 10 = 0 GROUP BY w1, w2"
+            r"), v AS (SELECT count(*) AS vocab FROM ref_u"
+            r"), scored AS ("
+            r" SELECT p.doc_id,"
+            r" length(printf('%b', coalesce(ru.c1, 0) + v.vocab))"
+            r" - length(printf('%b', coalesce(rb.c2, 0) + 1)) AS bits,"
+            r" CASE WHEN rb.c2 IS NULL THEN 1 ELSE 0 END AS oov"
+            r" FROM pairs p CROSS JOIN v"
+            r" LEFT JOIN ref_u ru ON p.w1 = ru.w"
+            r" LEFT JOIN ref_b rb ON p.w1 = rb.w1 AND p.w2 = rb.w2"
+            r"), agg AS ("
+            r" SELECT doc_id, count(*) AS n_pairs,"
+            r" CAST(sum(bits) AS BIGINT) AS surprise_bits,"
+            r" CAST(sum(oov) AS BIGINT) AS oov_pairs"
+            r" FROM scored GROUP BY doc_id"
+            r") SELECT d.doc_id,"
+            r" CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,"
+            r" coalesce(agg.surprise_bits, 0) AS surprise_bits,"
+            r" coalesce(agg.oov_pairs, 0) AS oov_pairs"
+            r" FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         "near_dup_keep_best": (
             # the near_dup_clusters closure + per-cluster argmax on

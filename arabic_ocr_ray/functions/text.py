@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 
 # --- token counting -------------------------------------------------------
@@ -511,3 +512,150 @@ def dup_line_stats_batch(batch: pa.Table) -> pa.Table:
         "n_lines": pa.array(n_lines_out, pa.int64()),
         "dup_line_permille": pa.array(dup_pm, pa.int64()),
     })
+
+
+# --- reference-LM surprise (CCNet's KenLM quality step, quantized) --------
+
+#: Bounded-small-side contract for the broadcast LM (same class as
+#: dedup.benchmark_gram_ref): a reference LM is vocabulary-sized —
+#: CCNet's per-language KenLM artifacts are single-digit GB for the
+#: whole of Wikipedia.  Raise rather than silently broadcast an
+#: unbounded table.
+MAX_LM_ENTRIES = 50_000_000
+
+
+def bigram_lm_ref(ref_ds, col: str = "text",
+                  max_entries: int = MAX_LM_ENTRIES):
+    """Reference slice → ray.put'd integer add-one bigram LM: sorted
+    unigram / bigram key arrays with aligned counts plus the unigram
+    vocabulary size V.  The CCNet quality-scoring shape (Wenzek et
+    al. 2020: score corpus docs under a CLEAN reference LM), with the
+    LM kept integer-exact so the scorer and its SQL twin can never
+    drift by a float ulp.
+
+    Scale shape: per-batch partial ``Counter`` rows → ONE token-keyed
+    ``Sum`` per order (shuffle ∝ reference vocabulary, never raw
+    occurrences) → driver collect of the vocabulary-sized result
+    (bounded by contract, guarded) → ``ray.put`` ONCE; corpus text
+    never moves.  Bigram keys are ``"w1 w2"`` — unambiguous because
+    tokens are whitespace-split."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        uc: Counter = Counter()
+        bc: Counter = Counter()
+        for t in b.column(col).to_pylist():
+            toks = _WS_SPLIT.findall((t or "").lower())
+            uc.update(toks)
+            bc.update(a + " " + z for a, z in zip(toks, toks[1:]))
+        keys = list(uc) + list(bc)
+        return pa.table({
+            "k": pa.array(keys, pa.string()),
+            "o": pa.array([0] * len(uc) + [1] * len(bc), pa.int8()),
+            "c": pa.array([uc[k] for k in uc] + [bc[k] for k in bc],
+                          pa.int64())})
+
+    rows = (ref_ds.select_columns([col])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["o", "k"]).aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    if len(rows) > max_entries:
+        raise ValueError(
+            f"reference LM has {len(rows)} entries > max_entries="
+            f"{max_entries}; pass a bounded reference slice "
+            "(the LM side must be vocabulary-sized, not corpus-sized)")
+
+    def pack(order: int):
+        ks = np.asarray([r["k"] for r in rows if r["o"] == order])
+        cs = np.asarray([r["c"] for r in rows if r["o"] == order],
+                        dtype=np.int64)
+        if ks.size:
+            srt = np.argsort(ks)
+            return ks[srt], cs[srt]
+        return ks, cs
+
+    uk, ucnt = pack(0)
+    bk, bcnt = pack(1)
+    return ray.put((uk, ucnt, bk, bcnt, int(uk.size)))
+
+
+def _sorted_lookup(keys: np.ndarray, counts: np.ndarray,
+                   q: np.ndarray) -> np.ndarray:
+    """counts[q] with 0 on miss — one vectorized searchsorted."""
+    if keys.size == 0:
+        return np.zeros(q.size, np.int64)
+    pos = np.searchsorted(keys, q)
+    pos[pos == keys.size] = 0
+    out = counts[pos].copy()
+    out[keys[pos] != q] = 0
+    return out
+
+
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Binary-digit count of nonnegative int64 — integer-EXACT via
+    frexp (x < 2^53 converts to float64 losslessly), matching the SQL
+    twin's ``length(printf('%b', x))`` — including bitlen(0) == 1
+    (printf renders 0 as '0'), reachable only with an EMPTY reference
+    slice (V = 0, unseen w1)."""
+    return np.maximum(
+        np.frexp(x.astype(np.float64))[1].astype(np.int64), 1)
+
+
+def lm_surprise_stats(ds, lm_ref, col: str = "text",
+                      id_col: str = "doc_id"):
+    """→ Dataset(doc_id, n_pairs, surprise_bits, oov_pairs): per-doc
+    cross-entropy under the broadcast add-one bigram reference LM,
+    quantized to WHOLE BITS so it is integer-exact end to end:
+
+        surprise_bits = Σ_pairs  bitlen(c1(w1) + V) − bitlen(c2(w1,w2) + 1)
+
+    i.e. Σ −floor-log2 of the Laplace probability (c2+1)/(c1+V) —
+    the CCNet head/middle/tail quality signal without a float log
+    anywhere (a float Σlog is order-dependent across engines and can
+    never hash-match an oracle).  ``oov_pairs`` counts pairs unseen
+    in the reference.  Every doc appears; < 2 tokens → (0, 0, 0).
+
+    Pure streaming map: the LM arrives via the object store
+    (zero-copy numpy views per task); per batch, ALL docs' pairs are
+    scored with two searchsorted lookups + one bincount fold — no
+    per-pair Python."""
+    import ray
+
+    def f(b: pa.Table) -> pa.Table:
+        uk, ucnt, bk, bcnt, v = ray.get(lm_ref)  # local object store
+        w1l, w2l, npair = [], [], []
+        for t in b.column(col).to_pylist():
+            toks = _WS_SPLIT.findall((t or "").lower())
+            m = max(len(toks) - 1, 0)
+            npair.append(m)
+            if m:
+                w1l.extend(toks[:-1])
+                w2l.extend(toks[1:])
+        n_docs = b.num_rows
+        npair_a = np.asarray(npair, dtype=np.int64)
+        if w1l:
+            w1 = np.asarray(w1l)
+            w2 = np.asarray(w2l)
+            c1 = _sorted_lookup(uk, ucnt, w1)
+            c2 = _sorted_lookup(bk, bcnt, np.char.add(
+                np.char.add(w1, " "), w2))
+            bits = _bitlen(c1 + v) - _bitlen(c2 + 1)
+            doc_ix = np.repeat(np.arange(n_docs), npair_a)
+            # float64 bincount sums stay exact far below 2^53
+            surprise = np.bincount(doc_ix, weights=bits,
+                                   minlength=n_docs).astype(np.int64)
+            oov = np.bincount(doc_ix[c2 == 0],
+                              minlength=n_docs).astype(np.int64)
+        else:
+            surprise = np.zeros(n_docs, np.int64)
+            oov = np.zeros(n_docs, np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_pairs": pa.array(npair_a, pa.int64()),
+            "surprise_bits": pa.array(surprise, pa.int64()),
+            "oov_pairs": pa.array(oov, pa.int64())})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow")

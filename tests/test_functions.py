@@ -1371,3 +1371,89 @@ def test_near_dup_keep_best_multi_cluster_partition_fold(ray_session):
     assert out["cluster_id"].tolist() == [0, 2]
     assert out["kept_doc_id"].tolist() == [1, 2]  # longest member each
     assert out["n_members"].tolist() == [2, 2]
+
+
+# ---------------- reference-LM surprise ------------------------------------
+
+def _brute_lm_surprise(texts, ref_idx):
+    """In-test oracle: dict-based add-one bigram LM + whole-bit
+    surprise, mirroring the SQL twin's semantics."""
+    from collections import Counter
+
+    def toks(t):
+        import re
+        return re.findall(r"[^ \t\n\r\f\v]+", (t or "").lower())
+
+    uc, bc = Counter(), Counter()
+    for i in ref_idx:
+        ws = toks(texts[i])
+        uc.update(ws)
+        bc.update(zip(ws, ws[1:]))
+    v = len(uc)
+
+    def bl(x):
+        return max(x.bit_length(), 1)
+
+    out = []
+    for i, t in enumerate(texts):
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        bits = sum(bl(uc.get(a, 0) + v) - bl(bc.get((a, z), 0) + 1)
+                   for a, z in pairs)
+        oov = sum(1 for p in pairs if p not in bc)
+        out.append((i, len(pairs), bits, oov))
+    return out
+
+
+def test_lm_surprise_matches_brute(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import (
+        bigram_lm_ref,
+        lm_surprise_stats,
+    )
+
+    texts = ["the cat sat on the mat",
+             "the cat ate the rat",
+             "a dog barked at the cat",
+             "completely novel tokens nowhere in reference",
+             "the cat sat on the mat again",
+             "",
+             "single"]
+    ref_idx = [0, 1]  # reference slice
+    docs = rd.from_arrow(_docs_table(texts))
+    lm = bigram_lm_ref(rd.from_arrow(_docs_table(
+        [texts[i] for i in ref_idx])))
+    got = sorted(
+        (r["doc_id"], r["n_pairs"], r["surprise_bits"], r["oov_pairs"])
+        for r in lm_surprise_stats(docs, lm).take_all())
+    assert got == _brute_lm_surprise(texts, ref_idx)
+
+
+def test_lm_surprise_empty_reference(ray_session):
+    # V = 0: every pair scores bitlen(0)-bitlen(1) = 1-1 = 0 and is
+    # OOV — matching the SQL twin's printf('%b', 0) = '0' (length 1)
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import (
+        bigram_lm_ref,
+        lm_surprise_stats,
+    )
+
+    docs = rd.from_arrow(_docs_table(["a b c", ""]))
+    lm = bigram_lm_ref(rd.from_arrow(_docs_table([])))
+    got = sorted(
+        (r["doc_id"], r["n_pairs"], r["surprise_bits"], r["oov_pairs"])
+        for r in lm_surprise_stats(docs, lm).take_all())
+    assert got == [(0, 2, 0, 2), (1, 0, 0, 0)]
+
+
+def test_lm_surprise_ref_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import bigram_lm_ref
+
+    with pytest.raises(ValueError, match="max_entries"):
+        bigram_lm_ref(rd.from_arrow(_docs_table(
+            ["alpha beta gamma delta epsilon"])), max_entries=3)

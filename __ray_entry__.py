@@ -572,6 +572,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"doc_id": "int64", "n_pairs": "int64",
              "surprise_bits": "int64", "oov_pairs": "int64"})
 
+    def q_ccnet_buckets(sf_dir: str):
+        """CCNet head/middle/tail corpus split (Wenzek et al. 2020
+        §4.4): per-doc mean LM surprise (whole millibits, integer
+        floor) bucketed by value-cutoff thirds — head = cleanest.
+        Thresholds come from a value-counts histogram bounded by the
+        value DOMAIN (≤ 64,001 distinct), never a global sort."""
+        import numpy as np
+
+        import pyarrow as pa
+
+        from arabic_ocr_ray.functions.text import (
+            bigram_lm_ref,
+            lm_quality_buckets,
+            lm_surprise_stats,
+        )
+
+        docs = _rp(os.path.join(sf_dir, "documents.parquet"),
+                   columns=["doc_id", "text"])
+
+        def ref_only(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array(ids % 10 == 0))
+
+        lm = bigram_lm_ref(
+            docs.map_batches(ref_only, batch_format="pyarrow"))
+        return _typed(
+            lm_quality_buckets(lm_surprise_stats(docs, lm)),
+            {"doc_id": "int64", "mean_millibits": "int64",
+             "bucket": "string"})
+
     def q_near_dup_keep_best(sf_dir: str):
         """Cluster representative election: near-dup pairs →
         connected components → keep the LONGEST member per cluster
@@ -2112,7 +2142,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": q_near_dup,
         "doc_paragraph_dedup": q_paragraph_dedup,
         "para_dedup_incremental": q_para_dedup_incremental,
-        "url_canonical_dedup": q_url_canonical_dedup,
         "curate_corpus_v3": q_curate_v3,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_audio_stats": q_mm_audio_stats,
@@ -2128,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rare_tokens": q_rare_tokens,
         "near_dup_keep_best": q_near_dup_keep_best,
         "doc_lm_surprise": q_lm_surprise,
+        "ccnet_buckets": q_ccnet_buckets,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -2176,7 +2206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slots to the six join/aggregate queries the 1a91b02
         # schema-hint sweep touched; segment_order_stats (r4-green,
         # untouched, artifact-covered) yielded its slot to the NEW
-        # doc_lm_surprise. -------------------------------------------
+        # doc_lm_surprise; url_canonical_dedup (r4-green, urls.py
+        # untouched this round, artifact-covered) yielded its slot to
+        # the NEW ccnet_buckets. --------------------------------------
+        "url_canonical_dedup": q_url_canonical_dedup,
         "segment_order_stats": q_segment_order_stats,
         "events_hourly": q_events_hourly,
         "event_type_counts": q_event_type_counts,
@@ -2992,6 +3025,55 @@ def oracle_sql() -> dict[str, str]:
             r" coalesce(agg.surprise_bits, 0) AS surprise_bits,"
             r" coalesce(agg.oov_pairs, 0) AS oov_pairs"
             r" FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        "ccnet_buckets": (
+            # doc_lm_surprise's LM + per-doc aggregate, then the CCNet
+            # thirds split by VALUE cutoffs over the mean-millibits
+            # histogram (ties at a boundary -> lower bucket); docs
+            # with no bigram pair are unscoreable and excluded
+            r"WITH tk AS ("
+            r" SELECT doc_id, regexp_extract_all(lower(text),"
+            r" '[^ \t\n\r\f\v]+') AS t FROM documents"
+            r"), u AS ("
+            r" SELECT doc_id, unnest(t) AS w,"
+            r" generate_subscripts(t, 1) AS i FROM tk"
+            r"), pairs AS ("
+            r" SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM u a"
+            r" JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1"
+            r"), ref_u AS ("
+            r" SELECT w, count(*) AS c1 FROM u"
+            r" WHERE doc_id % 10 = 0 GROUP BY w"
+            r"), ref_b AS ("
+            r" SELECT w1, w2, count(*) AS c2 FROM pairs"
+            r" WHERE doc_id % 10 = 0 GROUP BY w1, w2"
+            r"), v AS (SELECT count(*) AS vocab FROM ref_u"
+            r"), sc AS ("
+            r" SELECT p.doc_id,"
+            r" length(printf('%b', coalesce(ru.c1, 0) + v.vocab))"
+            r" - length(printf('%b', coalesce(rb.c2, 0) + 1)) AS bits"
+            r" FROM pairs p CROSS JOIN v"
+            r" LEFT JOIN ref_u ru ON p.w1 = ru.w"
+            r" LEFT JOIN ref_b rb ON p.w1 = rb.w1 AND p.w2 = rb.w2"
+            r"), s AS ("
+            r" SELECT doc_id, CAST(sum(bits) AS BIGINT) * 1000"
+            r" // count(*) AS mean_millibits FROM sc GROUP BY doc_id"
+            r"), h AS ("
+            r" SELECT mean_millibits AS mb, count(*) AS c FROM s"
+            r" GROUP BY mb"
+            r"), cum AS ("
+            r" SELECT mb, sum(c) OVER (ORDER BY mb) AS cm FROM h"
+            r"), n AS (SELECT count(*) AS nn FROM s"
+            r"), t AS (SELECT"
+            r" (SELECT min(mb) FROM cum WHERE 3*cm >="
+            r"   (SELECT nn FROM n)) AS t1,"
+            r" (SELECT min(mb) FROM cum WHERE 3*cm >="
+            r"   2*(SELECT nn FROM n)) AS t2"
+            r") SELECT s.doc_id,"
+            r" CAST(s.mean_millibits AS BIGINT) AS mean_millibits,"
+            r" CASE WHEN s.mean_millibits <= t.t1 THEN 'head'"
+            r" WHEN s.mean_millibits <= t.t2 THEN 'middle'"
+            r" ELSE 'tail' END AS bucket"
+            r" FROM s CROSS JOIN t"
         ),
         "near_dup_keep_best": (
             # the near_dup_clusters closure + per-cluster argmax on

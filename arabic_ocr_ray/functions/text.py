@@ -659,3 +659,67 @@ def lm_surprise_stats(ds, lm_ref, col: str = "text",
 
     return ds.select_columns([id_col, col]).map_batches(
         f, batch_format="pyarrow")
+
+
+def lm_quality_buckets(stats_ds, id_col: str = "doc_id"):
+    """→ Dataset(doc_id, mean_millibits, bucket): the CCNet
+    head/middle/tail corpus split (Wenzek et al. 2020 §4.4 — docs
+    bucketed by perplexity under the reference LM into thirds, head =
+    lowest surprise = cleanest).  Input is :func:`lm_surprise_stats`
+    output; docs with no bigram pair (< 2 tokens) are unscoreable and
+    are excluded, matching CCNet's behavior.
+
+    Integer-exact semantics (so the SQL twin hash-matches):
+    ``mean_millibits = surprise_bits * 1000 // n_pairs`` (both
+    nonnegative, so floor == truncate), and thresholds are VALUE
+    cutoffs, not rank splits: t1 = min value v with
+    3·|{mean ≤ v}| ≥ n, t2 = likewise for 2n; head = mean ≤ t1,
+    middle = mean ≤ t2, tail = rest.  Ties at a boundary all land on
+    the lower bucket — deterministic regardless of partitioning,
+    unlike ntile-over-global-sort.
+
+    Scale shape: the (id, mean) projection — 16 B/doc, text and
+    counts already dropped — is materialized once so the histogram
+    pass and the assign pass don't re-run upstream scoring; the
+    threshold histogram is a value-counts groupby whose size is
+    bounded by the value DOMAIN (mean_millibits ≤ 1000 × 64 bits →
+    ≤ 64,001 distinct values, never ∝ corpus), collected once on the
+    driver; assignment is one pure map over two broadcast ints.  No
+    global sort anywhere."""
+    def mean_map(b: pa.Table) -> pa.Table:
+        npair = np.asarray(b.column("n_pairs"), dtype=np.int64)
+        bits = np.asarray(b.column("surprise_bits"), dtype=np.int64)
+        mask = npair > 0
+        ids = np.asarray(b.column(id_col), dtype=np.int64)[mask]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "mean_millibits": pa.array(
+                bits[mask] * 1000 // npair[mask], pa.int64())})
+
+    scored = stats_ds.map_batches(
+        mean_map, batch_format="pyarrow").materialize()
+
+    hist = scored.groupby("mean_millibits").count().take_all()
+    if not hist:
+        # typed empty with the FULL output schema (no scoreable doc)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "mean_millibits": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string())}))
+    vals = np.asarray([r["mean_millibits"] for r in hist],
+                      dtype=np.int64)
+    cnts = np.asarray([r["count()"] for r in hist], dtype=np.int64)
+    srt = np.argsort(vals)
+    vals, cum = vals[srt], np.cumsum(cnts[srt])
+    n = int(cum[-1])
+    t1 = int(vals[np.searchsorted(3 * cum, n)])
+    t2 = int(vals[np.searchsorted(3 * cum, 2 * n)])
+
+    def assign(b: pa.Table) -> pa.Table:
+        mb = np.asarray(b.column("mean_millibits"), dtype=np.int64)
+        lab = np.where(mb <= t1, "head",
+                       np.where(mb <= t2, "middle", "tail"))
+        return b.append_column("bucket", pa.array(lab, pa.string()))
+
+    return scored.map_batches(assign, batch_format="pyarrow")

@@ -1448,6 +1448,86 @@ def test_lm_surprise_empty_reference(ray_session):
     assert got == [(0, 2, 0, 2), (1, 0, 0, 0)]
 
 
+def test_lm_quality_buckets_value_cutoffs(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import (
+        bigram_lm_ref,
+        lm_quality_buckets,
+        lm_surprise_stats,
+    )
+
+    texts = ["the cat sat on the mat",
+             "the cat ate the rat",
+             "a dog barked at the cat",
+             "completely novel tokens nowhere in reference",
+             "the cat sat on the mat again",
+             "",
+             "single",
+             "the cat sat on the mat",
+             "the cat sat near a mat",
+             "a dog ate the mat slowly",
+             "the rat sat on a dog"]
+    ref_idx = [0, 1]
+    docs = rd.from_arrow(_docs_table(texts))
+    lm = bigram_lm_ref(rd.from_arrow(_docs_table(
+        [texts[i] for i in ref_idx])))
+    got = sorted(
+        (r["doc_id"], r["mean_millibits"], r["bucket"])
+        for r in lm_quality_buckets(
+            lm_surprise_stats(docs, lm)).take_all())
+
+    # in-test oracle: brute means + value-cutoff thirds
+    stats = _brute_lm_surprise(texts, ref_idx)
+    means = {i: bits * 1000 // n for i, n, bits, _ in stats if n > 0}
+    vals = sorted(means.values())
+    n = len(vals)
+    t1 = min(v for v in vals if 3 * sum(x <= v for x in vals) >= n)
+    t2 = min(v for v in vals if 3 * sum(x <= v for x in vals) >= 2 * n)
+    want = sorted(
+        (i, m, "head" if m <= t1 else "middle" if m <= t2 else "tail")
+        for i, m in means.items())
+    assert got == want
+    assert {b for _, _, b in got} == {"head", "middle", "tail"}
+    # unscoreable docs (< 2 tokens) are excluded, CCNet-style
+    assert {i for i, _, _ in got} == set(means)
+
+
+def test_lm_quality_buckets_all_ties_land_head(ray_session):
+    # identical docs => one distinct mean value => t1 covers all
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import (
+        bigram_lm_ref,
+        lm_quality_buckets,
+        lm_surprise_stats,
+    )
+
+    texts = ["a b c"] * 5
+    docs = rd.from_arrow(_docs_table(texts))
+    lm = bigram_lm_ref(docs)
+    out = lm_quality_buckets(lm_surprise_stats(docs, lm)).take_all()
+    assert len(out) == 5
+    assert all(r["bucket"] == "head" for r in out)
+
+
+def test_lm_quality_buckets_empty_is_typed(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import (
+        bigram_lm_ref,
+        lm_quality_buckets,
+        lm_surprise_stats,
+    )
+
+    docs = rd.from_arrow(_docs_table(["single", ""]))
+    lm = bigram_lm_ref(docs)
+    out = lm_quality_buckets(lm_surprise_stats(docs, lm))
+    assert out.count() == 0
+    assert set(out.schema().names) == {
+        "doc_id", "mean_millibits", "bucket"}
+
+
 def test_lm_surprise_ref_guard(ray_session):
     import pytest
     import ray.data as rd

@@ -602,6 +602,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"doc_id": "int64", "mean_millibits": "int64",
              "bucket": "string"})
 
+    def q_pack_plan(sf_dir: str):
+        """GPT-style concat-and-chunk sequence packing: every doc
+        gets a global token offset in a deterministic LCG
+        pseudo-shuffled order and the chunk span of the 2048-token
+        training sequences it lands in.  A global ordered prefix-sum
+        with NO global sort: bucket token sums (one tiny keyed Sum)
+        → exclusive bucket offsets on the driver (256 ints) →
+        per-bucket sort+cumsum over the 24 B/doc projection — text
+        never shuffles (packing.py module docstring)."""
+        from arabic_ocr_ray.functions.packing import pack_plan
+        return _typed(
+            pack_plan(_docs(sf_dir), seq_len=2048),
+            {"doc_id": "int64", "n_tokens": "int64",
+             "tok_offset": "int64", "chunk_first": "int64",
+             "chunk_last": "int64"})
+
+    def q_pack_chunk_stats(sf_dir: str):
+        """Per-training-sequence occupancy of the packing plan:
+        chunk_id → (contributing docs, filled token slots).  Chained
+        pipeline: pack_plan → vectorized interval explode (rows ∝
+        tokens/seq_len) → ONE chunk-keyed Sum."""
+        from arabic_ocr_ray.functions.packing import (
+            pack_chunk_stats,
+            pack_plan,
+        )
+        return _typed(
+            pack_chunk_stats(pack_plan(_docs(sf_dir), seq_len=2048),
+                             seq_len=2048),
+            {"chunk_id": "int64", "n_docs": "int64",
+             "n_tokens": "int64"})
+
+    def q_dsir_weights(sf_dir: str):
+        """DSIR importance weights (Xie et al. 2023): hashed
+        unigram+bigram bucket models over a target slice (doc_id %
+        10 == 0, the LM-family reference convention) vs the raw
+        corpus; per-doc weight = Σ floor-log2 add-one count ratio in
+        whole bits (integer-exact, text.py DSIR block).  Both models
+        are bucket-DOMAIN-bounded histograms (≤ 4096 ints each),
+        built by one tiny keyed Sum apiece and broadcast ONCE via
+        ray.put; scoring is a pure streaming map."""
+        import numpy as np
+
+        import pyarrow as pa
+        import ray
+
+        from arabic_ocr_ray.functions.text import (
+            dsir_weight_stats,
+            hashed_gram_hist,
+        )
+
+        docs = _docs(sf_dir)
+
+        def tgt_only(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array(ids % 10 == 0))
+
+        ct = hashed_gram_hist(
+            docs.map_batches(tgt_only, batch_format="pyarrow"))
+        cr = hashed_gram_hist(docs)
+        return _typed(
+            dsir_weight_stats(docs, ray.put((ct, cr))),
+            {"doc_id": "int64", "n_grams": "int64",
+             "weight_bits": "int64"})
+
     def q_near_dup_keep_best(sf_dir: str):
         """Cluster representative election: near-dup pairs →
         connected components → keep the LONGEST member per cluster
@@ -2158,6 +2222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_best": q_near_dup_keep_best,
         "doc_lm_surprise": q_lm_surprise,
         "ccnet_buckets": q_ccnet_buckets,
+        "pack_plan": q_pack_plan,
+        "pack_chunk_stats": q_pack_chunk_stats,
+        "dsir_weights": q_dsir_weights,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -2170,10 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_segment": q_top_orders_by_segment,
         "events_preceding_count": q_events_preceding_count,
         "events_hopping": q_events_hopping,
-        "user_value_median": q_user_value_median,
-        "hll_user_registers": q_hll_user_registers,
         "event_type_distinct_users": q_event_type_distinct_users,
-        "user_value_p90": q_user_value_p90,
         # --- join/aggregate paths touched by the late-r5 schema-hint
         # sweep (commit 1a91b02) pulled inside the window; the four
         # untouched pure maps they displace are artifact-covered -----
@@ -2208,7 +2272,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # untouched, artifact-covered) yielded its slot to the NEW
         # doc_lm_surprise; url_canonical_dedup (r4-green, urls.py
         # untouched this round, artifact-covered) yielded its slot to
-        # the NEW ccnet_buckets. --------------------------------------
+        # the NEW ccnet_buckets.  user_value_median / user_value_p90 /
+        # hll_user_registers (windows.py + sketch.py untouched by this
+        # session's additive-only changes, each hash-green in the
+        # committed full-registry artifact refreshed at HEAD) yielded
+        # their slots to the NEW pack_plan / pack_chunk_stats /
+        # dsir_weights. -------------------------------------------------
+        "user_value_median": q_user_value_median,
+        "user_value_p90": q_user_value_p90,
+        "hll_user_registers": q_hll_user_registers,
         "url_canonical_dedup": q_url_canonical_dedup,
         "segment_order_stats": q_segment_order_stats,
         "events_hourly": q_events_hourly,
@@ -3074,6 +3146,99 @@ def oracle_sql() -> dict[str, str]:
             r" WHEN s.mean_millibits <= t.t2 THEN 'middle'"
             r" ELSE 'tail' END AS bucket"
             r" FROM s CROSS JOIN t"
+        ),
+        "pack_plan": (
+            # concat-and-chunk packing law: LCG pseudo-shuffle order
+            # key (mod-2^31 pre-reduction keeps every product < 2^61,
+            # overflow-free on both engines), exclusive running token
+            # sum in (h, doc_id) order, integer chunk spans; a
+            # zero-token doc occupies no chunk (-1/-1)
+            r"WITH t AS (SELECT doc_id,"
+            r" len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS n,"
+            r" ((doc_id % 2147483648) * 1103515245 + 12345)"
+            r" % 2147483648 AS h FROM documents"
+            r"), o AS ("
+            r" SELECT doc_id, n, coalesce(SUM(n) OVER ("
+            r" ORDER BY h, doc_id"
+            r" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            r" AS off FROM t"
+            r") SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,"
+            r" CAST(off AS BIGINT) AS tok_offset,"
+            r" CAST(CASE WHEN n > 0 THEN off // 2048 ELSE -1 END"
+            r" AS BIGINT) AS chunk_first,"
+            r" CAST(CASE WHEN n > 0 THEN (off + n - 1) // 2048"
+            r" ELSE -1 END AS BIGINT) AS chunk_last FROM o"
+        ),
+        "pack_chunk_stats": (
+            # pack_plan's law, then per-chunk occupancy via a chunk
+            # range unnest (generate_series is BIGINT-only — the
+            # explicit casts keep DuckDB's // out of HUGEINT)
+            r"WITH t AS (SELECT doc_id,"
+            r" len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS n,"
+            r" ((doc_id % 2147483648) * 1103515245 + 12345)"
+            r" % 2147483648 AS h FROM documents"
+            r"), o AS ("
+            r" SELECT doc_id, n, coalesce(SUM(n) OVER ("
+            r" ORDER BY h, doc_id"
+            r" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            r" AS off FROM t"
+            r"), spans AS ("
+            r" SELECT CAST(n AS BIGINT) AS n, CAST(off AS BIGINT)"
+            r" AS off FROM o WHERE n > 0"
+            r"), ch AS ("
+            r" SELECT off, n, unnest(generate_series(off // 2048,"
+            r" (off + n - 1) // 2048)) AS chunk_id FROM spans"
+            r") SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,"
+            r" CAST(sum(least(off + n, (chunk_id + 1) * 2048)"
+            r" - greatest(off, chunk_id * 2048)) AS BIGINT)"
+            r" AS n_tokens FROM ch GROUP BY chunk_id"
+        ),
+        "dsir_weights": (
+            # DSIR hashed-gram importance weights: unigrams + bigrams
+            # md5-folded into 4096 buckets (the CMS twin's hex fold),
+            # target = doc_id%10==0 slice, weight in WHOLE BITS via
+            # printf('%b') bit-length — integer-exact, no float log;
+            # the raw-side join always hits (own grams counted)
+            r"WITH tk AS (SELECT doc_id, regexp_extract_all("
+            r"lower(text), '[^ \t\n\r\f\v]+') AS t FROM documents"
+            r"), u AS ("
+            r" SELECT doc_id, unnest(t) AS w,"
+            r" generate_subscripts(t, 1) AS i FROM tk"
+            r"), pairs AS ("
+            r" SELECT a.doc_id, a.w || ' ' || b.w AS g FROM u a"
+            r" JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1"
+            r"), grams AS ("
+            r" SELECT doc_id, w AS g FROM u"
+            r" UNION ALL SELECT doc_id, g FROM pairs"
+            r"), hb AS ("
+            r" SELECT doc_id,"
+            r" ((instr('0123456789abcdef', substr(hx,1,1)) - 1) * 268435456"
+            r" + (instr('0123456789abcdef', substr(hx,2,1)) - 1) * 16777216"
+            r" + (instr('0123456789abcdef', substr(hx,3,1)) - 1) * 1048576"
+            r" + (instr('0123456789abcdef', substr(hx,4,1)) - 1) * 65536"
+            r" + (instr('0123456789abcdef', substr(hx,5,1)) - 1) * 4096"
+            r" + (instr('0123456789abcdef', substr(hx,6,1)) - 1) * 256"
+            r" + (instr('0123456789abcdef', substr(hx,7,1)) - 1) * 16"
+            r" + (instr('0123456789abcdef', substr(hx,8,1)) - 1)) % 4096"
+            r" AS b FROM (SELECT doc_id, md5(g) AS hx FROM grams)"
+            r"), tgt AS ("
+            r" SELECT b, count(*) AS ct FROM hb"
+            r" WHERE doc_id % 10 = 0 GROUP BY b"
+            r"), raw AS (SELECT b, count(*) AS cr FROM hb GROUP BY b"
+            r"), sc AS ("
+            r" SELECT h.doc_id,"
+            r" length(printf('%b', coalesce(t.ct, 0) + 1))"
+            r" - length(printf('%b', r.cr + 1)) AS bits"
+            r" FROM hb h LEFT JOIN tgt t USING (b)"
+            r" JOIN raw r USING (b)"
+            r"), agg AS ("
+            r" SELECT doc_id, count(*) AS n_grams,"
+            r" CAST(sum(bits) AS BIGINT) AS weight_bits"
+            r" FROM sc GROUP BY doc_id"
+            r") SELECT d.doc_id,"
+            r" CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,"
+            r" coalesce(agg.weight_bits, 0) AS weight_bits"
+            r" FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         "near_dup_keep_best": (
             # the near_dup_clusters closure + per-cluster argmax on

@@ -723,3 +723,129 @@ def lm_quality_buckets(stats_ds, id_col: str = "doc_id"):
         return b.append_column("bucket", pa.array(lab, pa.string()))
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+# --- DSIR hashed-n-gram importance resampling ------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): features are unigram+bigram counts hashed into a
+# fixed bucket domain; a doc's importance weight is its log
+# likelihood-ratio between a TARGET (clean) bag-of-buckets model and
+# the RAW-corpus model.  As with the LM-surprise family above, the
+# log is quantized to whole bits via bit-length so the engine and the
+# DuckDB twin are integer-exact:
+#
+#   weight_bits(d) = Σ_{gram occurrences g}
+#       bitlen(c_tgt[h(g)] + 1) − bitlen(c_raw[h(g)] + 1)
+#
+# i.e. Σ floor-log2 of the add-one count ratio (the two models'
+# normalizers are per-gram constants, dropped — document selection
+# compares docs of similar length by weight_bits / n_grams).
+# h(gram) = first 8 md5 hex chars % DSIR_BUCKETS — the same md5 fold
+# every sketch twin uses, so the SQL side replicates it verbatim.
+DSIR_BUCKETS = 4096
+_DSIR_CACHE: dict = {}
+_DSIR_CACHE_CAP = 1 << 20
+
+
+def _gram_buckets_many(grams: list, n_buckets: int) -> np.ndarray:
+    """Vectorized md5 bucket per gram: cache lookups, then ONE
+    digest-concat + numpy parse pass for the misses (the
+    ``sketch._cms_buckets_many`` batching, unsalted).  The cache
+    stores the RAW 32-bit value; ``% n_buckets`` applies at lookup."""
+    import hashlib
+    n = len(grams)
+    raw = np.empty(n, dtype=np.int64)
+    get = _DSIR_CACHE.get
+    miss = []
+    for i, g in enumerate(grams):
+        hit = get(g)
+        if hit is None:
+            miss.append(i)
+        else:
+            raw[i] = hit
+    if miss:
+        md5 = hashlib.md5
+        buf = b"".join([md5(grams[i].encode()).digest() for i in miss])
+        d = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+        # int(hexdigest[:8], 16) == first 4 digest bytes big-endian
+        b = d[:, :4].copy().view(">u4").ravel().astype(np.int64)
+        raw[miss] = b
+        if len(_DSIR_CACHE) < _DSIR_CACHE_CAP:
+            _DSIR_CACHE.update(zip((grams[i] for i in miss),
+                                   b.tolist()))
+    return raw % n_buckets
+
+
+def _doc_gram_buckets(b: pa.Table, col: str,
+                      n_buckets: int) -> tuple:
+    """(bucket ids of every gram occurrence, per-doc gram counts) for
+    one batch — grams are lowercase whitespace unigrams plus
+    space-joined bigrams, in doc order."""
+    grams: list = []
+    per_doc = np.empty(b.num_rows, dtype=np.int64)
+    for i, t in enumerate(b.column(col).to_pylist()):
+        toks = _WS_SPLIT.findall((t or "").lower())
+        k = len(grams)
+        grams.extend(toks)
+        grams.extend(a + " " + z for a, z in zip(toks, toks[1:]))
+        per_doc[i] = len(grams) - k
+    return _gram_buckets_many(grams, n_buckets), per_doc
+
+
+def hashed_gram_hist(ds, col: str = "text",
+                     n_buckets: int = DSIR_BUCKETS) -> np.ndarray:
+    """→ dense int64[n_buckets] occurrence histogram of the hashed
+    grams of ``col`` — one bag-of-buckets model side for DSIR.
+
+    Scale shape: per-batch ``bincount`` partials (≤ n_buckets rows per
+    block regardless of token count) → ONE bucket-keyed Sum → driver
+    collect of ≤ n_buckets rows.  Shuffle and driver cost are bounded
+    by the bucket DOMAIN, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        bkts, _ = _doc_gram_buckets(b, col, n_buckets)
+        s = np.bincount(bkts, minlength=n_buckets)
+        nz = np.flatnonzero(s)
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "c": pa.array(s[nz], pa.int64())})
+
+    out = np.zeros(n_buckets, dtype=np.int64)
+    for r in (ds.select_columns([col])
+              .map_batches(partials, batch_format="pyarrow")
+              .groupby("b").aggregate(Sum("c", alias_name="c"))
+              .take_all()):  # ≤ n_buckets rows by construction
+        out[r["b"]] = r["c"]
+    return out
+
+
+def dsir_weight_stats(ds, models_ref, col: str = "text",
+                      id_col: str = "doc_id",
+                      n_buckets: int = DSIR_BUCKETS):
+    """→ Dataset(doc_id, n_grams, weight_bits): per-doc DSIR
+    importance weight in whole bits under the broadcast
+    (target_hist, raw_hist) pair (``models_ref`` = ``ray.put((ct,
+    cr))``; each side from :func:`hashed_gram_hist`).  Every doc
+    appears (0 grams → weight 0).  Pure streaming map: two histogram
+    gathers + one bincount fold per batch — corpus text never
+    shuffles, the models ride the object store once per actor."""
+    import ray
+
+    def f(b: pa.Table) -> pa.Table:
+        ct, cr = ray.get(models_ref)
+        bkts, per_doc = _doc_gram_buckets(b, col, n_buckets)
+        if bkts.size:
+            bits = _bitlen(ct[bkts] + 1) - _bitlen(cr[bkts] + 1)
+            doc_ix = np.repeat(np.arange(b.num_rows), per_doc)
+            # float64 bincount sums stay exact far below 2^53
+            w = np.bincount(doc_ix, weights=bits,
+                            minlength=b.num_rows).astype(np.int64)
+        else:
+            w = np.zeros(b.num_rows, np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_grams": pa.array(per_doc, pa.int64()),
+            "weight_bits": pa.array(w, pa.int64())})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow")

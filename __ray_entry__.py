@@ -666,6 +666,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"doc_id": "int64", "n_grams": "int64",
              "weight_bits": "int64"})
 
+    def q_gopher_filter(sf_dir: str):
+        """Gopher document-quality filter (Rae et al. 2021 A1.1) as
+        one integer-exact composite verdict: per-doc fail_flags
+        bitmask over the seven published rules (word count, mean word
+        length, symbol ratio, bullet/ellipsis lines, alphabetic-word
+        share, stopword presence), every threshold cross-multiplied
+        to integers (text.py gopher block).  Pure stats map."""
+        from arabic_ocr_ray.functions.text import gopher_filter_batch
+        return _docs(sf_dir).map_batches(gopher_filter_batch,
+                                         batch_format="pyarrow")
+
     def q_near_dup_keep_best(sf_dir: str):
         """Cluster representative election: near-dup pairs →
         connected components → keep the LONGEST member per cluster
@@ -2225,6 +2236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_plan": q_pack_plan,
         "pack_chunk_stats": q_pack_chunk_stats,
         "dsir_weights": q_dsir_weights,
+        "gopher_filter": q_gopher_filter,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -2237,7 +2249,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_segment": q_top_orders_by_segment,
         "events_preceding_count": q_events_preceding_count,
         "events_hopping": q_events_hopping,
-        "event_type_distinct_users": q_event_type_distinct_users,
         # --- join/aggregate paths touched by the late-r5 schema-hint
         # sweep (commit 1a91b02) pulled inside the window; the four
         # untouched pure maps they displace are artifact-covered -----
@@ -2277,7 +2288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session's additive-only changes, each hash-green in the
         # committed full-registry artifact refreshed at HEAD) yielded
         # their slots to the NEW pack_plan / pack_chunk_stats /
-        # dsir_weights. -------------------------------------------------
+        # dsir_weights; event_type_distinct_users (same status) yielded
+        # its slot to the NEW gopher_filter. ------------------------------
+        "event_type_distinct_users": q_event_type_distinct_users,
         "user_value_median": q_user_value_median,
         "user_value_p90": q_user_value_p90,
         "hll_user_registers": q_hll_user_registers,
@@ -3239,6 +3252,59 @@ def oracle_sql() -> dict[str, str]:
             r" CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,"
             r" coalesce(agg.weight_bits, 0) AS weight_bits"
             r" FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        "gopher_filter": (
+            # the seven Gopher A1.1 rules as integer cross-multiplied
+            # comparisons; list lambdas give per-token stats, the
+            # (?m) line patterns count bullet/ellipsis lines exactly
+            # as Python re does (ASCII-explicit classes throughout)
+            r"WITH t AS (SELECT doc_id, text,"
+            r" regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS toks"
+            r" FROM documents"
+            r"), s AS (SELECT doc_id, len(toks) AS n,"
+            r" coalesce(list_sum(list_transform(toks,"
+            r" w -> length(w))), 0) AS chars,"
+            r" coalesce(list_sum(list_transform(toks,"
+            r" w -> CASE WHEN regexp_matches(w, '[A-Za-z]')"
+            r" THEN 1 ELSE 0 END)), 0) AS n_alpha,"
+            r" (CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'the') THEN 1 ELSE 0 END"
+            r" + CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'be') THEN 1 ELSE 0 END"
+            r" + CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'to') THEN 1 ELSE 0 END"
+            r" + CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'of') THEN 1 ELSE 0 END"
+            r" + CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'and') THEN 1 ELSE 0 END"
+            r" + CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'that') THEN 1 ELSE 0 END"
+            r" + CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'have') THEN 1 ELSE 0 END"
+            r" + CASE WHEN list_contains(list_transform(toks,"
+            r" w -> lower(w)), 'with') THEN 1 ELSE 0 END) AS n_stop,"
+            r" length(text) - length(replace(text, '#', ''))"
+            r" + len(regexp_extract_all(text, '\.\.\.')) AS sym,"
+            r" length(text) - length(replace(text, chr(10), '')) + 1"
+            r" AS n_lines,"
+            r" len(regexp_extract_all(text,"
+            r" '(?m)^[ \t]*[-*][ \t]')) AS bullets,"
+            r" len(regexp_extract_all(text,"
+            r" '(?m)\.\.\.[ \t]*$')) AS ell_lines FROM t"
+            r"), f AS (SELECT doc_id, n,"
+            r" (CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END"
+            r" + CASE WHEN n > 0 AND (chars < 3*n OR chars > 10*n)"
+            r" THEN 2 ELSE 0 END"
+            r" + CASE WHEN 10*sym > n THEN 4 ELSE 0 END"
+            r" + CASE WHEN 10*bullets > 9*n_lines THEN 8 ELSE 0 END"
+            r" + CASE WHEN 10*ell_lines > 3*n_lines THEN 16 ELSE 0 END"
+            r" + CASE WHEN n > 0 AND 5*n_alpha < 4*n THEN 32 ELSE 0 END"
+            r" + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) AS fail_flags"
+            r" FROM s"
+            r") SELECT doc_id, CAST(n AS BIGINT) AS n_words,"
+            r" CAST(fail_flags AS BIGINT) AS fail_flags,"
+            r" CAST(CASE WHEN fail_flags = 0 THEN 1 ELSE 0 END"
+            r" AS BIGINT) AS keep FROM f"
         ),
         "near_dup_keep_best": (
             # the near_dup_clusters closure + per-cluster argmax on

@@ -849,3 +849,68 @@ def dsir_weight_stats(ds, models_ref, col: str = "text",
 
     return ds.select_columns([id_col, col]).map_batches(
         f, batch_format="pyarrow")
+
+
+# --- Gopher quality filter --------------------------------------------------
+# The Gopher rule set (Rae et al. 2021, Appendix A1.1) as ONE
+# integer-exact composite: every threshold is rewritten as a
+# cross-multiplied integer comparison (10·sym > words, not
+# sym/words > 0.1) so the engine and the SQL twin cannot drift by a
+# float ulp.  fail_flags is a bitmask (bit set = rule FAILED):
+#   bit 0  word count outside [50, 100_000]
+#   bit 1  mean word length outside [3, 10]   (only when words > 0)
+#   bit 2  symbol-to-word ratio > 0.1         ('#' chars + '...' runs)
+#   bit 3  > 90% of lines start with a bullet (^[ \t]*[-*][ \t])
+#   bit 4  > 30% of lines end with an ellipsis (\.\.\.[ \t]*$)
+#   bit 5  < 80% of words contain an alphabetic char (words > 0)
+#   bit 6  < 2 distinct stopwords of the 8-set present as tokens
+# keep = 1 iff fail_flags == 0.  All patterns are ASCII-explicit so
+# Python re and DuckDB RE2 count identically (the _WS_SPLIT rule).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+_ALPHA = re.compile(r"[A-Za-z]")
+_ELLIPSIS = re.compile(r"\.\.\.")
+_BULLET_LINE = re.compile(r"(?m)^[ \t]*[-*][ \t]")
+_ELLIPSIS_LINE = re.compile(r"(?m)\.\.\.[ \t]*$")
+
+
+def gopher_filter_batch(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, n_words, fail_flags, keep) — the Gopher document
+    filter verdict per doc (rule law above).  Pure stats map."""
+    stop_set = set(GOPHER_STOPWORDS)
+    ids = batch.column("doc_id")
+    n_words_l, flags_l = [], []
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        toks = _WS_SPLIT.findall(t)
+        n = len(toks)
+        chars = sum(len(w) for w in toks)
+        n_alpha = sum(1 for w in toks if _ALPHA.search(w))
+        n_stop = len(stop_set.intersection(w.lower() for w in toks))
+        sym = t.count("#") + len(_ELLIPSIS.findall(t))
+        n_lines = t.count("\n") + 1
+        bullets = len(_BULLET_LINE.findall(t))
+        ell_lines = len(_ELLIPSIS_LINE.findall(t))
+        f = 0
+        if n < 50 or n > 100_000:
+            f |= 1
+        if n > 0 and (chars < 3 * n or chars > 10 * n):
+            f |= 2
+        if 10 * sym > n:
+            f |= 4
+        if 10 * bullets > 9 * n_lines:
+            f |= 8
+        if 10 * ell_lines > 3 * n_lines:
+            f |= 16
+        if n > 0 and 5 * n_alpha < 4 * n:
+            f |= 32
+        if n_stop < 2:
+            f |= 64
+        n_words_l.append(n)
+        flags_l.append(f)
+    flags = np.asarray(flags_l, dtype=np.int64)
+    return pa.table({
+        "doc_id": ids,
+        "n_words": pa.array(n_words_l, pa.int64()),
+        "fail_flags": pa.array(flags, pa.int64()),
+        "keep": pa.array((flags == 0).astype(np.int64), pa.int64())})

@@ -640,27 +640,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus; per-doc weight = Σ floor-log2 add-one count ratio in
         whole bits (integer-exact, text.py DSIR block).  Both models
         are bucket-DOMAIN-bounded histograms (≤ 4096 ints each),
-        built by one tiny keyed Sum apiece and broadcast ONCE via
-        ray.put; scoring is a pure streaming map."""
+        built together in ONE corpus pass (side-flagged partials, one
+        bucket-keyed Sum) and broadcast ONCE via ray.put; scoring is
+        a pure streaming map."""
         import numpy as np
 
-        import pyarrow as pa
         import ray
 
         from arabic_ocr_ray.functions.text import (
+            dsir_models,
             dsir_weight_stats,
-            hashed_gram_hist,
         )
 
         docs = _docs(sf_dir)
 
-        def tgt_only(b: pa.Table) -> pa.Table:
+        def tgt_mask(b: pa.Table):
             ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-            return b.filter(pa.array(ids % 10 == 0))
+            return ids % 10 == 0
 
-        ct = hashed_gram_hist(
-            docs.map_batches(tgt_only, batch_format="pyarrow"))
-        cr = hashed_gram_hist(docs)
+        ct, cr = dsir_models(docs, tgt_mask)
         return _typed(
             dsir_weight_stats(docs, ray.put((ct, cr))),
             {"doc_id": "int64", "n_grams": "int64",

@@ -252,6 +252,42 @@ def main() -> None:
         id_col="url").count()
     queries["para_dedup"] = round(time.monotonic() - t0, 3)
 
+    # training-data tail over the extracted corpus: sequence-packing
+    # plan (global ordered prefix sum, no global sort) and DSIR
+    # importance weights (one-pass bucket models + pure scoring map);
+    # string urls become int ids via the mix64 fold (>>1 keeps the
+    # LCG order key in exact-int range).  120k cap = the near_dup /
+    # para_dedup slice so the 8-CPU variant stays bounded.
+    from arabic_ocr_ray.functions.packing import pack_plan
+    from arabic_ocr_ray.functions.parthash import column_hash64
+    from arabic_ocr_ray.functions.text import (dsir_models,
+                                               dsir_weight_stats)
+
+    import numpy as _np2
+    import pyarrow as pa
+
+    def _intid(b: pa.Table) -> pa.Table:
+        h = (column_hash64(b.column("url")) >> 1).astype(_np2.int64)
+        return pa.table({"doc_id": pa.array(h, pa.int64()),
+                         "text": b.column("extracted_text")})
+
+    docs_int = ext.limit(120_000).map_batches(_intid,
+                                              batch_format="pyarrow")
+    t0 = time.monotonic()
+    n_packed = pack_plan(docs_int, seq_len=2048).count()
+    assert n_packed == min(n, 120_000), (n_packed, n)
+    queries["pack"] = round(time.monotonic() - t0, 3)
+
+    def _tgt_mask(b: pa.Table):
+        ids = _np2.asarray(b.column("doc_id"), dtype=_np2.int64)
+        return ids % 10 == 0
+
+    t0 = time.monotonic()
+    ct_cr = dsir_models(docs_int, _tgt_mask)
+    n_dsir = dsir_weight_stats(docs_int, ray.put(ct_cr)).count()
+    assert n_dsir == min(n, 120_000), (n_dsir, n)
+    queries["dsir"] = round(time.monotonic() - t0, 3)
+
     # mixed html/PDF corpus through the same fused stage (the north
     # rule's "PDF/layout parse" payload): every third url's payload is
     # a line-preserving PDF of its golden text, synthesized in-flight,

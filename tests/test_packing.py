@@ -184,6 +184,33 @@ def test_dsir_weights_match_brute_oracle():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dsir_models_one_pass_equals_two_hists():
+    import numpy as np
+
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.text import (
+        dsir_models,
+        hashed_gram_hist,
+    )
+
+    ds = rd.from_arrow(_docs_table(TEXTS)).repartition(5)
+
+    def tgt_mask(b):
+        return np.asarray(b.column("doc_id"), dtype=np.int64) % 3 == 0
+
+    def tgt_only(b):
+        return b.filter(pa.array(tgt_mask(b)))
+
+    ct, cr = dsir_models(ds, tgt_mask)
+    ct2 = hashed_gram_hist(
+        ds.map_batches(tgt_only, batch_format="pyarrow"))
+    cr2 = hashed_gram_hist(ds)
+    assert (ct == ct2).all() and (cr == cr2).all()
+    assert cr.sum() > ct.sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dsir_empty_target_and_empty_docs():
     import ray
 

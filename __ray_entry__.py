@@ -675,6 +675,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(gopher_filter_batch,
                                          batch_format="pyarrow")
 
+    def q_bpe_vocab(sf_dir: str):
+        """BPE vocabulary learning (Sennrich et al. 2016) — the
+        tokenizer-training step: ONE corpus pass builds the
+        word-type frequency table (per-batch Counter partials + a
+        token-keyed Sum, shuffle ∝ vocabulary), then the merge loop
+        runs on the driver over that bounded table (the subword-nmt
+        / fastBPE shape).  Deterministic ties (count desc, pair
+        asc), so the merge list is partitioning-invariant.  NO SQL
+        twin: the merge loop is inherently iterative-global (each
+        merge rewrites the pair statistics the next argmax reads) —
+        rows-only driver check; exactness is pinned by the
+        brute-force recount oracle in tests/test_bpe.py."""
+        from arabic_ocr_ray.functions.bpe import bpe_merge_table
+        return bpe_merge_table(_docs(sf_dir), num_merges=40,
+                               min_pair_freq=2)
+
+    def q_bpe_encode(sf_dir: str):
+        """Apply the learned merge table back over the corpus:
+        per-doc (n_words, n_units) — the compression-ratio signal a
+        tokenizer-training run reports.  Merge table broadcasts once
+        via ray.put; encode is a pure streaming actor-pool map with
+        a per-distinct-word cache.  Rows-only for the same reason as
+        bpe_vocab (the segmentation depends on the learned merges);
+        encode semantics are pinned against the reference
+        lowest-rank-first algorithm in tests/test_bpe.py."""
+        import ray
+
+        from arabic_ocr_ray.functions.bpe import (
+            bpe_encode_stats,
+            bpe_merge_table,
+        )
+        merges = bpe_merge_table(_docs(sf_dir), num_merges=40,
+                                 min_pair_freq=2)
+        return _typed(
+            bpe_encode_stats(_docs(sf_dir), ray.put(merges)),
+            {"doc_id": "int64", "n_words": "int64",
+             "n_units": "int64"})
+
     def q_near_dup_keep_best(sf_dir: str):
         """Cluster representative election: near-dup pairs →
         connected components → keep the LONGEST member per cluster
@@ -2205,8 +2243,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": q_corpus_stats,
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "export_shards": q_export_shards,
-        "extract_dedup": q_extract_dedup,
-        "segment_stats": q_segment_stats,
         "train_prototypes": q_train_prototypes,
         "curate_corpus": q_curate_corpus,
         "extract_incremental": q_extract_incremental,
@@ -2235,6 +2271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunk_stats": q_pack_chunk_stats,
         "dsir_weights": q_dsir_weights,
         "gopher_filter": q_gopher_filter,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode_stats": q_bpe_encode,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -2287,7 +2325,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # committed full-registry artifact refreshed at HEAD) yielded
         # their slots to the NEW pack_plan / pack_chunk_stats /
         # dsir_weights; event_type_distinct_users (same status) yielded
-        # its slot to the NEW gopher_filter. ------------------------------
+        # its slot to the NEW gopher_filter.  extract_dedup /
+        # segment_stats (both hash-green in CORRECTNESS_r04 AND in the
+        # full-registry artifact refreshed at HEAD 57628dc) yielded
+        # their slots to the NEW bpe_vocab / bpe_encode_stats. -------------
+        "extract_dedup": q_extract_dedup,
+        "segment_stats": q_segment_stats,
         "event_type_distinct_users": q_event_type_distinct_users,
         "user_value_median": q_user_value_median,
         "user_value_p90": q_user_value_p90,

@@ -288,6 +288,30 @@ def main() -> None:
     assert n_dsir == min(n, 120_000), (n_dsir, n)
     queries["dsir"] = round(time.monotonic() - t0, 3)
 
+    # BPE tokenizer training over the same 120k-doc slice: one
+    # corpus pass for the word-type table, driver merge loop, then
+    # the encode map back over the corpus (broadcast merges).
+    from arabic_ocr_ray.functions.bpe import (bpe_encode_stats,
+                                              bpe_merge_table)
+
+    t0 = time.monotonic()
+    merges = bpe_merge_table(docs_int, num_merges=64)
+    n_bpe = bpe_encode_stats(docs_int, ray.put(merges)).count()
+    assert merges.num_rows == 64 and n_bpe == min(n, 120_000)
+    queries["bpe"] = round(time.monotonic() - t0, 3)
+
+    # integer-exact distributed k-means over the embeddings table
+    # (2,000 x 64 at sf0.1): 2 Lloyd iterations + final labeling.
+    from arabic_ocr_ray.functions.cluster import kmeans_exact
+
+    t0 = time.monotonic()
+    emb = ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    assign, _ = kmeans_exact(emb, n_clusters=8, n_iter=2)
+    n_km = assign.count()
+    queries["kmeans"] = round(time.monotonic() - t0, 3)
+
     # mixed html/PDF corpus through the same fused stage (the north
     # rule's "PDF/layout parse" payload): every third url's payload is
     # a line-preserving PDF of its golden text, synthesized in-flight,

@@ -732,6 +732,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _typed(assign, {"vec_id": "int64",
                                "cluster_id": "int64", "d2": "int64"})
 
+    def q_semdedup(sf_dir: str):
+        """SemDeDup (Abbas et al. 2023) over the embeddings table:
+        k-means (K=8, 2 Lloyd iterations, integer-exact) then
+        within-cluster cosine near-dup drop at 19/20 = 0.95, keeping
+        the first point in (distance-to-centroid DESC, id ASC) order
+        per duplicate neighborhood — the paper's
+        keep-low-similarity-to-centroid variant.  Cosine is exact
+        integer over SIM_QUANT-quantized coordinates (dot²·den² ≥
+        num²·|a|²·|b|²), so the unrolled SQL twin hash-matches.
+        Scale shape: one similarity projection map + one id-keyed
+        join + one cluster-keyed exchange; the O(n²/K) per-cluster
+        pairwise is intrinsic to SemDeDup (size K ∝ corpus;
+        max_cluster raises, never truncates) — functions/cluster.py."""
+        from arabic_ocr_ray.functions.cluster import semdedup
+
+        ds = _rp(os.path.join(sf_dir, "embeddings.parquet"),
+                 columns=["vec_id", "embedding"])
+        return _typed(semdedup(ds, n_clusters=8, n_iter=2,
+                               threshold=(19, 20)),
+                      {"vec_id": "int64", "cluster_id": "int64",
+                       "kept": "int64"})
+
     def q_near_dup_keep_best(sf_dir: str):
         """Cluster representative election: near-dup pairs →
         connected components → keep the LONGEST member per cluster
@@ -2292,7 +2314,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode_stats": q_bpe_encode,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
         # --- the 27 rows r4 parked past the window, rotated back in ------
+        # (events_hopping yielded its slot to the NEW semdedup: it is
+        # r3-green, windows.py is untouched this session, and it is
+        # hash-green in the full-registry artifact refreshed at HEAD)
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
         "q5_local_supplier": q_q5_local_supplier,
@@ -2303,7 +2329,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": q_event_sessions,
         "top_orders_by_segment": q_top_orders_by_segment,
         "events_preceding_count": q_events_preceding_count,
-        "events_hopping": q_events_hopping,
         # --- join/aggregate paths touched by the late-r5 schema-hint
         # sweep (commit 1a91b02) pulled inside the window; the four
         # untouched pure maps they displace are artifact-covered -----
@@ -2311,6 +2336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "curate_corpus_v2": q_curate_v2,
         "customer_event_coverage": q_customer_event_coverage,
+        "events_hopping": q_events_hopping,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -3404,6 +3430,126 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY d2, cl) AS rn
               FROM df) WHERE rn = 1
+            """),
+        "semdedup": (
+            # the kmeans twin's 2-iteration unrolling (see
+            # kmeans_clusters above), extended with the SemDeDup
+            # pairwise test: rank within cluster by (d2 DESC, id),
+            # drop iff ANY earlier point has cosine ≥ 19/20 over
+            # SIM_QUANT(=1000)-quantized coordinates — dot > 0 AND
+            # dot²·20² ≥ 19²·|a|²·|b|², exact in DuckDB's HUGEINT
+            """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5)
+                               AS BIGINT)) AS e
+              FROM embeddings
+            ),
+            dims AS (SELECT unnest(range(1, 65)) AS i),
+            ve AS (SELECT vec_id, i, e[i] AS x FROM v, dims),
+            seed AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
+              FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+            ),
+            c0 AS (SELECT cl, i, e[i] AS cx FROM seed, dims),
+            d1 AS (
+              SELECT ve.vec_id, c0.cl,
+                     SUM((ve.x - c0.cx)*(ve.x - c0.cx)) AS d2
+              FROM ve JOIN c0 USING (i) GROUP BY 1, 2
+            ),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cl) AS rn
+                FROM d1) WHERE rn = 1
+            ),
+            m1 AS (
+              SELECT a1.cl, ve.i, CAST(SUM(ve.x) AS BIGINT) AS s,
+                     COUNT(*) AS n
+              FROM a1 JOIN ve USING (vec_id) GROUP BY 1, 2
+            ),
+            c1 AS (
+              SELECT c0.cl, c0.i,
+                     COALESCE(m1.s // CAST(m1.n AS BIGINT), c0.cx)
+                       AS cx
+              FROM c0 LEFT JOIN m1
+                ON c0.cl = m1.cl AND c0.i = m1.i
+            ),
+            d2t AS (
+              SELECT ve.vec_id, c1.cl,
+                     SUM((ve.x - c1.cx)*(ve.x - c1.cx)) AS d2
+              FROM ve JOIN c1 USING (i) GROUP BY 1, 2
+            ),
+            a2 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cl) AS rn
+                FROM d2t) WHERE rn = 1
+            ),
+            m2 AS (
+              SELECT a2.cl, ve.i, CAST(SUM(ve.x) AS BIGINT) AS s,
+                     COUNT(*) AS n
+              FROM a2 JOIN ve USING (vec_id) GROUP BY 1, 2
+            ),
+            c2 AS (
+              SELECT c1.cl, c1.i,
+                     COALESCE(m2.s // CAST(m2.n AS BIGINT), c1.cx)
+                       AS cx
+              FROM c1 LEFT JOIN m2
+                ON c1.cl = m2.cl AND c1.i = m2.i
+            ),
+            df AS (
+              SELECT ve.vec_id, c2.cl,
+                     CAST(SUM((ve.x - c2.cx)*(ve.x - c2.cx))
+                          AS BIGINT) AS d2
+              FROM ve JOIN c2 USING (i) GROUP BY 1, 2
+            ),
+            lab AS (
+              SELECT vec_id, cl, d2 FROM (
+                SELECT vec_id, cl, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cl) AS rn
+                FROM df) WHERE rn = 1
+            ),
+            vs AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5)
+                               AS BIGINT)) AS es
+              FROM embeddings
+            ),
+            vse AS (SELECT vec_id, i, es[i] AS x FROM vs, dims),
+            nrm AS (SELECT vec_id, SUM(x*x) AS n2 FROM vse
+                    GROUP BY vec_id),
+            ord AS (
+              SELECT vec_id, cl,
+                     row_number() OVER (PARTITION BY cl
+                                        ORDER BY d2 DESC, vec_id)
+                       AS rk
+              FROM lab
+            ),
+            dots AS (
+              SELECT a.vec_id AS pa, b.vec_id AS pb,
+                     SUM(va.x * vb.x) AS dot
+              FROM ord a JOIN ord b
+                ON a.cl = b.cl AND b.rk < a.rk
+              JOIN vse va ON va.vec_id = a.vec_id
+              JOIN vse vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+              GROUP BY 1, 2
+            ),
+            dropped AS (
+              SELECT DISTINCT d.pa AS vec_id
+              FROM dots d
+              JOIN nrm x ON x.vec_id = d.pa
+              JOIN nrm y ON y.vec_id = d.pb
+              WHERE d.dot > 0
+                AND d.dot*d.dot*400 >= 361*x.n2*y.n2
+            )
+            SELECT l.vec_id, l.cl AS cluster_id,
+                   CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM lab l LEFT JOIN dropped dr USING (vec_id)
             """),
         "gopher_filter": (
             # the seven Gopher A1.1 rules as integer cross-multiplied

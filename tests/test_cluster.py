@@ -6,10 +6,12 @@ import pytest
 
 from arabic_ocr_ray.functions.cluster import (
     QUANT,
+    SIM_QUANT,
     _assign,
     _trunc_div,
     kmeans_cluster_stats,
     kmeans_exact,
+    semdedup,
 )
 
 
@@ -120,3 +122,89 @@ def test_kmeans_stats_and_guard():
     with pytest.raises(ValueError, match="n_clusters"):
         kmeans_exact(rd.from_arrow(_vec_table(V[:2], ids[:2])),
                      n_clusters=5)
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+def _brute_semdedup(V: np.ndarray, ids: np.ndarray, k: int,
+                    n_iter: int, num: int, den: int):
+    """Pure-python SemDeDup oracle on the exact integer contract:
+    kmeans order = (d2 to final centroid DESC, id ASC); dropped iff
+    ANY earlier point has dot > 0 and dot²·den² ≥ num²·|a|²·|b|²
+    over SIM_QUANT-quantized coordinates (python ints — no overflow
+    by construction)."""
+    a, d2, _ = _brute_kmeans(V, ids, k, n_iter)
+    Es = np.floor(V.astype(np.float64) * SIM_QUANT + 0.5).astype(np.int64)
+    out = {}
+    for c in set(a.tolist()):
+        idx = np.where(a == c)[0]
+        order = sorted(idx, key=lambda i: (-int(d2[i]), int(ids[i])))
+        for r, i in enumerate(order):
+            ni = int(Es[i] @ Es[i])
+            dr = False
+            for j in order[:r]:
+                dot = int(Es[i] @ Es[j])
+                nj = int(Es[j] @ Es[j])
+                if dot > 0 and dot * dot * den * den >= num * num * ni * nj:
+                    dr = True
+                    break
+            out[int(ids[i])] = (int(c), 0 if dr else 1)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_matches_brute_oracle_and_partitioning():
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    V = rng.normal(0, 0.15, size=(90, 8)).astype(np.float32)
+    V[:30] += 0.6
+    V[30:60] -= 0.6
+    # plant near-dup families: copies with tiny noise
+    for src, dst in ((0, 1), (0, 2), (31, 32), (61, 62), (61, 63)):
+        V[dst] = V[src] + rng.normal(0, 0.002, size=8).astype(np.float32)
+    ids = rng.permutation(90).astype(np.int64)
+    want = _brute_semdedup(V, ids, k=3, n_iter=2, num=19, den=20)
+    assert sum(kept for _, kept in want.values()) < 90  # dups really drop
+    t = _vec_table(V, ids)
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {r["vec_id"]: (r["cluster_id"], r["kept"])
+               for r in semdedup(ds, n_clusters=3, n_iter=2,
+                                 threshold=(19, 20)).take_all()}
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_exact_threshold_tie_drops():
+    import ray.data as rd
+
+    # quantized (3,4) vs (4,3): cos = 24/25 exactly → at threshold
+    # (24,25) the ≥ comparison is an exact integer tie and must drop
+    V = np.array([[0.003, 0.004], [0.004, 0.003]], dtype=np.float32)
+    ids = np.array([1, 2], dtype=np.int64)
+    res = semdedup(rd.from_arrow(_vec_table(V, ids)), n_clusters=1,
+                   n_iter=1, threshold=(24, 25)).to_pandas()
+    assert sorted(res["kept"].tolist()) == [0, 1]
+    # one notch tighter and the pair survives
+    res2 = semdedup(rd.from_arrow(_vec_table(V, ids)), n_clusters=1,
+                    n_iter=1, threshold=(97, 100)).to_pandas()
+    assert res2["kept"].tolist() == [1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_guards():
+    import ray.data as rd
+
+    # int64 headroom: |x| ~ 3.0 at d=64, den=20 → d·m²·den ≈ 1.2e10
+    big = np.full((4, 64), 3.0, dtype=np.float32)
+    ids = np.arange(4, dtype=np.int64)
+    with pytest.raises(ValueError, match="headroom"):
+        semdedup(rd.from_arrow(_vec_table(big, ids)), n_clusters=2,
+                 n_iter=1).materialize()
+
+    ok = np.random.default_rng(5).normal(
+        0, 0.2, size=(6, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="max_cluster"):
+        semdedup(rd.from_arrow(_vec_table(ok, np.arange(6, dtype=np.int64))),
+                 n_clusters=2, n_iter=1, max_cluster=2).materialize()

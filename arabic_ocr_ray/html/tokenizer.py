@@ -91,13 +91,19 @@ COMPOSITE = "لا"  # لا
 COMPOSITE_SENTINEL = ""
 
 #: Memoized tag-body parse for the high-frequency attribute-free tags
-#: (``p``, ``/p``, ``li``, ``b`` …) — (closing, name, self_closing).
-#: Attribute-bearing bodies (unique hrefs etc.) are parsed inline and
-#: never cached; the cache is size-capped for pathological inputs.
-_TAG_INFO: dict[str, tuple[bool, str, bool]] = {}
+#: (``p``, ``/p``, ``li``, ``b`` …) — the full per-tag decision:
+#: ``(closing, name, opens, base_flags, is_a)``.  ``base_flags``
+#: packs every bit that does not depend on the live link_depth
+#: (_F_OPEN/_F_CLOSE/_F_BLOCK/_F_LINK), so the scan loop's cached
+#: path does zero set lookups and zero per-token flag branches (the
+#: r5 frontier: BLOCK_TAGS/VOID_TAGS membership per token was ~8% of
+#: the scan).  Attribute-bearing bodies (unique hrefs etc.) are
+#: parsed inline and never cached; the cache is size-capped for
+#: pathological inputs.
+_TAG_INFO: dict[str, tuple[bool, str, bool, int, bool]] = {}
 
 
-def _tag_info(body: str) -> tuple[bool, str, bool]:
+def _tag_info(body: str) -> tuple[bool, str, bool, int, bool]:
     info = _TAG_INFO.get(body)
     if info is None:
         closing = body.startswith("/")
@@ -115,7 +121,17 @@ def _tag_info(body: str) -> tuple[bool, str, bool]:
             self_closing = (not has_attrs
                             or body[-2:-1] in (" ", "\t", "\n", "\r",
                                                '"', "'"))
-        info = (closing, name.rstrip("/"), self_closing)
+        name = name.rstrip("/")
+        is_a = name == "a"
+        block = _F_BLOCK if name in BLOCK_TAGS else 0
+        if closing:
+            opens = False
+            base = _F_CLOSE | block
+        else:
+            opens = name not in VOID_TAGS and not self_closing
+            base = ((_F_OPEN if opens else 0) | block
+                    | (_F_LINK if (is_a and opens) else 0))
+        info = (closing, name, opens, base, is_a)
         if " " not in body and len(body) < 16 and len(_TAG_INFO) < 8192:
             _TAG_INFO[body] = info
     return info
@@ -234,8 +250,6 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
     m_app = match.append
     tag_info = _tag_info
     tag_cache_get = _TAG_INFO.get  # inline the hit path (~95% of tags)
-    block_tags = BLOCK_TAGS
-    void_tags = VOID_TAGS
 
     n_tok = 0     # == len(weights); counter beats 1M len() calls
     depth = 0     # == len(stack)
@@ -244,9 +258,8 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
             body = m.group(1).strip()
             if body[0] in "!?":  # regex guarantees body[0] exists
                 continue  # doctype / processing instruction: no token
-            info = tag_cache_get(body)
-            closing, name, self_closing = info if info is not None \
-                else tag_info(body)
+            info = tag_cache_get(body) or tag_info(body)
+            closing, name, opens, base, is_a = info
             if not name:
                 continue
             idx = n_tok
@@ -256,14 +269,18 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
             # the "glyph body" the fine-cut stage looks for (C1).
             if closing:
                 # Error recovery: pop through a matching open if one is
-                # on the stack, else ignore the stray close.
-                found = -1
-                for si in range(depth - 1, -1, -1):
-                    if stack[si][0] == name:
-                        found = si
-                        break
-                if found < 0:
-                    continue
+                # on the stack, else ignore the stray close.  Fast path:
+                # the close matches the top of the stack (~all of a
+                # well-formed page).
+                found = depth - 1
+                if found < 0 or stack[found][0] != name:
+                    found = -1
+                    for si in range(depth - 2, -1, -1):
+                        if stack[si][0] == name:
+                            found = si
+                            break
+                    if found < 0:
+                        continue
                 while depth > found:
                     popped_tag, open_idx = stack.pop()
                     depth -= 1
@@ -275,24 +292,15 @@ def tokenize(raw: bytes, lang: str = "") -> TokenStream:
                 w_app(0)
                 d_app(found + 1)
                 t_app(""); g_app(name)
-                f_app(
-                    _F_CLOSE
-                    | (_F_BLOCK if name in block_tags else 0)
-                    | (_F_INLINK if (name == "a" or link_depth > 0)
-                       else 0))
+                f_app(base | _F_INLINK if (is_a or link_depth) else base)
                 m_app(partner)
             else:
-                opens = name not in void_tags and not self_closing
-                is_a = name == "a"
                 w_app(0)
                 d_app(depth + 1 if opens else depth)
                 t_app(""); g_app(name)
-                f_app(
-                    (_F_OPEN if opens else 0)
-                    | (_F_BLOCK if name in block_tags else 0)
-                    | (_F_LINK if (is_a and opens) else 0)
-                    | (_F_INLINK if ((is_a and opens) or link_depth > 0)
-                       else 0))
+                # base already carries _F_LINK for an opening <a>
+                f_app(base | _F_INLINK if (base & _F_LINK or link_depth)
+                      else base)
                 m_app(-1)
                 if opens:
                     stack.append((name, idx))

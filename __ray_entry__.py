@@ -675,6 +675,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(gopher_filter_batch,
                                          batch_format="pyarrow")
 
+    def q_c4_filter(sf_dir: str):
+        """C4 page-filter verdict (Raffel et al. 2020 §2.2): line
+        law (terminal mark + ≥5 words + no 'javascript') then the
+        page rules — ≥3 sentences in kept text, no 'lorem ipsum',
+        no '{', no badword — as an integer fail_flags bitmask
+        (text.py C4 block; sentence count is a deterministic regex
+        stand-in for nltk punkt, documented).  Pure stats map."""
+        from arabic_ocr_ray.functions.text import c4_page_filter_batch
+        return _docs(sf_dir).map_batches(c4_page_filter_batch,
+                                         batch_format="pyarrow")
+
     def q_bpe_vocab(sf_dir: str):
         """BPE vocabulary learning (Sennrich et al. 2016) — the
         tokenizer-training step: ONE corpus pass builds the
@@ -2315,9 +2326,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_stats": q_bpe_encode,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "c4_filter": q_c4_filter,
         # --- the 27 rows r4 parked past the window, rotated back in ------
-        # (events_hopping yielded its slot to the NEW semdedup: it is
-        # r3-green, windows.py is untouched this session, and it is
+        # (events_hopping and events_preceding_count yielded their
+        # slots to the NEW semdedup and c4_filter: both are r3-green,
+        # windows.py is untouched this session, and both are
         # hash-green in the full-registry artifact refreshed at HEAD)
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
@@ -2328,7 +2341,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q_near_dup_clusters,
         "event_sessions": q_event_sessions,
         "top_orders_by_segment": q_top_orders_by_segment,
-        "events_preceding_count": q_events_preceding_count,
         # --- join/aggregate paths touched by the late-r5 schema-hint
         # sweep (commit 1a91b02) pulled inside the window; the four
         # untouched pure maps they displace are artifact-covered -----
@@ -2337,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_v2": q_curate_v2,
         "customer_event_coverage": q_customer_event_coverage,
         "events_hopping": q_events_hopping,
+        "events_preceding_count": q_events_preceding_count,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -3551,6 +3564,46 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS kept
             FROM lab l LEFT JOIN dropped dr USING (vec_id)
             """),
+        "c4_filter": (
+            # the C4 line law (trim [ \t\r]; non-empty; terminal
+            # [.!?"]; ≥5 whitespace tokens; no 'javascript') then the
+            # page rules as a bitmask — ASCII-explicit patterns so
+            # RE2 counts exactly as Python re
+            r"WITH p AS (SELECT doc_id, coalesce(text, '') AS text"
+            r" FROM documents"
+            r"), ln AS (SELECT doc_id, text,"
+            r" list_filter(list_transform(string_split(text, chr(10)),"
+            r" x -> trim(x, ' ' || chr(9) || chr(13))),"
+            r" x -> x <> '') AS lines FROM p"
+            r"), k AS (SELECT doc_id, text, len(lines) AS n_lines,"
+            r" list_filter(lines, x -> regexp_matches(x, '[.!?\"]$')"
+            r" AND len(regexp_extract_all(x, '[^ \t\n\r\f\v]+')) >= 5"
+            r" AND NOT contains(lower(x), 'javascript')) AS kept"
+            r" FROM ln"
+            r"), s AS (SELECT doc_id, text, n_lines, len(kept) AS n_kept,"
+            # array_to_string on an EMPTY list is NULL in DuckDB —
+            # coalesce so zero-kept docs count 0 sentences, not NULL
+            r" coalesce(array_to_string(kept, chr(10)), '') AS kt"
+            r" FROM k"
+            r"), f AS (SELECT doc_id, n_lines, n_kept,"
+            r" len(regexp_extract_all(kt, '[.!?]')) AS n_sentences,"
+            r" length(kt) AS kept_chars,"
+            r" (CASE WHEN len(regexp_extract_all(kt, '[.!?]')) < 3"
+            r" THEN 1 ELSE 0 END)"
+            r" + (CASE WHEN contains(lower(text), 'lorem ipsum')"
+            r" THEN 2 ELSE 0 END)"
+            r" + (CASE WHEN contains(text, '{') THEN 4 ELSE 0 END)"
+            r" + (CASE WHEN regexp_matches(lower(text),"
+            r" '\b(?:viagra|casino|xxx|porn)\b') THEN 8 ELSE 0 END)"
+            r" AS fail_flags FROM s"
+            r") SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,"
+            r" CAST(n_kept AS BIGINT) AS n_kept,"
+            r" CAST(n_sentences AS BIGINT) AS n_sentences,"
+            r" CAST(kept_chars AS BIGINT) AS kept_chars,"
+            r" CAST(fail_flags AS BIGINT) AS fail_flags,"
+            r" CAST(CASE WHEN fail_flags = 0 THEN 1 ELSE 0 END"
+            r" AS BIGINT) AS keep FROM f"
+        ),
         "gopher_filter": (
             # the seven Gopher A1.1 rules as integer cross-multiplied
             # comparisons; list lambdas give per-token stats, the

@@ -1492,7 +1492,16 @@ def simhash_many(texts: list) -> np.ndarray:
         rows_miss = _bit_rows(_md5_u64(mtoks))
         if _TOKEN_N + len(mtoks) <= _TOKEN_CACHE_CAP:
             need = _TOKEN_N + len(mtoks)
-            if need > len(_TOKEN_MAT):  # geometric growth — the r3
+            # a non-writeable matrix is treated like an undersized
+            # one: when the package is registered pickle-by-VALUE
+            # (the __ray_entry__ driver contract), a warm DRIVER
+            # cache ships with the UDF and Ray's zero-copy numpy
+            # deserialization hands the worker a READ-ONLY array —
+            # inserting in place raised ValueError until the first
+            # growth, killing the whole simhash stage
+            if (need > len(_TOKEN_MAT)
+                    or not _TOKEN_MAT.flags.writeable):
+                # geometric growth — the r3
                 # full-matrix np.concatenate per batch was an
                 # O(vocab²)-bytes cold start (39.7 vs 20.5 s warm)
                 grown = np.empty(

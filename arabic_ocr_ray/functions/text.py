@@ -967,3 +967,72 @@ def gopher_filter_batch(batch: pa.Table) -> pa.Table:
         "n_words": pa.array(n_words_l, pa.int64()),
         "fail_flags": pa.array(flags, pa.int64()),
         "keep": pa.array((flags == 0).astype(np.int64), pa.int64())})
+
+
+# --- C4 page filter ----------------------------------------------------------
+# The C4 cleaning heuristics (Raffel et al. 2020 §2.2, the public
+# c4_utils rule set) as one integer-exact composite over the raw doc:
+#   line kept iff (after trimming [ \t\r]) it is non-empty, ends in a
+#   terminal mark (. ! ? "), has ≥ 5 whitespace tokens, and does not
+#   contain "javascript" (case-insensitive);
+#   page fail_flags (bit set = rule FAILED):
+#     bit 0  kept text has < 3 sentences (sentence ≈ count of [.!?] —
+#            deterministic regex stand-in for the paper's nltk punkt,
+#            which is not in this sandbox; documented deviation)
+#     bit 1  raw page contains "lorem ipsum" (case-insensitive)
+#     bit 2  raw page contains "{"
+#     bit 3  raw page matches the badword list (word-boundary,
+#            case-insensitive; C4_BADWORDS is a short representative
+#            stand-in for the full LDNOOBW list — pluggable)
+#   keep = 1 iff fail_flags == 0.  Every pattern is ASCII-explicit so
+# Python re and DuckDB RE2 count identically (the _WS_SPLIT rule).
+C4_BADWORDS = ("viagra", "casino", "xxx", "porn")
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINAL = re.compile(r'[.!?"]$')
+_C4_SENTENCE = re.compile(r"[.!?]")
+_C4_BADWORD_RE = re.compile(r"\b(?:" + "|".join(C4_BADWORDS) + r")\b")
+
+
+def c4_page_filter_batch(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, n_lines, n_kept, n_sentences, kept_chars,
+    fail_flags, keep) — the C4 page-filter verdict per doc (rule law
+    above).  Pure stats map; pairs with :func:`line_filter_batch`
+    (which emits the cleaned text) and :func:`gopher_filter_batch`
+    (the Gopher suite) as the published-filter family."""
+    ids = batch.column("doc_id")
+    n_lines_l, n_kept_l, n_sent_l, chars_l, flags_l = [], [], [], [], []
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        low = t.lower()
+        lines = [s for s in
+                 (ln.strip(" \t\r") for ln in t.split("\n")) if s]
+        kept = [ln for ln in lines
+                if _C4_TERMINAL.search(ln)
+                and len(_WS_SPLIT.findall(ln)) >= C4_MIN_WORDS_PER_LINE
+                and "javascript" not in ln.lower()]
+        kt = "\n".join(kept)
+        n_sent = len(_C4_SENTENCE.findall(kt))
+        f = 0
+        if n_sent < C4_MIN_SENTENCES:
+            f |= 1
+        if "lorem ipsum" in low:
+            f |= 2
+        if "{" in t:
+            f |= 4
+        if _C4_BADWORD_RE.search(low):
+            f |= 8
+        n_lines_l.append(len(lines))
+        n_kept_l.append(len(kept))
+        n_sent_l.append(n_sent)
+        chars_l.append(len(kt))
+        flags_l.append(f)
+    flags = np.asarray(flags_l, dtype=np.int64)
+    return pa.table({
+        "doc_id": ids,
+        "n_lines": pa.array(n_lines_l, pa.int64()),
+        "n_kept": pa.array(n_kept_l, pa.int64()),
+        "n_sentences": pa.array(n_sent_l, pa.int64()),
+        "kept_chars": pa.array(chars_l, pa.int64()),
+        "fail_flags": pa.array(flags, pa.int64()),
+        "keep": pa.array((flags == 0).astype(np.int64), pa.int64())})

@@ -312,6 +312,19 @@ def main() -> None:
     n_km = assign.count()
     queries["kmeans"] = round(time.monotonic() - t0, 3)
 
+    # SemDeDup: the kmeans clustering + within-cluster exact-integer
+    # cosine near-dup drop (keep-one per duplicate neighborhood)
+    from arabic_ocr_ray.functions.cluster import semdedup
+
+    t0 = time.monotonic()
+    emb2 = ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    sd = semdedup(emb2, n_clusters=8, n_iter=2, threshold=(19, 20))
+    n_sd = sd.count()
+    assert n_sd == n_km, (n_sd, n_km)
+    queries["semdedup"] = round(time.monotonic() - t0, 3)
+
     # mixed html/PDF corpus through the same fused stage (the north
     # rule's "PDF/layout parse" payload): every third url's payload is
     # a line-preserving PDF of its golden text, synthesized in-flight,

@@ -686,6 +686,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(c4_page_filter_batch,
                                          batch_format="pyarrow")
 
+    def q_gopher_repetition(sf_dir: str):
+        """Gopher repetition filter (Rae et al. 2021 A1.2, Table A1):
+        the 13 within-doc repetition rules — dup line/paragraph
+        fractions (count + chars) and the nine n-gram char-fraction
+        rules (top 2/3/4-gram, dup 5..10-gram) — as an integer
+        fail_flags bitmask (text.py block documents the exact
+        element/char law and the two pinned deviations: overlap-naive
+        dup-gram chars, ≥2-count top grams).  Pure stats map."""
+        from arabic_ocr_ray.functions.text import gopher_repetition_batch
+        return _docs(sf_dir).map_batches(gopher_repetition_batch,
+                                         batch_format="pyarrow")
+
     def q_bpe_vocab(sf_dir: str):
         """BPE vocabulary learning (Sennrich et al. 2016) — the
         tokenizer-training step: ONE corpus pass builds the
@@ -2327,16 +2339,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "c4_filter": q_c4_filter,
+        "gopher_repetition": q_gopher_repetition,
         # --- the 27 rows r4 parked past the window, rotated back in ------
-        # (events_hopping and events_preceding_count yielded their
-        # slots to the NEW semdedup and c4_filter: both are r3-green,
-        # windows.py is untouched this session, and both are
+        # (events_hopping, events_preceding_count and
+        # order_customer_join yielded their slots to the NEW semdedup,
+        # c4_filter and gopher_repetition: all three are r3-green,
+        # windows.py/joins.py are untouched this session, and all are
         # hash-green in the full-registry artifact refreshed at HEAD)
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
         "q5_local_supplier": q_q5_local_supplier,
         "q14_promo_revenue": q_q14_promo_revenue,
-        "order_customer_join": q_order_customer_join,
         "events_above_type_mean": q_events_above_type_mean,
         "near_dup_clusters": q_near_dup_clusters,
         "event_sessions": q_event_sessions,
@@ -2348,8 +2361,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "curate_corpus_v2": q_curate_v2,
         "customer_event_coverage": q_customer_event_coverage,
-        "events_hopping": q_events_hopping,
-        "events_preceding_count": q_events_preceding_count,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -2391,6 +2402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contamination_hits code path untouched this round,
         # artifact-covered) yielded its slot to the NEW
         # kmeans_clusters. --------------------------------------------
+        "events_hopping": q_events_hopping,
+        "events_preceding_count": q_events_preceding_count,
+        "order_customer_join": q_order_customer_join,
         "extract_dedup": q_extract_dedup,
         "segment_stats": q_segment_stats,
         "doc_decontaminate": q_doc_decontaminate,
@@ -3600,6 +3614,93 @@ def oracle_sql() -> dict[str, str]:
             r" CAST(n_kept AS BIGINT) AS n_kept,"
             r" CAST(n_sentences AS BIGINT) AS n_sentences,"
             r" CAST(kept_chars AS BIGINT) AS kept_chars,"
+            r" CAST(fail_flags AS BIGINT) AS fail_flags,"
+            r" CAST(CASE WHEN fail_flags = 0 THEN 1 ELSE 0 END"
+            r" AS BIGINT) AS keep FROM f"
+        ),
+        "gopher_repetition": (
+            # the 13 Gopher A1.2 repetition rules; dup chars via
+            # all-chars minus distinct-chars (array_to_string of an
+            # empty list is NULL — coalesced), n-grams via list
+            # slicing over the ASCII-word split, fractions as
+            # cross-multiplied integers (text.py documents the two
+            # pinned deviations: overlap-naive dup-gram chars,
+            # ≥2-count top grams)
+            r"WITH p AS (SELECT doc_id, coalesce(text, '') AS text"
+            r" FROM documents"
+            r"), base AS (SELECT doc_id, length(text) AS total,"
+            r" list_filter(string_split(text, chr(10)),"
+            r" x -> x <> '') AS lines,"
+            r" list_filter(string_split_regex(text, '\n{2,}'),"
+            r" x -> x <> '') AS paras,"
+            r" regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS ws"
+            r" FROM p"
+            r"), d AS (SELECT doc_id, total, ws,"
+            r" len(lines) AS n_lines, len(paras) AS n_paras,"
+            r" len(lines) - len(list_distinct(lines)) AS dup_lines,"
+            r" len(paras) - len(list_distinct(paras)) AS dup_paras,"
+            r" coalesce(length(array_to_string(lines, '')), 0)"
+            r" - coalesce(length(array_to_string(list_distinct(lines),"
+            r" '')), 0) AS dup_line_chars,"
+            r" coalesce(length(array_to_string(paras, '')), 0)"
+            r" - coalesce(length(array_to_string(list_distinct(paras),"
+            r" '')), 0) AS dup_para_chars FROM base"
+            r"), gl AS (SELECT doc_id, n,"
+            r" list_transform(range(1, len(ws) - n + 2),"
+            r" i -> array_to_string(ws[i:i+n-1], ' ')) AS grams"
+            r" FROM d CROSS JOIN (SELECT"
+            r" unnest([2,3,4,5,6,7,8,9,10]) AS n) ns"
+            r"), ge AS (SELECT doc_id, n, unnest(grams) AS gram"
+            r" FROM gl"
+            r"), gc AS (SELECT doc_id, n, gram, count(*) AS c"
+            r" FROM ge GROUP BY 1, 2, 3"
+            r"), ga AS (SELECT doc_id, n,"
+            r" coalesce(max(CASE WHEN c >= 2 THEN c * length(gram)"
+            r" END), 0) AS topchars,"
+            r" coalesce(sum(CASE WHEN c >= 2 THEN c * length(gram)"
+            r" END), 0) AS dupchars FROM gc GROUP BY 1, 2"
+            r"), gp AS (SELECT doc_id,"
+            r" max(CASE WHEN n=2 THEN topchars END) AS t2,"
+            r" max(CASE WHEN n=3 THEN topchars END) AS t3,"
+            r" max(CASE WHEN n=4 THEN topchars END) AS t4,"
+            r" max(CASE WHEN n=5 THEN dupchars END) AS d5,"
+            r" max(CASE WHEN n=6 THEN dupchars END) AS d6,"
+            r" max(CASE WHEN n=7 THEN dupchars END) AS d7,"
+            r" max(CASE WHEN n=8 THEN dupchars END) AS d8,"
+            r" max(CASE WHEN n=9 THEN dupchars END) AS d9,"
+            r" max(CASE WHEN n=10 THEN dupchars END) AS d10"
+            r" FROM ga GROUP BY 1"
+            r"), f AS (SELECT d.doc_id, n_lines, n_paras, dup_lines,"
+            r" dup_paras, dup_line_chars, dup_para_chars,"
+            r" (CASE WHEN dup_lines*10 > n_lines*3 THEN 1 ELSE 0 END)"
+            r" + (CASE WHEN dup_paras*10 > n_paras*3 THEN 2 ELSE 0 END)"
+            r" + (CASE WHEN dup_line_chars*5 > total THEN 4 ELSE 0 END)"
+            r" + (CASE WHEN dup_para_chars*5 > total THEN 8 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(t2,0)*100 > total*20"
+            r" THEN 16 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(t3,0)*100 > total*18"
+            r" THEN 32 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(t4,0)*100 > total*16"
+            r" THEN 64 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(d5,0)*100 > total*15"
+            r" THEN 128 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(d6,0)*100 > total*14"
+            r" THEN 256 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(d7,0)*100 > total*13"
+            r" THEN 512 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(d8,0)*100 > total*12"
+            r" THEN 1024 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(d9,0)*100 > total*11"
+            r" THEN 2048 ELSE 0 END)"
+            r" + (CASE WHEN coalesce(d10,0)*100 > total*10"
+            r" THEN 4096 ELSE 0 END) AS fail_flags"
+            r" FROM d LEFT JOIN gp ON d.doc_id = gp.doc_id"
+            r") SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,"
+            r" CAST(n_paras AS BIGINT) AS n_paras,"
+            r" CAST(dup_lines AS BIGINT) AS dup_lines,"
+            r" CAST(dup_paras AS BIGINT) AS dup_paras,"
+            r" CAST(dup_line_chars AS BIGINT) AS dup_line_chars,"
+            r" CAST(dup_para_chars AS BIGINT) AS dup_para_chars,"
             r" CAST(fail_flags AS BIGINT) AS fail_flags,"
             r" CAST(CASE WHEN fail_flags = 0 THEN 1 ELSE 0 END"
             r" AS BIGINT) AS keep FROM f"

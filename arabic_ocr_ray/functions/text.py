@@ -9,6 +9,7 @@ priority orders, no floats on any decision path.  The SQL twins live in
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -1036,3 +1037,124 @@ def c4_page_filter_batch(batch: pa.Table) -> pa.Table:
         "kept_chars": pa.array(chars_l, pa.int64()),
         "fail_flags": pa.array(flags, pa.int64()),
         "keep": pa.array((flags == 0).astype(np.int64), pa.int64())})
+
+
+# --- Gopher repetition filter -------------------------------------------------
+# The 13 repetition rules of Gopher (Rae et al. 2021, Appendix A1.2,
+# Table A1) as one integer-exact composite — the within-doc-repetition
+# half of the published-filter family (:func:`gopher_filter_batch` is
+# the quality half).  Every threshold is a cross-multiplied integer
+# comparison (lhs·100 > rhs·k, never a float ratio) so the DuckDB twin
+# is hash-exact.  Exact semantics (documented where they pin down what
+# the paper leaves open):
+#   lines  = text.split("\n") minus empties (no trim);
+#   paras  = re.split("\n{2,}") minus empties;
+#   a DUPLICATE element is any occurrence beyond the first, so
+#   dup_elems = n - n_distinct and dup_chars = (chars of all
+#   occurrences) - (chars of distinct values);
+#   words  = _WS_SPLIT (ASCII whitespace — the twin rule);
+#   n-gram = " ".join(words[i:i+n]);
+#   top-n-gram chars = max over distinct n-grams with count ≥ 2 of
+#   count·len (0 if nothing repeats — a singleton n-gram is not a
+#   repetition, and without the ≥2 gate every short clean doc fails
+#   the 3/4-gram rules because one n-gram trivially covers >16 % of a
+#   one-line text; the max-of-product form makes ties irrelevant);
+#   dup-n-gram chars = sum over n-grams with count ≥ 2 of count·len —
+#   ALL occurrences of any duplicated n-gram ("characters contained
+#   within duplicate n-grams"), overlap-NAIVE: the paper's
+#   count-each-character-once coverage union is order-dependent and
+#   not SQL-expressible; this deterministic variant upper-bounds it
+#   and is monotone in the same repetition signal (documented
+#   deviation, like the c4 sentence regex);
+#   every char-fraction denominator is len(text) in codepoints
+#   (Python len == DuckDB length), and comparisons are multiplicative
+#   so empty docs pass all 13 rules without a division guard.
+# fail_flags bits (set = rule FAILED, i.e. fraction EXCEEDS threshold):
+#   0  dup line fraction            > 0.30
+#   1  dup paragraph fraction       > 0.30
+#   2  dup line char fraction       > 0.20
+#   3  dup paragraph char fraction  > 0.20
+#   4  top 2-gram char fraction     > 0.20
+#   5  top 3-gram char fraction     > 0.18
+#   6  top 4-gram char fraction     > 0.16
+#   7  dup 5-gram char fraction     > 0.15
+#   8  dup 6-gram char fraction     > 0.14
+#   9  dup 7-gram char fraction     > 0.13
+#   10 dup 8-gram char fraction     > 0.12
+#   11 dup 9-gram char fraction     > 0.11
+#   12 dup 10-gram char fraction    > 0.10
+GOPHER_TOP_NGRAM = ((2, 20), (3, 18), (4, 16))          # (n, pct·100)
+GOPHER_DUP_NGRAM = ((5, 15), (6, 14), (7, 13),
+                    (8, 12), (9, 11), (10, 10))
+_PARA_SPLIT = re.compile(r"\n{2,}")
+
+
+def _dup_stats(elems: list) -> tuple:
+    """(dup_elems, dup_chars): occurrences beyond the first, and
+    their total characters (all-chars minus distinct-chars)."""
+    seen = set()
+    dup_e = dup_c = 0
+    for e in elems:
+        if e in seen:
+            dup_e += 1
+            dup_c += len(e)
+        else:
+            seen.add(e)
+    return dup_e, dup_c
+
+
+def gopher_repetition_batch(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, n_lines, n_paras, dup_lines, dup_paras,
+    dup_line_chars, dup_para_chars, fail_flags, keep) — the Gopher
+    A1.2 repetition-filter verdict per doc (rule law above; the nine
+    n-gram statistics fold into ``fail_flags`` only).  Pure stats
+    map."""
+    ids = batch.column("doc_id")
+    out = {k: [] for k in ("n_lines", "n_paras", "dup_lines",
+                           "dup_paras", "dup_line_chars",
+                           "dup_para_chars", "fail_flags")}
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        total = len(t)
+        lines = [x for x in t.split("\n") if x]
+        paras = [x for x in _PARA_SPLIT.split(t) if x]
+        dl, dlc = _dup_stats(lines)
+        dp, dpc = _dup_stats(paras)
+        f = 0
+        if dl * 10 > len(lines) * 3:
+            f |= 1
+        if dp * 10 > len(paras) * 3:
+            f |= 2
+        if dlc * 5 > total:
+            f |= 4
+        if dpc * 5 > total:
+            f |= 8
+        words = _WS_SPLIT.findall(t)
+        bit = 16
+        for n, pct in GOPHER_TOP_NGRAM:
+            c = Counter(" ".join(words[i:i + n])
+                        for i in range(len(words) - n + 1))
+            top = max((v * len(g) for g, v in c.items() if v >= 2),
+                      default=0)
+            if top * 100 > total * pct:
+                f |= bit
+            bit <<= 1
+        for n, pct in GOPHER_DUP_NGRAM:
+            c = Counter(" ".join(words[i:i + n])
+                        for i in range(len(words) - n + 1))
+            dup = sum(v * len(g) for g, v in c.items() if v >= 2)
+            if dup * 100 > total * pct:
+                f |= bit
+            bit <<= 1
+        out["n_lines"].append(len(lines))
+        out["n_paras"].append(len(paras))
+        out["dup_lines"].append(dl)
+        out["dup_paras"].append(dp)
+        out["dup_line_chars"].append(dlc)
+        out["dup_para_chars"].append(dpc)
+        out["fail_flags"].append(f)
+    flags = np.asarray(out["fail_flags"], dtype=np.int64)
+    cols = {"doc_id": ids}
+    cols.update({k: pa.array(v, pa.int64()) for k, v in out.items()})
+    cols["keep"] = pa.array((flags == 0).astype(np.int64), pa.int64())
+    return pa.table(cols)

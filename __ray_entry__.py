@@ -907,6 +907,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = pages.map_batches(side(False), batch_format="pyarrow")
         return curate_corpus_v3(corpus, bench, min_tokens=5)
 
+    def q_curate_v4(sf_dir: str):
+        """Published-filter curation chain (the C4/FineWeb recipe
+        shape): C4 page rules ∧ Gopher repetition in ONE fused
+        verdict map, then exact dedup keep-min-id — over the pages
+        fixture, where both filters bite (sf0.01: 1000 → 277 kept →
+        exact-dup copies dropped).  The Gopher QUALITY filter stays a
+        scored column, not a gate (its stopword rule is
+        English-specific — it zeroes a multilingual crawl)."""
+        from arabic_ocr_ray.pipelines.curate import curate_corpus_v4
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "text"])
+        return curate_corpus_v4(pages)
+
     def q_common_paragraphs(sf_dir: str):
         """Boilerplate inventory: paragraphs repeating across ≥ 2
         distinct pages with occurrence/document counts — the report a
@@ -2340,19 +2354,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "c4_filter": q_c4_filter,
         "gopher_repetition": q_gopher_repetition,
+        "curate_corpus_v4": q_curate_v4,
         # --- the 27 rows r4 parked past the window, rotated back in ------
-        # (events_hopping, events_preceding_count and
-        # order_customer_join yielded their slots to the NEW semdedup,
-        # c4_filter and gopher_repetition: all three are r3-green,
-        # windows.py/joins.py are untouched this session, and all are
-        # hash-green in the full-registry artifact refreshed at HEAD)
+        # (events_hopping, events_preceding_count, order_customer_join
+        # and event_sessions yielded their slots to the NEW semdedup,
+        # c4_filter, gopher_repetition and curate_corpus_v4: all four
+        # are r3-green, windows.py/joins.py are untouched this
+        # session, and all are hash-green in the full-registry
+        # artifact refreshed at HEAD)
         "top_orders": q_top_orders,
         "q3_shipping": q_q3_shipping,
         "q5_local_supplier": q_q5_local_supplier,
         "q14_promo_revenue": q_q14_promo_revenue,
         "events_above_type_mean": q_events_above_type_mean,
         "near_dup_clusters": q_near_dup_clusters,
-        "event_sessions": q_event_sessions,
         "top_orders_by_segment": q_top_orders_by_segment,
         # --- join/aggregate paths touched by the late-r5 schema-hint
         # sweep (commit 1a91b02) pulled inside the window; the four
@@ -2405,6 +2420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_preceding_count": q_events_preceding_count,
         "order_customer_join": q_order_customer_join,
+        "event_sessions": q_event_sessions,
         "extract_dedup": q_extract_dedup,
         "segment_stats": q_segment_stats,
         "doc_decontaminate": q_doc_decontaminate,
@@ -4250,4 +4266,27 @@ def oracle_sql() -> dict[str, str]:
     }
     # gather-path variant runs the same planted harness → same truth
     out["embedding_near_dup_gather"] = out["embedding_near_dup"]
+    # curate_corpus_v4: compose the c4_filter and gopher_repetition
+    # twins VERBATIM (one definition, two consumers), retargeted from
+    # the documents view to the pages fixture, then conjunction +
+    # exact dedup (min url per identical text — Ray Min and DuckDB
+    # min agree lexicographically on varchar)
+    _v4_pages = (f"(SELECT url AS doc_id, text"
+                 f" FROM read_parquet('{pages}'))")
+    _v4_c4 = out["c4_filter"].replace(" FROM documents",
+                                      f" FROM {_v4_pages}")
+    _v4_rep = out["gopher_repetition"].replace(" FROM documents",
+                                               f" FROM {_v4_pages}")
+    out["curate_corpus_v4"] = (
+        f"WITH c4 AS ({_v4_c4}), rep AS ({_v4_rep}),"
+        f" surv AS (SELECT p.url, p.text, c4.n_kept,"
+        f" c4.n_sentences, c4.kept_chars"
+        f" FROM read_parquet('{pages}') p"
+        f" JOIN c4 ON c4.doc_id = p.url"
+        f" JOIN rep ON rep.doc_id = p.url"
+        f" WHERE c4.keep = 1 AND rep.keep = 1),"
+        f" k AS (SELECT min(url) AS url FROM surv GROUP BY text)"
+        f" SELECT s.url, n_kept, n_sentences, kept_chars"
+        f" FROM surv s JOIN k USING (url)"
+    )
     return out

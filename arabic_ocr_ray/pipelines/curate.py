@@ -221,3 +221,61 @@ def curate_corpus_v3(pages_ds, bench_ds, k_gram: int = 8,
                                            min_tokens))
 
     return deduped.map_batches(gate, batch_format="pyarrow")
+
+
+def curate_corpus_v4(pages_ds, id_col: str = "url"):
+    """→ Dataset(url, n_kept, n_sentences, kept_chars) — the
+    PUBLISHED-filter curation chain (the C4/FineWeb recipe shape):
+
+        C4 page filter ∧ Gopher repetition filter → exact dedup
+        (keep lexicographic-min id per identical text)
+
+    Both filters are per-doc pure stats, so they run in ONE fused
+    verdict map — a single corpus scan computes both bitmasks and
+    filters in-batch (three separate map stages would re-ship every
+    text twice through the object store for no reason).  The Gopher
+    QUALITY filter is deliberately not in this chain: its stopword
+    rule is English-specific and its word-count floor assumes prose —
+    on a multilingual crawl it runs as a scored column
+    (``gopher_filter``), not a gate.
+
+    Shuffle inventory: verdicts none (streaming map); exact dedup =
+    content-hash groupby + one id semi-join (the D1 pattern) — the
+    text column never moves except into the hash.
+    """
+    from ..functions import dedup
+    from ..functions.joins import _pa_type, hash_join
+    from ..functions.text import (
+        c4_page_filter_batch,
+        gopher_repetition_batch,
+    )
+
+    def verdict(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        docs = pa.table({"doc_id": b.column(id_col),
+                         "text": b.column("text")})
+        c4 = c4_page_filter_batch(docs)
+        rep = gopher_repetition_batch(docs)
+        keep = pc.and_(pc.equal(c4.column("keep"), 1),
+                       pc.equal(rep.column("keep"), 1))
+        out = pa.table({
+            id_col: b.column(id_col),
+            "text": b.column("text"),
+            "n_kept": c4.column("n_kept"),
+            "n_sentences": c4.column("n_sentences"),
+            "kept_chars": c4.column("kept_chars")})
+        return out.filter(keep)
+
+    surv = pages_ds.map_batches(verdict, batch_format="pyarrow")
+
+    idt = _pa_type(dict(zip(pages_ds.schema().names,
+                            pages_ds.schema().types))[id_col])
+    keep_ids = dedup.dedup_exact(
+        surv, col="text", id_col=id_col).select_columns([id_col])
+    # static hint: the keep set is an aggregate tail whose plan-time
+    # schema probe would run the whole dedup shuffle twice
+    out = hash_join(surv, keep_ids, on=id_col, how="semi",
+                    right_schema=pa.schema([(id_col, idt)]))
+    return out.select_columns([id_col, "n_kept", "n_sentences",
+                               "kept_chars"])

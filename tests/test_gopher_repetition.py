@@ -103,3 +103,30 @@ def test_matches_duckdb_twin_on_adversarial_texts():
         .reset_index(drop=True)
     assert got.equals(want[got.columns.tolist()].astype(
         {c: got[c].dtype for c in got.columns}))
+
+
+def test_curate_corpus_v4_chain(ray_session):
+    """Published-filter chain: C4 ∧ repetition gate, then exact
+    dedup keep-min-id — each stage drops exactly the planted doc."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.pipelines.curate import curate_corpus_v4
+
+    clean2 = CLEAN.replace("fox", "wolf")
+    t = pa.table({
+        "url": pa.array(["u/1", "u/2", "u/3", "u/4", "u/5", "u/6"],
+                        pa.string()),
+        "text": pa.array([
+            CLEAN,                     # kept
+            CLEAN,                     # exact dup of u/1 -> dropped
+            clean2,                    # kept (distinct text)
+            CLEAN + "\nfunction f() { return 1; }",  # C4 brace -> out
+            "same line here today ok.\n" * 8,  # repetition -> out
+            "no terminal marks on this line",  # C4 <3 sentences -> out
+        ], pa.string()),
+    })
+    out = curate_corpus_v4(rd.from_arrow(t)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert out["url"].tolist() == ["u/1", "u/3"]
+    # the stats columns ride through from the C4 verdict
+    assert (out["n_kept"] == 3).all() and (out["n_sentences"] == 3).all()

@@ -1,0 +1,138 @@
+"""Link-graph family: href extraction/resolution law, strict-UTF-8
+gate, indegree fold, and the integer PageRank power iteration pinned
+against a brute-force python-int oracle across two partitionings."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from arabic_ocr_ray.functions.links import (
+    PR_QUANT,
+    link_indegree,
+    outlinks,
+    outlinks_batch,
+    pagerank,
+    resolve_href,
+)
+
+
+def _page(url, hrefs):
+    body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    return url, f"<html><body>{body}</body></html>".encode()
+
+
+def _pages_table(rows):
+    return pa.table({"url": pa.array([r[0] for r in rows], pa.string()),
+                     "html": pa.array([r[1] for r in rows],
+                                      pa.binary())})
+
+
+def test_resolve_href_law():
+    src = "https://h.test/a/b/p1"
+    assert resolve_href(src, "https://x.com/q") == "https://x.com/q"
+    assert resolve_href(src, "/root") == "https://h.test/root"
+    assert resolve_href(src, "rel") == "https://h.test/a/b/rel"
+    assert resolve_href(src, "rel#frag") == "https://h.test/a/b/rel"
+    assert resolve_href(src, "#frag") is None
+    assert resolve_href(src, "") is None
+
+
+def test_outlinks_extraction_and_gate():
+    rows = [
+        _page("https://h.test/p1", ["/hub", "/hub", "x", "#f"]),
+        # uppercase tag+attr, and href in a non-anchor tag (ignored)
+        ("https://h.test/p2",
+         b'<A HREF="/up">y</A><link href="/css">'),
+        ("https://h.test/latin", "caf\xe9".encode("latin-1")),  # gated
+        ("https://h.test/empty", b"<html></html>"),
+    ]
+    out = outlinks_batch(_pages_table(rows))
+    got = {(out.column("src")[i].as_py(), out.column("dst")[i].as_py()):
+           out.column("n_links")[i].as_py()
+           for i in range(out.num_rows)}
+    assert got == {
+        ("https://h.test/p1", "https://h.test/hub"): 2,
+        ("https://h.test/p1", "https://h.test/x"): 1,
+        ("https://h.test/p2", "https://h.test/up"): 1,
+    }
+
+
+def test_indegree_fold(ray_session):
+    import ray.data as rd
+
+    rows = [_page(f"https://h.test/p{i}", ["/hub"]) for i in range(5)]
+    rows.append(_page("https://h.test/q", ["/hub", "/hub", "/solo"]))
+    ds = rd.from_arrow(_pages_table(rows))
+    out = link_indegree(ds).to_pandas().set_index("dst")
+    assert out.loc["https://h.test/hub", "n_links"] == 7
+    assert out.loc["https://h.test/hub", "n_src_pages"] == 6
+    assert out.loc["https://h.test/solo", "n_src_pages"] == 1
+
+
+def _brute_pagerank(rows, n_iter=2):
+    import re
+    pat = re.compile(
+        r'<[aA][ \t][^>]*?[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"')
+    edges: dict = {}
+    for url, hb in rows:
+        try:
+            h = hb.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        for href in pat.findall(h):
+            d = resolve_href(url, href)
+            if d is not None:
+                edges[(url, d)] = edges.get((url, d), 0) + 1
+    nodes = {u for u, _ in rows} | {d for _, d in edges}
+    outdeg: dict = {}
+    for (s, _), n in edges.items():
+        outdeg[s] = outdeg.get(s, 0) + n
+    r = {v: PR_QUANT for v in nodes}
+    for _ in range(n_iter):
+        nr = {v: 150000 for v in nodes}
+        for (s, d), n in edges.items():
+            nr[d] += (85 * r[s] * n) // (100 * outdeg[s])
+        r = nr
+    return sorted(r.items())
+
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_pagerank_matches_bruteforce(ray_session, n_blocks):
+    """2-iteration integer PR ≡ the python-int oracle, bit-for-bit,
+    regardless of input partitioning (sink-drop + base law)."""
+    import ray.data as rd
+
+    rows = [
+        _page("https://h.test/p1", ["/hub", "/hub", "p2", "ext"]),
+        _page("https://h.test/p2", ["/hub", "p1"]),
+        _page("https://h.test/p3", ["p1", "p2", "p3", "/hub"]),
+        _page("https://h.test/p4", []),                 # linkless
+        ("https://h.test/lat", "caf\xe9".encode("latin-1")),  # gated
+    ]
+    ds = rd.from_arrow(_pages_table(rows)).repartition(n_blocks)
+    got = pagerank(ds, n_iter=2, num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = _brute_pagerank(rows)
+    assert list(zip(got["node"], got["rank"])) == want
+    # self-link (p3 -> p3) and dangling hub both handled: hub gets
+    # mass, never emits it (sink-drop)
+    d = dict(want)
+    assert d["https://h.test/hub"] == max(d.values())
+    assert d["https://h.test/lat"] == 150000  # gated page = base only
+
+
+def test_pagerank_overflow_guard(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import links
+
+    rows = [_page("https://h.test/p1", ["/hub"])]
+    ds = rd.from_arrow(_pages_table(rows))
+    old = links.PR_QUANT
+    try:
+        links.PR_QUANT = 1 << 58  # 85 * 2^58 > 2^63
+        with pytest.raises(Exception, match="overflow"):
+            links.pagerank(ds, n_iter=1, num_partitions=2).to_pandas()
+    finally:
+        links.PR_QUANT = old

@@ -325,6 +325,17 @@ def main() -> None:
     assert n_sd == n_km, (n_sd, n_km)
     queries["semdedup"] = round(time.monotonic() - t0, 3)
 
+    # link graph: 2-iteration integer PageRank over the bench corpus
+    # (extraction + edge projection + per-iteration join/Sum)
+    from arabic_ocr_ray.functions.links import pagerank
+
+    t0 = time.monotonic()
+    pr = pagerank(_rp(corpus, columns=["url", "html"]), n_iter=2,
+                  num_partitions=64)
+    n_pr = pr.count()
+    assert n_pr >= n  # nodes = pages ∪ link targets
+    queries["pagerank"] = round(time.monotonic() - t0, 3)
+
     # mixed html/PDF corpus through the same fused stage (the north
     # rule's "PDF/layout parse" payload): every third url's payload is
     # a line-preserving PDF of its golden text, synthesized in-flight,

@@ -254,3 +254,68 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
         lambda b: pa.table({"node": b.column("node"),
                             "rank": b.column("r")}),
         batch_format="pyarrow")
+
+
+# --- anchor text ------------------------------------------------------------
+#: href + the immediately-following text node (up to the next '<') —
+#: the two capture groups align across Python findall and two RE2
+#: regexp_extract_all(…, 1/2) passes because both engines scan the
+#: same pattern leftmost/non-overlapping.  No entity decoding (the
+#: tokenizer owns that for extraction); anchor text is trimmed of
+#: ASCII [ \t\r\n] and empties are dropped.
+_ANCHOR_RE = re.compile(
+    r'<[aA][ \t][^>]*?[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"'
+    r'[^>]*>([^<]*)')
+_ANCHOR_TRIM = " \t\r\n"
+
+
+def anchor_texts_batch(batch: pa.Table, url_col: str = "url",
+                       html_col: str = "html") -> pa.Table:
+    """→ (src, dst, anchor, n) — one row per DISTINCT (resolved
+    target, trimmed anchor text) per page.  Same strict-UTF-8 gate
+    and resolution law as :func:`outlinks_batch`."""
+    rows_s: list = []
+    rows_d: list = []
+    rows_a: list = []
+    rows_n: list = []
+    for src, hb in zip(batch.column(url_col).to_pylist(),
+                       batch.column(html_col).to_pylist()):
+        if isinstance(hb, bytes):
+            try:
+                h = hb.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+        else:
+            h = hb or ""
+        c: Counter = Counter()
+        for href, text in _ANCHOR_RE.findall(h):
+            d = resolve_href(src, href)
+            a = text.strip(_ANCHOR_TRIM)
+            if d is not None and a:
+                c[(d, a)] += 1
+        for d, a in sorted(c):
+            rows_s.append(src)
+            rows_d.append(d)
+            rows_a.append(a)
+            rows_n.append(c[(d, a)])
+    return pa.table({"src": pa.array(rows_s, pa.string()),
+                     "dst": pa.array(rows_d, pa.string()),
+                     "anchor": pa.array(rows_a, pa.string()),
+                     "n": pa.array(rows_n, pa.int64())})
+
+
+def anchor_texts(pages_ds, url_col: str = "url",
+                 html_col: str = "html"):
+    """→ Dataset(dst, anchor, n_occurrences, n_src_pages) — the
+    anchor-text index (what the web calls each target: the classic
+    ranking/label signal).  ONE (dst, anchor)-keyed Sum over the
+    per-page distinct projection; Count ≡ distinct linking pages
+    because batch rows are per-(src, dst, anchor)."""
+    from ray.data.aggregate import Count, Sum
+
+    return (pages_ds.map_batches(
+                lambda b: anchor_texts_batch(b, url_col, html_col),
+                batch_format="pyarrow")
+            .groupby(["dst", "anchor"])
+            .aggregate(Sum("n", alias_name="n_occurrences"),
+                       Count(alias_name="n_src_pages")))

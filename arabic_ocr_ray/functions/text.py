@@ -992,7 +992,11 @@ C4_MIN_WORDS_PER_LINE = 5
 C4_MIN_SENTENCES = 3
 _C4_TERMINAL = re.compile(r'[.!?"]$')
 _C4_SENTENCE = re.compile(r"[.!?]")
-_C4_BADWORD_RE = re.compile(r"\b(?:" + "|".join(C4_BADWORDS) + r")\b")
+# re.ASCII: RE2's \b is ASCII-only — without the flag Python's
+# unicode \b diverges on words abutting non-ASCII letters
+# ('xxxé': unicode \b says no boundary, RE2 says boundary)
+_C4_BADWORD_RE = re.compile(r"\b(?:" + "|".join(C4_BADWORDS) + r")\b",
+                            re.ASCII)
 
 
 def c4_page_filter_batch(batch: pa.Table) -> pa.Table:

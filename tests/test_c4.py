@@ -98,3 +98,42 @@ def test_matches_duckdb_twin_on_adversarial_texts():
         .reset_index(drop=True)
     assert got.equals(want[got.columns.tolist()].astype(
         {c: got[c].dtype for c in got.columns}))
+
+
+def test_twin_equivalence_fuzz():
+    """c4_filter engine ≡ DuckDB twin on arbitrary unicode — the
+    badword \\b needed re.ASCII (RE2's \\b is ASCII-only; unicode \\b
+    diverges on badwords abutting non-ASCII letters).  Examples
+    hitting the documented str.lower()/utf8proc casing-skew alphabet
+    are assume-rejected (the shared-casing contract, see
+    test_text_twins_python_duckdb_equivalence_fuzz)."""
+    import duckdb
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["c4_filter"]
+    con = duckdb.connect()
+    alpha = st.characters(blacklist_categories=("Cs",))
+    # bias toward the rule-relevant tokens so bits actually flip
+    seeds = st.sampled_from([
+        "viagra", "xxx", "lorem ipsum", "{", "javascript", ".", "!",
+        '"', "\n", " ", "é", "İ", "word"])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.one_of(st.text(alphabet=alpha, max_size=8),
+                              seeds), max_size=12).map("".join))
+    def check(t):
+        assume(con.execute("SELECT lower(?)", [t]).fetchone()[0]
+               == t.lower())
+        tab = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array([t], pa.string())})
+        got = c4_page_filter_batch(tab).to_pandas()
+        con.register("documents", tab)
+        want = con.execute(sql).df()
+        want = want[got.columns.tolist()].astype(
+            {c: got[c].dtype for c in got.columns})
+        assert got.equals(want), (t, got.to_dict(), want.to_dict())
+
+    check()

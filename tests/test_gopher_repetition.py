@@ -130,3 +130,36 @@ def test_curate_corpus_v4_chain(ray_session):
     assert out["url"].tolist() == ["u/1", "u/3"]
     # the stats columns ride through from the C4 verdict
     assert (out["n_kept"] == 3).all() and (out["n_sentences"] == 3).all()
+
+
+def test_twin_equivalence_fuzz():
+    """gopher_repetition engine ≡ DuckDB twin on arbitrary unicode —
+    no lower()/\\b in this rule set, so no assume-gate needed: the
+    law is pure splitting + counting + codepoint lengths, which the
+    two engines must agree on everywhere."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["gopher_repetition"]
+    con = duckdb.connect()
+    alpha = st.characters(blacklist_categories=("Cs",))
+    seeds = st.sampled_from(["\n", "\n\n", " ", "a b c d e",
+                             "dup line", "é ö", "\t", "x"])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.one_of(st.text(alphabet=alpha, max_size=8),
+                              seeds), max_size=12).map("".join))
+    def check(t):
+        tab = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array([t], pa.string())})
+        got = gopher_repetition_batch(tab).to_pandas()
+        con.register("documents", tab)
+        want = con.execute(sql).df()
+        want = want[got.columns.tolist()].astype(
+            {c: got[c].dtype for c in got.columns})
+        assert got.equals(want), (t, got.to_dict(), want.to_dict())
+
+    check()

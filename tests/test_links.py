@@ -136,3 +136,30 @@ def test_pagerank_overflow_guard(ray_session):
             links.pagerank(ds, n_iter=1, num_partitions=2).to_pandas()
     finally:
         links.PR_QUANT = old
+
+
+def test_anchor_texts_law(ray_session):
+    """(dst, anchor) pairs: per-page distinct + trim + empty-drop,
+    then one keyed Sum; Count = distinct linking pages."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import anchor_texts
+
+    rows = [
+        ("https://h.test/p1",
+         b'<a href="/hub"> Home </a><a href="/hub">Home</a>'
+         b'<a href="/hub">   </a><a href="/x">X<b>bold</b></a>'),
+        ("https://h.test/p2", b'<a href="/hub">Home</a>'),
+    ]
+    t = pa.table({"url": pa.array([r[0] for r in rows], pa.string()),
+                  "html": pa.array([r[1] for r in rows], pa.binary())})
+    out = anchor_texts(rd.from_arrow(t)).to_pandas()
+    got = {(r["dst"], r["anchor"]): (r["n_occurrences"],
+                                     r["n_src_pages"])
+           for _, r in out.iterrows()}
+    # ' Home ' trims to 'Home' == the second anchor -> one pair, n=2
+    # on p1; whitespace-only anchor dropped; text stops at next '<'
+    assert got == {
+        ("https://h.test/hub", "Home"): (3, 2),
+        ("https://h.test/x", "X"): (1, 1),
+    }

@@ -971,6 +971,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = _rp(fx["pages"], columns=["url", "html"])
         return anchor_texts(pages)
 
+    # --- retrieval family (arabic_ocr_ray/functions/retrieval.py) ----
+    #: query-term mix pinned to the fixture vocabulary: 'dup' is rare
+    #: (df ≈ 25/500) so idf separation is actually exercised; 'hash'/
+    #: 'vector' are stopword-common (df ≈ 390)
+    BM25_TERMS = ["dup", "hash", "vector"]
+    SEARCH_TERMS = ["dup", "hash"]
+
+    def q_bm25_topk(sf_dir: str):
+        """BM25 top-10 (integer-exact law in retrieval.py): ONE
+        corpus scan → tiny (doc_id, dl, term, tf) projection →
+        N/T fold + ≤|terms| df lookup + doc-keyed Sum + tree top-k.
+        No global sort, text never shuffles."""
+        from arabic_ocr_ray.functions import retrieval
+
+        return retrieval.bm25_topk(_docs(sf_dir), BM25_TERMS, k=10)
+
+    def q_term_search(sf_dir: str):
+        """Conjunctive (AND) retrieval by corpus scan — ZERO
+        shuffles (a row is a whole doc)."""
+        from arabic_ocr_ray.functions import retrieval
+
+        return retrieval.term_search(_docs(sf_dir), SEARCH_TERMS)
+
+    def q_postings_search(sf_dir: str):
+        """Same conjunction THROUGH the materialized inverted index:
+        build token-bucketed postings parquet (one corpus pass, the
+        ivf_cell layout), then answer reading ONLY the ≤|terms|
+        bucket dirs the query hashes to.  Must equal term_search's
+        oracle — the index is an access path, not a semantics."""
+        import tempfile
+
+        from arabic_ocr_ray.functions import retrieval
+
+        idx = tempfile.mkdtemp(prefix="aor_postings_")
+        retrieval.build_postings_index(_docs(sf_dir), idx,
+                                       n_buckets=16)
+        return retrieval.postings_search(idx, SEARCH_TERMS,
+                                         n_buckets=16)
+
     def q_common_paragraphs(sf_dir: str):
         """Boilerplate inventory: paragraphs repeating across ≥ 2
         distinct pages with occurrence/document counts — the report a
@@ -2409,6 +2448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_indegree": q_link_indegree,
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
+        "bm25_topk": q_bm25_topk,
+        "term_search": q_term_search,
+        "postings_search": q_postings_search,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         # (events_hopping, events_preceding_count, order_customer_join,
         # event_sessions, top_orders_by_segment, top_orders,
@@ -2429,6 +2471,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sweep (commit 1a91b02) pulled inside the window; the four
         # untouched pure maps they displace are artifact-covered -----
         "tfidf_top_terms": q_tfidf_top_terms,
+        # (semantic_dedup / curate_corpus_v2 / customer_event_coverage
+        # yielded their slots to the NEW retrieval family bm25_topk /
+        # term_search / postings_search — never-driver-verified takes
+        # priority; their changed code path — the 1a91b02 hash_join
+        # schema hints — stays exercised IN-window by q3_shipping,
+        # near_dup_clusters and tfidf_top_terms, and all three are
+        # hash-green in the full-registry artifact refreshed at HEAD)
         "semantic_dedup": q_semantic_dedup,
         "curate_corpus_v2": q_curate_v2,
         "customer_event_coverage": q_customer_event_coverage,
@@ -2666,6 +2715,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score_x1000 DESC, token ASC) AS rk "
             "FROM scored) WHERE rk <= 3"
+        ),
+        # BM25 integer law (retrieval.py): idf = (2(N-df)+1)/(2df+1),
+        # tf term cleared to 22*tf*T/(10*tf*T + 3T + 9*dl*N), one
+        # floor per term at e6 — HUGEINT keeps the twin exact where
+        # the engine uses python ints
+        "bm25_topk": (
+            "WITH dl AS (SELECT doc_id, coalesce(len("
+            "regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS dl "
+            "FROM documents), "
+            "nt AS (SELECT count(*) AS n, "
+            "(SELECT coalesce(sum(dl), 0) FROM dl) AS t "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks "
+            "WHERE token IN ('dup', 'hash', 'vector') "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, "
+            "CAST(((2*(n - df) + 1) * 22 * CAST(tf.tf AS HUGEINT) "
+            "* t * 1000000) // ((2*df + 1) * "
+            "(10 * CAST(tf.tf AS HUGEINT) * t + 3*t + 9*dl.dl*n)) "
+            "AS BIGINT) AS s "
+            "FROM tf JOIN df USING (token) "
+            "JOIN dl ON dl.doc_id = tf.doc_id, nt), "
+            "agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) "
+            "AS score_e6 FROM sc GROUP BY 1) "
+            "SELECT doc_id, score_e6, CAST(rk AS BIGINT) AS rank "
+            "FROM (SELECT *, row_number() OVER ("
+            "ORDER BY score_e6 DESC, doc_id ASC) AS rk FROM agg) "
+            "WHERE rk <= 10"
+        ),
+        # conjunctive AND — count(*) over per-(doc, term) rows =
+        # distinct query terms present; ONE definition, TWO consumers
+        # (term_search scans, postings_search goes through the
+        # materialized bucket index — same semantics by contract)
+        "term_search": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks "
+            "WHERE token IN ('dup', 'hash') GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits "
+            "FROM tf GROUP BY doc_id HAVING count(*) = 2"
         ),
         "source_stats": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -4326,6 +4420,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # gather-path variant runs the same planted harness → same truth
     out["embedding_near_dup_gather"] = out["embedding_near_dup"]
+    # the postings index is an ACCESS PATH: its answer must equal the
+    # corpus-scan conjunction (one definition, two consumers)
+    out["postings_search"] = out["term_search"]
     # curate_corpus_v4: compose the c4_filter and gopher_repetition
     # twins VERBATIM (one definition, two consumers), retargeted from
     # the documents view to the pages fixture, then conjunction +

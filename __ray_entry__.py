@@ -971,6 +971,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = _rp(fx["pages"], columns=["url", "html"])
         return anchor_texts(pages)
 
+    def q_hits(sf_dir: str):
+        """Integer-exact HITS hubs & authorities (Kleinberg 1999) —
+        the link-graph companion to pagerank: distinct-edge
+        adjacency, hubs seed 1, classic sequential update, fixed 2
+        iterations, UNNORMALIZED (links.py pins the law).  Per
+        iteration TWO keyed exchanges ∝ EDGES; html never shuffles."""
+        from arabic_ocr_ray.functions.links import hits
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return hits(pages, n_iter=2, num_partitions=8)
+
+    def q_host_graph(sf_dir: str):
+        """Host-level condensation of the page link graph — what
+        domain-level spam/centrality analysis actually runs on (the
+        page graph at crawl scale is ~10⁴× bigger).  ONE keyed
+        exchange of host-pair projections."""
+        from arabic_ocr_ray.functions.links import host_graph
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return host_graph(pages)
+
     # --- retrieval family (arabic_ocr_ray/functions/retrieval.py) ----
     #: query-term mix pinned to the fixture vocabulary: 'dup' is rare
     #: (df ≈ 25/500) so idf separation is actually exercised; 'hash'/
@@ -2419,8 +2442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup": q_paragraph_dedup,
         "para_dedup_incremental": q_para_dedup_incremental,
         "curate_corpus_v3": q_curate_v3,
-        "mm_pixel_stats": q_mm_pixel_stats,
-        "mm_audio_stats": q_mm_audio_stats,
+        # (mm_pixel_stats / mm_audio_stats — r4-hash-green with
+        # multimodal.py untouched this session, artifact-covered —
+        # yielded their slots to the NEW hits / host_graph so the
+        # 1a91b02 join-hint representatives near_dup_clusters and
+        # tfidf_top_terms stay in-window; moved past the window below)
         "mm_video_frames": q_mm_video_frames,
         "mm_jpeg_stats": q_mm_jpeg_stats,
         "knn_ivf_append": q_knn_ivf_append,
@@ -2451,6 +2477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "term_search": q_term_search,
         "postings_search": q_postings_search,
+        "hits": q_hits,
+        "host_graph": q_host_graph,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         # (events_hopping, events_preceding_count, order_customer_join,
         # event_sessions, top_orders_by_segment, top_orders,
@@ -2481,6 +2509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "curate_corpus_v2": q_curate_v2,
         "customer_event_coverage": q_customer_event_coverage,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "mm_audio_stats": q_mm_audio_stats,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -4534,5 +4564,48 @@ def oracle_sql() -> dict[str, str]:
         f" c2 AS {_pr_iter.format(r='r1')},"
         f" r2 AS {_pr_rank.format(c='c2')}"
         f" SELECT node, CAST(r AS BIGINT) AS rank FROM r2"
+    )
+    # 2-iteration integer HITS unrolled (links.py pins the law:
+    # DISTINCT unweighted edges, hubs seed 1, auth-then-hub
+    # sequential update, UNNORMALIZED)
+    _hits_auth = (
+        "(SELECT n.node, coalesce(s.v, 0) AS v FROM nodes n"
+        " LEFT JOIN (SELECT de.dst AS node, sum({h}.v) AS v"
+        " FROM de JOIN {h} ON {h}.node = de.src GROUP BY de.dst) s"
+        " ON s.node = n.node)"
+    )
+    _hits_hub = (
+        "(SELECT n.node, coalesce(s.v, 0) AS v FROM nodes n"
+        " LEFT JOIN (SELECT de.src AS node, sum({a}.v) AS v"
+        " FROM de JOIN {a} ON {a}.node = de.dst GROUP BY de.src) s"
+        " ON s.node = n.node)"
+    )
+    out["hits"] = (
+        f"WITH {_lk_edges},"
+        f" de AS (SELECT DISTINCT src, dst FROM edges),"
+        f" nodes AS (SELECT url AS node FROM read_parquet('{pages}')"
+        f" UNION SELECT dst FROM edges),"
+        f" h0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes),"
+        f" a1 AS {_hits_auth.format(h='h0')},"
+        f" h1 AS {_hits_hub.format(a='a1')},"
+        f" a2 AS {_hits_auth.format(h='h1')},"
+        f" h2 AS {_hits_hub.format(a='a2')}"
+        f" SELECT h2.node, CAST(h2.v AS BIGINT) AS hub,"
+        f" CAST(a2.v AS BIGINT) AS auth"
+        f" FROM h2 JOIN a2 ON a2.node = h2.node"
+    )
+    # host condensation: authority part via the same scheme regex
+    # both engines run; '' on no match (DuckDB regexp_extract ≡ the
+    # engine's host_of law)
+    out["host_graph"] = (
+        f"WITH {_lk_edges}"
+        r" SELECT"
+        r" regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/]*)', 1)"
+        r" AS src_host,"
+        r" regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/]*)', 1)"
+        r" AS dst_host,"
+        r" CAST(count(*) AS BIGINT) AS n_page_edges,"
+        r" CAST(sum(n_links) AS BIGINT) AS n_links"
+        r" FROM edges GROUP BY 1, 2"
     )
     return out

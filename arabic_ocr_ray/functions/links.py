@@ -256,6 +256,169 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
         batch_format="pyarrow")
 
 
+# --- HITS (hubs & authorities) ----------------------------------------------
+#: Kleinberg 1999, in EXACT integer arithmetic.  Law (oracle-pinned):
+#: node set = corpus pages ∪ link targets; adjacency is the DISTINCT
+#: (src, dst) page-edge set (unweighted — classic HITS; ``n_links``
+#: multiplicity is PageRank's convention, not HITS'); hubs seed at 1;
+#: each iteration runs the classic sequential update
+#: ``auth_i(v) = Σ_{u→v} hub_{i-1}(u)`` then
+#: ``hub_i(u) = Σ_{u→v} auth_i(v)`` — UNNORMALIZED (the float
+#: L2-normalization is a presentation detail that would break
+#: integer exactness; relative order per fixed depth is identical),
+#: with a per-iteration overflow bound (max·degree products checked
+#: on the driver) that RAISES rather than wraps (the pagerank/
+#: semdedup convention).  Bit-reproducible across partitionings and
+#: hash-matches a fixed-depth CTE unrolling.
+
+
+def hits(pages_ds, n_iter: int = 2, url_col: str = "url",
+         html_col: str = "html", num_partitions: int = 64):
+    """→ Dataset(node, hub, auth) after ``n_iter`` integer HITS
+    iterations (law above).
+
+    Scale shape: the distinct edge projection materializes ONCE;
+    each iteration is TWO keyed exchanges (src-join + dst-keyed Sum,
+    then dst-join + src-keyed Sum) ∝ EDGES — the corpus html never
+    moves.  Same repartition-at-materialize-boundaries rule as
+    :func:`pagerank` (Ray shuffle ops emit input-blocks×partitions
+    blocks; unbounded, iteration walls balloon on task dispatch)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .joins import hash_join
+
+    edges = (outlinks(pages_ds, url_col, html_col)
+             .select_columns(["src", "dst"])
+             .repartition(num_partitions).materialize())
+
+    def page_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(url_col)})
+
+    nodes = (pages_ds.map_batches(page_nodes, batch_format="pyarrow")
+             .union(edges.map_batches(
+                 lambda b: pa.table({"node": b.column("dst")}),
+                 batch_format="pyarrow"))
+             .groupby("node", num_partitions=num_partitions)
+             .aggregate(Count(alias_name="_c"))
+             .select_columns(["node"])
+             .repartition(num_partitions).materialize())
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "v": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    nodes0 = nodes.map_batches(zeros, batch_format="pyarrow") \
+        .materialize()
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "v": pa.array(np.ones(b.num_rows, np.int64))})
+
+    hub = nodes.map_batches(seed, batch_format="pyarrow") \
+        .materialize()
+    auth = nodes0
+
+    # degree bounds for the overflow guard: a sum of m terms each
+    # ≤ x is ≤ m·x — raise BEFORE a wrap can happen
+    deg = edges.groupby("src").aggregate(Count(alias_name="d")) \
+        .aggregate(Max("d", alias_name="m"))
+    max_out = int(deg["m"] or 0)
+    deg = edges.groupby("dst").aggregate(Count(alias_name="d")) \
+        .aggregate(Max("d", alias_name="m"))
+    max_in = int(deg["m"] or 0)
+
+    e_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    v_schema = pa.schema([("node", pa.string()), ("v", pa.int64())])
+
+    def _sweep(vec, join_on: str, emit: str):
+        """One half-iteration: ship vec along edges (joined on
+        ``join_on``), fold at the ``emit`` end."""
+        j = hash_join(edges, vec, on=join_on, right_on="node",
+                      num_partitions=num_partitions,
+                      left_schema=e_schema, right_schema=v_schema)
+        rows = j.map_batches(
+            lambda b: pa.table({"node": b.column(emit),
+                                "v": b.column("v")}),
+            batch_format="pyarrow")
+        return (rows.union(nodes0)
+                .groupby("node", num_partitions=num_partitions)
+                .aggregate(Sum("v", alias_name="v"))
+                .repartition(num_partitions).materialize())
+
+    for _ in range(n_iter):
+        hmax = int(hub.aggregate(Max("v", alias_name="m"))["m"] or 0)
+        if max_in and hmax and max_in * hmax >= (1 << 63):
+            raise ValueError(
+                f"hits int64 overflow: indeg·hub bound = "
+                f"{max_in * hmax}; lower n_iter")
+        auth = _sweep(hub, "src", "dst")
+        amax = int(auth.aggregate(Max("v", alias_name="m"))["m"] or 0)
+        if max_out and amax and max_out * amax >= (1 << 63):
+            raise ValueError(
+                f"hits int64 overflow: outdeg·auth bound = "
+                f"{max_out * amax}; lower n_iter")
+        hub = _sweep(auth, "dst", "src")
+
+    h_schema = pa.schema([("node", pa.string()), ("hub", pa.int64())])
+    a_schema = pa.schema([("node", pa.string()),
+                          ("auth", pa.int64())])
+    hub_t = hub.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "hub": b.column("v")}),
+        batch_format="pyarrow")
+    auth_t = auth.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "auth": b.column("v")}),
+        batch_format="pyarrow")
+    return hash_join(hub_t, auth_t, on="node",
+                     num_partitions=num_partitions,
+                     left_schema=h_schema, right_schema=a_schema)
+
+
+# --- host-level condensation --------------------------------------------------
+_HOST_G_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/]*)")
+
+
+def host_of(url: str) -> str:
+    """Authority part of a scheme-absolute url; '' when the url has
+    no scheme (matches DuckDB ``regexp_extract(url, pat, 1)``'s
+    empty-string-on-no-match)."""
+    m = _HOST_G_RE.match(url or "")
+    return m.group(1) if m else ""
+
+
+def host_graph(pages_ds, url_col: str = "url",
+               html_col: str = "html"):
+    """→ Dataset(src_host, dst_host, n_page_edges, n_links) — the
+    host-level condensation of the page link graph (the graph
+    domain-level spam/centrality analysis actually runs on: the page
+    graph at 100 TB is too big to eyeball, the host graph is ~10⁴×
+    smaller).  Count ≡ distinct page-level (src, dst) edges because
+    outlink rows are per-page distinct.  ONE keyed exchange of
+    ~60 B/row host-pair projections; html never shuffles.  Self-loops
+    (intra-host links) are kept — filtering is the consumer's choice."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_hosts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": pa.array([host_of(u) for u in
+                                  b.column("src").to_pylist()],
+                                 pa.string()),
+            "dst_host": pa.array([host_of(u) for u in
+                                  b.column("dst").to_pylist()],
+                                 pa.string()),
+            "n_links": b.column("n_links"),
+        })
+
+    return (outlinks(pages_ds, url_col, html_col)
+            .map_batches(to_hosts, batch_format="pyarrow")
+            .groupby(["src_host", "dst_host"])
+            .aggregate(Count(alias_name="n_page_edges"),
+                       Sum("n_links", alias_name="n_links")))
+
+
 # --- anchor text ------------------------------------------------------------
 #: href + the immediately-following text node (up to the next '<') —
 #: the two capture groups align across Python findall and two RE2

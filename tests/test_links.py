@@ -163,3 +163,106 @@ def test_anchor_texts_law(ray_session):
         ("https://h.test/hub", "Home"): (3, 2),
         ("https://h.test/x", "X"): (1, 1),
     }
+
+
+def _brute_hits(rows, n_iter):
+    """Python-int HITS oracle over the module's own edge law."""
+    from arabic_ocr_ray.functions import links
+
+    edges = set()
+    nodes = set()
+    for url, hb in rows:
+        nodes.add(url)
+        try:
+            h = hb.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        for href in links._HREF_RE.findall(h):
+            d = links.resolve_href(url, href)
+            if d is not None:
+                edges.add((url, d))
+                nodes.add(d)
+    hub = {n: 1 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(n_iter):
+        auth = {n: 0 for n in nodes}
+        for u, v in edges:
+            auth[v] += hub[u]
+        hub = {n: 0 for n in nodes}
+        for u, v in edges:
+            hub[u] += auth[v]
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+@pytest.mark.parametrize("nparts", [1, 3])
+def test_hits_matches_brute_oracle(ray_session, nparts):
+    """Integer HITS == the python-int oracle, bit-for-bit, across
+    partitionings — incl. a dangling target, a linkless page, a
+    self-link, a non-UTF-8 page contributing no edges, and repeated
+    hrefs (distinct-edge law: multiplicity must NOT weight HITS)."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import hits
+
+    rows = [
+        _page("https://a.test/1", ["/2", "/3", "https://b.test/x"]),
+        _page("https://a.test/2", ["/1", "/1", "/1"]),  # repeats
+        _page("https://a.test/3", ["/3"]),              # self-link
+        _page("https://a.test/4", []),                  # linkless
+        ("https://a.test/latin1/5", b'<a href="/1">\xff</a>'),
+    ]
+    ds = rd.from_arrow(_pages_table(rows)).repartition(nparts)
+    out = hits(ds, n_iter=2, num_partitions=4).to_pandas()
+    want = _brute_hits(rows, 2)
+    got = {r["node"]: (r["hub"], r["auth"])
+           for _, r in out.iterrows()}
+    assert got == want
+    # sanity on the oracle itself: the linkless page and the
+    # non-UTF-8 page have no edges => hub 0 (they still carry auth
+    # from /2's repeated-but-distinct edge to /1? no — nothing links
+    # THEM, so auth 0 too); the dangling cross-host target exists
+    # as a node with hub 0
+    assert want["https://a.test/4"] == (0, 0)
+    assert want["https://a.test/latin1/5"] == (0, 0)
+    assert want["https://b.test/x"][0] == 0
+
+
+def test_hits_overflow_guard(ray_session):
+    """The degree·max bound must RAISE, never wrap (monkeypatched
+    seed is impossible, so drive the bound with n_iter on a dense
+    clique — 40 nodes, 2 iterations stays put, the guard math is
+    what's under test via a tiny ceiling)."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions import links
+
+    rows = [_page(f"https://c.test/{i}",
+                  [f"/{j}" for j in range(12)]) for i in range(12)]
+    ds = rd.from_arrow(_pages_table(rows))
+    # 12-clique, h grows ~144x per iteration: 8 iterations from 1
+    # crosses 2^63 / indeg — the guard must fire before a wrap
+    with pytest.raises(ValueError, match="overflow"):
+        links.hits(ds, n_iter=16, num_partitions=2)
+
+
+def test_host_graph_condensation(ray_session):
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import host_graph, host_of
+
+    assert host_of("https://a.test/x/y") == "a.test"
+    assert host_of("no-scheme") == ""
+    rows = [
+        _page("https://a.test/1", ["/2", "https://b.test/x",
+                                   "https://b.test/y"]),
+        _page("https://a.test/2", ["https://b.test/x"]),
+    ]
+    ds = rd.from_arrow(_pages_table(rows))
+    out = host_graph(ds).to_pandas()
+    got = {(r["src_host"], r["dst_host"]):
+           (r["n_page_edges"], r["n_links"])
+           for _, r in out.iterrows()}
+    # a.test->b.test: 3 page-edges (p1 has two DISTINCT b.test dsts),
+    # a.test->a.test: the intra-host self-pair is kept
+    assert got == {("a.test", "b.test"): (3, 3),
+                   ("a.test", "a.test"): (1, 1)}

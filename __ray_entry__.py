@@ -58,6 +58,19 @@ FIXTURE_SEED = 123
 FIXTURE_ROWS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 8000}
 KNN_QUERIES = list(range(10))
 KNN_K = 5
+#: crawl-blocklist ruleset for the url_filter query — shared verbatim
+#: by the engine call and the SQL twin (one definition, two
+#: consumers); the prefixes bite on the fixture's latin1/malformed
+#: url kinds, the host/suffix/allow clauses are unit-test-pinned
+URL_RULES = {
+    "block_hosts": ["tracker.fixture.test"],
+    "block_host_suffixes": [".ads.fixture.test"],
+    "block_path_prefixes": [
+        f"https://fixture.test/{FIXTURE_SEED}/latin1/",
+        f"https://fixture.test/{FIXTURE_SEED}/malformed/",
+    ],
+    "allow_hosts": [],
+}
 
 
 def _fixture(sf_dir: str) -> dict:
@@ -970,6 +983,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fx = _fixture(sf_dir)
         pages = _rp(fx["pages"], columns=["url", "html"])
         return anchor_texts(pages)
+
+    def q_url_filter(sf_dir: str):
+        """Crawl blocklist: the URL rule filter every production
+        pipeline front-loads (ad hosts / spam suffixes / infinite-
+        calendar prefixes).  ZERO-shuffle vectorized map over a
+        url-only pruned read; the path-prefix rules bite on the
+        fixture's latin1/malformed kinds (917 keep / 83 drop at
+        sf0.01), host/suffix/allow clauses are unit-test-pinned."""
+        from arabic_ocr_ray.functions.urls import url_rule_filter
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url"])
+        return url_rule_filter(pages, URL_RULES)
+
+    def q_vocab_drift(sf_dir: str):
+        """Token-distribution drift between the even/odd doc_id
+        halves (the snapshot-refresh QA report): whole-bit integer
+        log-ratio (the DSIR quantization), top-20 movers.  ONE
+        token-keyed Sum ∝ vocabulary + tree top-k."""
+        import pyarrow.compute as pc
+
+        from arabic_ocr_ray.functions.text import vocab_drift
+
+        def half(parity):
+            def f(b):
+                import numpy as np
+                import pyarrow as pa2
+
+                ids = pc.cast(b.column("doc_id"), "int64")
+                m = np.asarray(ids) % 2 == parity
+                return b.filter(pa2.array(m))
+            return f
+
+        docs = _docs(sf_dir)
+        return vocab_drift(
+            docs.map_batches(half(0), batch_format="pyarrow"),
+            docs.map_batches(half(1), batch_format="pyarrow"),
+            k=20, min_total=5)
 
     def q_hits(sf_dir: str):
         """Integer-exact HITS hubs & authorities (Kleinberg 1999) —
@@ -2447,8 +2498,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded their slots to the NEW hits / host_graph so the
         # 1a91b02 join-hint representatives near_dup_clusters and
         # tfidf_top_terms stay in-window; moved past the window below)
-        "mm_video_frames": q_mm_video_frames,
-        "mm_jpeg_stats": q_mm_jpeg_stats,
+        # (mm_video_frames / mm_jpeg_stats — r4-hash-green with
+        # multimodal.py untouched this session, artifact-covered —
+        # yielded their slots to the NEW url_filter / vocab_drift;
+        # moved past the window with mm_pixel/mm_audio below)
         "knn_ivf_append": q_knn_ivf_append,
         "pdf_extract": q_pdf_extract,
         "mixed_extract": q_mixed_extract,
@@ -2479,6 +2532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_search": q_postings_search,
         "hits": q_hits,
         "host_graph": q_host_graph,
+        "url_filter": q_url_filter,
+        "vocab_drift": q_vocab_drift,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         # (events_hopping, events_preceding_count, order_customer_join,
         # event_sessions, top_orders_by_segment, top_orders,
@@ -2511,6 +2566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_coverage": q_customer_event_coverage,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_audio_stats": q_mm_audio_stats,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_jpeg_stats": q_mm_jpeg_stats,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -4597,6 +4654,55 @@ def oracle_sql() -> dict[str, str]:
     # host condensation: authority part via the same scheme regex
     # both engines run; '' on no match (DuckDB regexp_extract ≡ the
     # engine's host_of law)
+    # crawl blocklist — clause-per-bit twin of urls.url_rule_filter
+    # over the SAME URL_RULES constant (one definition, two
+    # consumers); ends_with/starts_with builtins, never LIKE (no
+    # wildcard-escaping hazard)
+    _uf_bh = "','".join(sorted(URL_RULES["block_hosts"]))
+    _uf_sfx = " OR ".join(
+        f"ends_with(host, '{s}')"
+        for s in sorted(URL_RULES["block_host_suffixes"]))
+    _uf_pfx = " OR ".join(
+        f"starts_with(url, '{p}')"
+        for p in sorted(URL_RULES["block_path_prefixes"]))
+    _uf_allow = ("host IN ('" + "','".join(
+        sorted(URL_RULES["allow_hosts"])) + "')"
+        if URL_RULES["allow_hosts"] else "FALSE")
+    out["url_filter"] = (
+        f"WITH h AS (SELECT url, regexp_extract(url,"
+        f" '^[a-z][a-z0-9+.-]*://([^/]*)', 1) AS host"
+        f" FROM read_parquet('{pages}')),"
+        f" f AS (SELECT url,"
+        f" (CASE WHEN host IN ('{_uf_bh}') THEN 1 ELSE 0 END"
+        f" + CASE WHEN {_uf_sfx} THEN 2 ELSE 0 END"
+        f" + CASE WHEN {_uf_pfx} THEN 4 ELSE 0 END"
+        f" + CASE WHEN {_uf_allow} THEN 8 ELSE 0 END) AS flags"
+        f" FROM h)"
+        f" SELECT url, CAST(flags AS BIGINT) AS flags,"
+        f" CAST(CASE WHEN (flags & 8) != 0 OR (flags & 7) = 0"
+        f" THEN 1 ELSE 0 END AS BIGINT) AS keep FROM f"
+    )
+    # vocabulary drift between the even/odd doc_id halves — the
+    # whole-bit log-ratio (printf('%b') ≡ the engine's _bitlen)
+    out["vocab_drift"] = (
+        "WITH ta AS (SELECT unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS token FROM documents WHERE doc_id % 2 = 0),"
+        " tb AS (SELECT unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS token FROM documents WHERE doc_id % 2 = 1),"
+        " ca AS (SELECT token, count(*) AS n_a FROM ta GROUP BY 1),"
+        " cb AS (SELECT token, count(*) AS n_b FROM tb GROUP BY 1),"
+        " m AS (SELECT token, coalesce(n_a, 0) AS n_a,"
+        " coalesce(n_b, 0) AS n_b FROM ca FULL JOIN cb USING (token)),"
+        " s AS (SELECT token, CAST(n_a AS BIGINT) AS n_a,"
+        " CAST(n_b AS BIGINT) AS n_b,"
+        " CAST(length(printf('%b', n_a + 1))"
+        " - length(printf('%b', n_b + 1)) AS BIGINT) AS shift_bits"
+        " FROM m WHERE n_a + n_b >= 5)"
+        " SELECT token, n_a, n_b, shift_bits,"
+        " CAST(rk AS BIGINT) AS rank FROM (SELECT *, row_number()"
+        " OVER (ORDER BY abs(shift_bits) DESC, token ASC) AS rk"
+        " FROM s) WHERE rk <= 20"
+    )
     out["host_graph"] = (
         f"WITH {_lk_edges}"
         r" SELECT"

@@ -1162,3 +1162,77 @@ def gopher_repetition_batch(batch: pa.Table) -> pa.Table:
     cols.update({k: pa.array(v, pa.int64()) for k, v in out.items()})
     cols["keep"] = pa.array((flags == 0).astype(np.int64), pa.int64())
     return pa.table(cols)
+
+
+# --- vocabulary drift (corpus QA between snapshots / slices) -----------------
+
+def _vocab_partials(side: int):
+    """Per-batch (token, n_a, n_b) partial counts with the side's
+    column populated — the dsir_models side-flag shape, vocabulary-
+    keyed so REAL tokens (not hash buckets) survive to the report."""
+    def f(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_WORD_RE.findall((t or "").lower()))
+        items = sorted(c.items())
+        n = [v for _, v in items]
+        z = [0] * len(items)
+        return pa.table({
+            "token": pa.array([k for k, _ in items], pa.string()),
+            "n_a": pa.array(n if side == 0 else z, pa.int64()),
+            "n_b": pa.array(z if side == 0 else n, pa.int64()),
+        })
+    return f
+
+
+def vocab_drift(ds_a, ds_b, k: int = 20, min_total: int = 5):
+    """Token-distribution drift between two corpus slices (snapshot
+    A vs snapshot B, or source X vs source Y) — the corpus-QA report
+    a crawl team reads after every refresh: which words surged,
+    which vanished.
+
+    → pandas DataFrame(token, n_a, n_b, shift_bits, rank), the
+    top-``k`` tokens by |shift| (ties → token asc), where
+    ``shift_bits = bitlen(n_a+1) − bitlen(n_b+1)`` — the whole-bit
+    integer log-ratio (the DSIR/LM-surprise quantization, so the
+    DuckDB twin ``length(printf('%b', …))`` is hash-exact).
+    ``min_total`` prunes noise vocabulary (n_a + n_b below it).
+
+    Scale shape: one streaming pass per side emits per-batch partial
+    Counters → ONE token-keyed Sum over the union (shuffle ∝
+    VOCABULARY, never occurrences — the bpe/word_freq convention) →
+    pure shift map → tree-combined top-k.  No global sort; text
+    never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from .topk import topk
+
+    both = (ds_a.map_batches(_vocab_partials(0),
+                             batch_format="pyarrow")
+            .union(ds_b.map_batches(_vocab_partials(1),
+                                    batch_format="pyarrow"))
+            .groupby("token")
+            .aggregate(Sum("n_a", alias_name="n_a"),
+                       Sum("n_b", alias_name="n_b")))
+
+    def shift(b: pa.Table) -> pa.Table:
+        na = np.asarray(b.column("n_a"), dtype=np.int64)
+        nb = np.asarray(b.column("n_b"), dtype=np.int64)
+        m = (na + nb) >= min_total
+        na, nb = na[m], nb[m]
+        s = _bitlen(na + 1) - _bitlen(nb + 1)
+        return pa.table({
+            "token": b.column("token").filter(pa.array(m)),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "shift_bits": pa.array(s, pa.int64()),
+            "abs_shift": pa.array(np.abs(s), pa.int64()),
+        })
+
+    out = topk(both.map_batches(shift, batch_format="pyarrow"),
+               "abs_shift", k, descending=True, tie_cols=("token",))
+    out = out.drop(columns=["abs_shift"]).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

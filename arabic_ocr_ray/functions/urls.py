@@ -124,3 +124,73 @@ def latest_capture(ds, id_col: str = "url", ts_col: str = "warc_ts",
     return (ds.map_batches(add_jk, batch_format="pyarrow")
             .groupby("__jk", num_partitions=num_partitions)
             .map_groups(arrow_clean(fold), batch_format="pandas"))
+
+
+# --- URL rule filter (crawl blocklist) ---------------------------------------
+#: Every production crawl pipeline front-loads a URL rule filter —
+#: ad/tracker hosts, spam TLD suffixes, infinite-calendar path
+#: prefixes — BEFORE fetching or extracting.  Law (oracle-pinned,
+#: every clause a vectorized Arrow kernel / a DuckDB builtin):
+#:
+#:   host        = authority part via the scheme regex ('' when the
+#:                 url has no scheme — the links.host_of law);
+#:   flags bit 0 = host ∈ block_hosts            (exact match)
+#:   flags bit 1 = host ends with any suffix     (ends_with — never
+#:                 LIKE, so no wildcard-escaping hazard)
+#:   flags bit 2 = url  starts with any prefix   (starts_with)
+#:   flags bit 3 = host ∈ allow_hosts            (the override)
+#:   keep        = 1 iff allowlisted OR no block bit set.
+#:
+#: Rules are a BOUNDED small set by contract (a blocklist is
+#: kilobytes, not a table) — they travel inside the UDF closure once
+#: per task, never per batch; rows stream.
+
+_URL_HOST_PAT = r"^[a-z][a-z0-9+.-]*://(?P<h>[^/]*)"
+
+
+def url_rule_filter_batch(batch: pa.Table, rules: dict,
+                          col: str = "url") -> pa.Table:
+    """→ (url, flags, keep) — pure vectorized map (law above)."""
+    import pyarrow.compute as pc
+
+    urls = batch.column(col)
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ex = pc.extract_regex(urls, _URL_HOST_PAT)
+    host = pc.fill_null(pc.struct_field(ex, 0), "")
+
+    def any_of(kernel, arr, needles):
+        m = pa.array([False] * len(arr), pa.bool_())
+        for s in needles:
+            m = pc.or_(m, pc.fill_null(kernel(arr, s), False))
+        return m
+
+    b_exact = pc.fill_null(pc.is_in(
+        host, value_set=pa.array(sorted(rules.get("block_hosts", ())),
+                                 pa.string())), False)
+    b_suff = any_of(pc.ends_with, host,
+                    sorted(rules.get("block_host_suffixes", ())))
+    b_pref = any_of(pc.starts_with, urls,
+                    sorted(rules.get("block_path_prefixes", ())))
+    allow = pc.fill_null(pc.is_in(
+        host, value_set=pa.array(sorted(rules.get("allow_hosts", ())),
+                                 pa.string())), False)
+
+    import numpy as np
+
+    f = (np.asarray(b_exact, dtype=np.int64)
+         + 2 * np.asarray(b_suff, dtype=np.int64)
+         + 4 * np.asarray(b_pref, dtype=np.int64)
+         + 8 * np.asarray(allow, dtype=np.int64))
+    keep = ((f & 8 != 0) | (f & 7 == 0)).astype(np.int64)
+    return pa.table({"url": urls,
+                     "flags": pa.array(f, pa.int64()),
+                     "keep": pa.array(keep, pa.int64())})
+
+
+def url_rule_filter(ds, rules: dict, col: str = "url"):
+    """→ Dataset(url, flags, keep).  ZERO-shuffle streaming map;
+    compose ``.filter``/semi-join downstream on ``keep``."""
+    return ds.map_batches(
+        lambda b: url_rule_filter_batch(b, rules, col),
+        batch_format="pyarrow")

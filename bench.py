@@ -336,6 +336,17 @@ def main() -> None:
     assert n_pr >= n  # nodes = pages ∪ link targets
     queries["pagerank"] = round(time.monotonic() - t0, 3)
 
+    # BM25 ranked retrieval over the same 120k-doc slice (integer-
+    # exact law; en query terms — de/ar docs simply don't hit, the
+    # realistic mixed-corpus case): one corpus scan + tiny projection
+    # folds + tree top-k
+    from arabic_ocr_ray.functions.retrieval import bm25_topk
+
+    t0 = time.monotonic()
+    bm = bm25_topk(docs_int, ["education", "water", "history"], k=10)
+    assert len(bm) == 10 and bm["score_e6"].is_monotonic_decreasing
+    queries["bm25"] = round(time.monotonic() - t0, 3)
+
     # mixed html/PDF corpus through the same fused stage (the north
     # rule's "PDF/layout parse" payload): every third url's payload is
     # a line-preserving PDF of its golden text, synthesized in-flight,

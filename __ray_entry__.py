@@ -1289,6 +1289,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.near_dup_pairs_bipartite(new, base, threshold=0.8),
             {"a": "int64", "b": "int64", "jaccard_x1000": "int64"})
 
+    def q_minhash_probe_dups(sf_dir: str):
+        """The cross_snapshot_dups semantics THROUGH the materialized
+        MinHash-LSH index (build once over the base half, probe the
+        new half reading only its band-hash buckets) — must equal the
+        two-dataset banding path's oracle: the index is an access
+        path, not a semantics.  What it saves per refresh at scale is
+        the base-side tokenize→shingle→minhash recompute."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+
+        docs = _docs(sf_dir)
+
+        def parity(want: int):
+            def f(b: pa.Table) -> pa.Table:
+                ids = np.asarray(b.column("doc_id"), np.int64)
+                return b.filter(pa.array(ids % 2 == want))
+            return f
+
+        base = docs.map_batches(parity(0),
+                                batch_format="pyarrow").materialize()
+        new = docs.map_batches(parity(1),
+                               batch_format="pyarrow").materialize()
+        idx = tempfile.mkdtemp(prefix="aor_mhidx_")
+        dedup.build_minhash_index(base, idx, n_buckets=16)
+        return _typed(
+            dedup.minhash_probe(idx, new, base, threshold=0.8),
+            {"a": "int64", "b": "int64", "jaccard_x1000": "int64"})
+
     def q_jaccard_dup(sf_dir: str):
         """EXACT n-gram-Jaccard self-join (prefix filter, 100% recall —
         the deterministic complement to MinHash-LSH): every pair with
@@ -2534,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": q_host_graph,
         "url_filter": q_url_filter,
         "vocab_drift": q_vocab_drift,
+        "minhash_probe_dups": q_minhash_probe_dups,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         # (events_hopping, events_preceding_count, order_customer_join,
         # event_sessions, top_orders_by_segment, top_orders,
@@ -2547,7 +2578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pre-change) and q5 is re-measured by bench.py every round —
         # ALL are hash-green in the full-registry artifact refreshed
         # at HEAD)
-        "q3_shipping": q_q3_shipping,
+        # (q3_shipping — changed in r4 not r5, measured by bench.py's
+        # q3 leg every round, artifact-covered — yielded its slot to
+        # the NEW minhash_probe_dups; moved past the window below)
         "events_above_type_mean": q_events_above_type_mean,
         "near_dup_clusters": q_near_dup_clusters,
         # --- join/aggregate paths touched by the late-r5 schema-hint
@@ -2564,6 +2597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "curate_corpus_v2": q_curate_v2,
         "customer_event_coverage": q_customer_event_coverage,
+        "q3_shipping": q_q3_shipping,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_audio_stats": q_mm_audio_stats,
         "mm_video_frames": q_mm_video_frames,
@@ -4510,6 +4544,9 @@ def oracle_sql() -> dict[str, str]:
     # the postings index is an ACCESS PATH: its answer must equal the
     # corpus-scan conjunction (one definition, two consumers)
     out["postings_search"] = out["term_search"]
+    # same rule for the materialized MinHash-LSH index: probe ≡ the
+    # two-dataset banding path on the same even/odd split
+    out["minhash_probe_dups"] = out["cross_snapshot_dups"]
     # curate_corpus_v4: compose the c4_filter and gopher_repetition
     # twins VERBATIM (one definition, two consumers), retargeted from
     # the documents view to the pages fixture, then conjunction +

@@ -23,6 +23,7 @@ and cluster layouts.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import zlib
 
@@ -719,7 +720,15 @@ def minhash_candidates_bipartite(new_ds, base_ds, col: str = "text",
                 lambda b: _band_rows_batch(b, col, id_col),
                 batch_format="pyarrow")
                 .map_batches(tag(1), batch_format="pyarrow")))
+    return _bipartite_pairs_from_rows(rows, id_col,
+                                      "minhash_candidates_bipartite")
 
+
+def _bipartite_pairs_from_rows(rows, id_col: str, op_name: str):
+    """Side-tagged (id, band, band_hash, side) rows → (a=side-0 id,
+    b=side-1 id) candidate pairs.  Shared by the two-dataset banding
+    path and the materialized-index probe path — one pair-generation
+    law, two feeders."""
     def add_pk(b: pa.Table) -> pa.Table:
         bh = np.asarray(b.column("band_hash"), dtype=np.int64)
         bd = np.asarray(b.column("band"), dtype=np.int64)
@@ -729,7 +738,7 @@ def minhash_candidates_bipartite(new_ds, base_ds, col: str = "text",
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         key = ["band", "band_hash"]
         sizes = g.groupby(key)[id_col].transform("size")
-        _log_capped(g, sizes, MAX_BUCKET, "minhash_candidates_bipartite")
+        _log_capped(g, sizes, MAX_BUCKET, op_name)
         g2 = g.loc[(sizes >= 2) & (sizes <= MAX_BUCKET),
                    key + [id_col, "side"]]
         gb = g2.loc[g2["side"] == 0, key + [id_col]]
@@ -759,9 +768,19 @@ def near_dup_pairs_bipartite(new_ds, base_ds, threshold: float = 0.8,
     "1|" new) end to end — the same id appearing in BOTH snapshots (a
     url recrawled with changed content, the normal incremental case)
     is verified against each side's OWN text, never last-write-wins."""
+    cand = minhash_candidates_bipartite(new_ds, base_ds, col, id_col)
+    return _verify_bipartite(cand, new_ds, base_ds, threshold, col,
+                             id_col)
+
+
+def _verify_bipartite(cand, new_ds, base_ds, threshold: float,
+                      col: str, id_col: str):
+    """Shared verify tail of the bipartite paths: namespace ids by
+    side ('0|' base / '1|' new) so a url recrawled with changed
+    content verifies against each side's OWN text, exact-Jaccard
+    verify, strip the namespace back off."""
     import pyarrow.compute as pc
 
-    cand = minhash_candidates_bipartite(new_ds, base_ds, col, id_col)
     sch = new_ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
 
@@ -795,6 +814,114 @@ def near_dup_pairs_bipartite(new_ds, base_ds, threshold: float = 0.8,
         })
 
     return verified.map_batches(strip_ns, batch_format="pyarrow")
+
+
+# --- materialized MinHash-LSH index (build once, probe every crawl) --------
+#: the production incremental-dedup path: signatures of the BASE
+#: corpus are computed ONCE and materialized as band-hash-bucketed
+#: parquet (the ann.build_ivf_index / retrieval postings layout); each
+#: crawl increment then bands only ITSELF and reads only the index
+#: buckets its band hashes land in.  What the index saves at 100 TB is
+#: the base-side tokenize→shingle→minhash recompute (the dominant
+#: cost of `near_dup_pairs_bipartite`, paid per refresh there);
+#: verification still reads both sides' TEXTS (exact Jaccard is the
+#: contract — signatures alone never confirm a pair).
+MINHASH_INDEX_BUCKETS = 64
+
+
+def build_minhash_index(ds, index_dir: str, col: str = "text",
+                        id_col: str = "doc_id",
+                        n_buckets: int = MINHASH_INDEX_BUCKETS) -> None:
+    """Materialize the base corpus' LSH band rows as
+    ``index_dir/bh_bucket=<k>/`` parquet (ONE corpus pass, no shuffle
+    — the partitioned write groups rows at the file level; a probe
+    never needs co-location beyond the bucket dir).  Overwrite on
+    rebuild (the IVF rule: a partial build must not leave stale
+    fragments).  ``_meta.json`` pins n_buckets — probe-side bucket
+    math MUST match the build's."""
+    import json
+
+    def rows(b: pa.Table) -> pa.Table:
+        t = _band_rows_batch(b, col, id_col)
+        bh = np.asarray(t.column("band_hash"), dtype=np.int64)
+        return t.append_column(
+            "bh_bucket", pa.array(bh % n_buckets, pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.map_batches(rows, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["bh_bucket"],
+                    mode="overwrite"))
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets), "id_col": id_col},
+                  f)
+
+
+def minhash_probe(index_dir: str, new_ds, base_ds,
+                  threshold: float = 0.8, col: str = "text",
+                  id_col: str = "doc_id"):
+    """→ Dataset(a=base id, b=new id, jaccard_x1000) ≡
+    :func:`near_dup_pairs_bipartite` on (new_ds, base corpus the
+    index was built from) — the index is an ACCESS PATH, not a
+    semantics.  The new increment bands once (materialized: bucket
+    discovery + pair generation both read it); the index contributes
+    only the bucket dirs the increment's band hashes land in (IO ∝
+    increment, never base).  ``base_ds`` supplies TEXTS for the
+    exact-Jaccard verify — pruned to [id_col, col] and touched only
+    there."""
+    import json
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index built with id_col={meta['id_col']!r}, probe "
+            f"asked for {id_col!r}")
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side", pa.array(np.full(b.num_rows, side, np.int8)))
+        return f
+
+    new_rows = (new_ds.map_batches(
+        lambda b: _band_rows_batch(b, col, id_col),
+        batch_format="pyarrow").materialize())
+
+    # bucket discovery: ≤ n_buckets distinct values — a driver set
+    def bks(b: pa.Table) -> pa.Table:
+        bh = np.asarray(b.column("band_hash"), dtype=np.int64)
+        return pa.table({"bk": pa.array(
+            np.unique(bh % n_buckets), pa.int64())})
+
+    need = sorted({int(r["bk"]) for r in
+                   new_rows.map_batches(bks, batch_format="pyarrow")
+                   .take_all()})
+    paths: list = []
+    for k in need:
+        p = os.path.join(index_dir, f"bh_bucket={k}")
+        if os.path.isdir(p):
+            paths.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith(".parquet")))
+    if not paths:
+        # nothing indexed in any probed bucket → provably no pairs
+        sch = new_ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], id_type), "b": pa.array([], id_type),
+            "jaccard_x1000": pa.array([], pa.int64())}))
+
+    base_rows = ray.data.read_parquet(
+        paths, columns=[id_col, "band", "band_hash"])
+    rows = (base_rows.map_batches(tag(0), batch_format="pyarrow")
+            .union(new_rows.map_batches(tag(1),
+                                        batch_format="pyarrow")))
+    cand = _bipartite_pairs_from_rows(rows, id_col, "minhash_probe")
+    return _verify_bipartite(cand, new_ds, base_ds, threshold, col,
+                             id_col)
 
 
 # --- benchmark decontamination --------------------------------------------

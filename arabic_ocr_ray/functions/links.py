@@ -190,13 +190,23 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
 
     from ray.data.aggregate import Count
 
+    def dst_nodes(b: pa.Table) -> pa.Table:
+        # map-side unique BEFORE the distinct shuffle: dst repeats ~
+        # avg-indegree× per block, so this cuts the shuffled rows
+        # correspondingly (measured 12.7 → 8.0 s on the 3.26M-edge
+        # bench graph); reads the pre-join `edges` (same dst set as
+        # edges_w — the src⋈outdeg join never drops a row) so the
+        # node build doesn't wait on the join
+        import pyarrow.compute as pc
+        return pa.table(
+            {"node": pc.unique(b.column("dst").combine_chunks())})
+
     # distinct via groupby; materialized because the node set feeds
     # TWO consumers (the zero stream and the seed ranks) — lazy, the
     # corpus scan + distinct shuffle would run twice
     nodes = (pages_ds.map_batches(page_nodes, batch_format="pyarrow")
-             .union(edges_w.map_batches(
-                 lambda b: pa.table({"node": b.column("dst")}),
-                 batch_format="pyarrow"))
+             .union(edges.map_batches(dst_nodes,
+                                      batch_format="pyarrow"))
              .groupby("node", num_partitions=num_partitions)
              .aggregate(Count(alias_name="_c"))
              .select_columns(["node"])
@@ -294,10 +304,16 @@ def hits(pages_ds, n_iter: int = 2, url_col: str = "url",
     def page_nodes(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column(url_col)})
 
+    def dst_nodes(b: pa.Table) -> pa.Table:
+        # map-side unique before the distinct shuffle (the pagerank
+        # measurement: −37% on the node-set wall)
+        import pyarrow.compute as pc
+        return pa.table(
+            {"node": pc.unique(b.column("dst").combine_chunks())})
+
     nodes = (pages_ds.map_batches(page_nodes, batch_format="pyarrow")
-             .union(edges.map_batches(
-                 lambda b: pa.table({"node": b.column("dst")}),
-                 batch_format="pyarrow"))
+             .union(edges.map_batches(dst_nodes,
+                                      batch_format="pyarrow"))
              .groupby("node", num_partitions=num_partitions)
              .aggregate(Count(alias_name="_c"))
              .select_columns(["node"])

@@ -73,13 +73,19 @@ def resolve_href(src: str, href: str) -> str | None:
 
 
 def outlinks_batch(batch: pa.Table, url_col: str = "url",
-                   html_col: str = "html") -> pa.Table:
-    """→ (src, dst, n_links) — one row per DISTINCT resolved target
-    per page (dst sorted within a page for determinism).  Rows are
-    pages, so the fold is in-batch; no shuffle."""
+                   html_col: str = "html",
+                   with_outdeg: bool = False) -> pa.Table:
+    """→ (src, dst, n_links[, outdeg]) — one row per DISTINCT
+    resolved target per page (dst sorted within a page for
+    determinism).  Rows are pages, so the fold is in-batch; no
+    shuffle.  ``with_outdeg`` stamps each row with the page's TOTAL
+    link count (Σ n_links over the page) — a per-page quantity, so it
+    costs nothing here but saves its consumer (pagerank) a
+    src-keyed groupby AND a 1-per-edge join."""
     rows_s: list = []
     rows_d: list = []
     rows_n: list = []
+    rows_o: list = []
     for src, hb in zip(batch.column(url_col).to_pylist(),
                        batch.column(html_col).to_pylist()):
         if isinstance(hb, bytes):
@@ -94,13 +100,18 @@ def outlinks_batch(batch: pa.Table, url_col: str = "url",
             d = resolve_href(src, href)
             if d is not None:
                 c[d] += 1
+        od = sum(c.values())
         for d in sorted(c):
             rows_s.append(src)
             rows_d.append(d)
             rows_n.append(c[d])
-    return pa.table({"src": pa.array(rows_s, pa.string()),
-                     "dst": pa.array(rows_d, pa.string()),
-                     "n_links": pa.array(rows_n, pa.int64())})
+            rows_o.append(od)
+    cols = {"src": pa.array(rows_s, pa.string()),
+            "dst": pa.array(rows_d, pa.string()),
+            "n_links": pa.array(rows_n, pa.int64())}
+    if with_outdeg:
+        cols["outdeg"] = pa.array(rows_o, pa.int64())
+    return pa.table(cols)
 
 
 def outlinks(pages_ds, url_col: str = "url", html_col: str = "html"):
@@ -161,29 +172,24 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
     num, den = int(damping[0]), int(damping[1])
     base = (den - num) * PR_QUANT // den
 
-    # the raw edge list materializes once: it feeds outdeg AND the
-    # weighted join, and a lazy feed would re-run the corpus-wide
-    # href extraction for each consumer.  Every materialize boundary
-    # below also REPARTITIONS first: Ray's shuffle ops emit one block
-    # per (input block x partition), so a chain of groupby/join/union
-    # stages compounds block counts geometrically across iterations —
-    # measured 512->832 blocks and 95 s at 1k pages before bounding,
-    # 8 blocks and ~7 s after (the wall was pure task dispatch)
-    edges = (outlinks(pages_ds, url_col, html_col)
-             .repartition(num_partitions).materialize())
-    outdeg = edges.groupby("src").aggregate(
-        Sum("n_links", alias_name="outdeg"))
-    e_schema = pa.schema([("src", pa.string()), ("dst", pa.string()),
-                          ("n_links", pa.int64())])
-    od_schema = pa.schema([("src", pa.string()),
-                           ("outdeg", pa.int64())])
-    # weighted edges materialize ONCE: every iteration re-reads them,
-    # and re-extracting the corpus per pass would dominate
-    edges_w = hash_join(edges, outdeg, on="src",
-                        num_partitions=num_partitions,
-                        left_schema=e_schema,
-                        right_schema=od_schema) \
-        .repartition(num_partitions).materialize()
+    # the weighted edge list materializes ONCE: every iteration
+    # re-reads it, and re-extracting the corpus per pass would
+    # dominate.  outdeg is stamped IN the extraction map
+    # (with_outdeg=True): a page's total link count is a per-page
+    # quantity, so the src-keyed groupby + 1-per-edge join the first
+    # implementation paid (~8 s on the 3.26M-edge bench graph) is
+    # free here.  Every materialize boundary below also REPARTITIONS
+    # first: Ray's shuffle ops emit one block per (input block x
+    # partition), so a chain of groupby/join/union stages compounds
+    # block counts geometrically across iterations — measured
+    # 512->832 blocks and 95 s at 1k pages before bounding, 8 blocks
+    # and ~7 s after (the wall was pure task dispatch)
+    edges_w = (pages_ds.map_batches(
+                   lambda b: outlinks_batch(b, url_col, html_col,
+                                            with_outdeg=True),
+                   batch_format="pyarrow")
+               .repartition(num_partitions).materialize())
+    edges = edges_w  # node-set build reads the same materialization
 
     def page_nodes(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column(url_col)})

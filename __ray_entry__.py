@@ -1034,6 +1034,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = _rp(fx["pages"], columns=["url", "html"])
         return hits(pages, n_iter=2, num_partitions=8)
 
+    def q_link_components(sf_dir: str):
+        """Weakly-connected components of the page link graph
+        (site islands / mirror detection) — the outlink edge
+        projection through the SAME component machinery as near-dup
+        clustering (driver union-find under the documented edge
+        crossover, distributed min-label propagation above)."""
+        from arabic_ocr_ray.functions.links import link_components
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return link_components(pages)
+
     def q_host_graph(sf_dir: str):
         """Host-level condensation of the page link graph — what
         domain-level spam/centrality analysis actually runs on (the
@@ -2547,7 +2559,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "gopher_filter": q_gopher_filter,
         "bpe_vocab": q_bpe_vocab,
-        "bpe_encode_stats": q_bpe_encode,
+        # (bpe_encode_stats — a rows-only entry (no SQL twin is
+        # possible for the iterative-global merge loop), so it gains
+        # the least from a window slot; its law is pinned by the
+        # brute-force recount oracle tests and bpe_vocab keeps the
+        # family's rows check in-window — yielded its slot to the NEW
+        # link_components; moved past the window below)
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "c4_filter": q_c4_filter,
@@ -2565,6 +2582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter": q_url_filter,
         "vocab_drift": q_vocab_drift,
         "minhash_probe_dups": q_minhash_probe_dups,
+        "link_components": q_link_components,
         # --- the 27 rows r4 parked past the window, rotated back in ------
         # (events_hopping, events_preceding_count, order_customer_join,
         # event_sessions, top_orders_by_segment, top_orders,
@@ -2598,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_v2": q_curate_v2,
         "customer_event_coverage": q_customer_event_coverage,
         "q3_shipping": q_q3_shipping,
+        "bpe_encode_stats": q_bpe_encode,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_audio_stats": q_mm_audio_stats,
         "mm_video_frames": q_mm_video_frames,
@@ -4687,6 +4706,20 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT h2.node, CAST(h2.v AS BIGINT) AS hub,"
         f" CAST(a2.v AS BIGINT) AS auth"
         f" FROM h2 JOIN a2 ON a2.node = h2.node"
+    )
+    # weakly-connected components: recursive-CTE transitive closure
+    # over the undirected edge set (the near_dup_clusters twin shape);
+    # component = min reachable node (lexicographic on urls — the
+    # engine's min-label fixed point); edge-set nodes only
+    out["link_components"] = (
+        f"WITH RECURSIVE {_lk_edges},"
+        r" und AS (SELECT src AS s, dst AS t FROM edges"
+        r" UNION SELECT dst, src FROM edges),"
+        r" reach AS (SELECT DISTINCT s AS id, s AS lab FROM und"
+        r" UNION SELECT e.s AS id, r.lab FROM und e"
+        r" JOIN reach r ON r.id = e.t)"
+        r" SELECT id AS node, min(lab) AS component"
+        r" FROM reach GROUP BY id"
     )
     # host condensation: authority part via the same scheme regex
     # both engines run; '' on no match (DuckDB regexp_extract ≡ the

@@ -399,6 +399,38 @@ def hits(pages_ds, n_iter: int = 2, url_col: str = "url",
                      left_schema=h_schema, right_schema=a_schema)
 
 
+# --- connected components of the link graph ----------------------------------
+
+def link_components(pages_ds, url_col: str = "url",
+                    html_col: str = "html",
+                    num_partitions: int = 8):
+    """→ Dataset(node, component) — weakly-connected components of
+    the page link graph (component = min node id, lexicographic for
+    urls): the site-island analysis (mirror detection, crawl-frontier
+    partitioning) a link graph feeds after extraction.
+
+    Pure composition: the outlink edge projection feeds the SAME
+    component machinery as near-dup clustering
+    (``dedup.dedup_connected_components`` — driver union-find under
+    its documented edge crossover, distributed min-label propagation
+    above), so the 100 TB shape is already proven there.  Nodes with
+    NO edges (linkless AND never-linked pages) don't appear — the
+    near_dup_clusters convention, matched by the SQL twin."""
+    from .dedup import dedup_connected_components
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("src"), "b": b.column("dst")})
+
+    pairs = outlinks(pages_ds, url_col, html_col).map_batches(
+        to_pairs, batch_format="pyarrow")
+    out = dedup_connected_components(pairs,
+                                     num_partitions=num_partitions)
+    return out.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id"),
+                            "component": b.column("cluster_id")}),
+        batch_format="pyarrow")
+
+
 # --- host-level condensation --------------------------------------------------
 _HOST_G_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/]*)")
 

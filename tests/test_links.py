@@ -266,3 +266,31 @@ def test_host_graph_condensation(ray_session):
     # a.test->a.test: the intra-host self-pair is kept
     assert got == {("a.test", "b.test"): (3, 3),
                    ("a.test", "a.test"): (1, 1)}
+
+
+def test_link_components(ray_session):
+    """Two disjoint link islands + a self-link + a linkless page
+    (excluded by convention) + a dangling target (included: it's a
+    node of the edge set)."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import link_components
+
+    rows = [
+        _page("https://a.test/1", ["/2"]),
+        _page("https://a.test/2", ["/1", "/3"]),   # island A: 1,2,3
+        _page("https://b.test/x", ["https://b.test/y"]),  # island B
+        _page("https://c.test/solo", []),          # linkless: absent
+        _page("https://d.test/self", ["https://d.test/self"]),
+    ]
+    ds = rd.from_arrow(_pages_table(rows))
+    out = link_components(ds).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {
+        "https://a.test/1": "https://a.test/1",
+        "https://a.test/2": "https://a.test/1",
+        "https://a.test/3": "https://a.test/1",
+        "https://b.test/x": "https://b.test/x",
+        "https://b.test/y": "https://b.test/x",
+        "https://d.test/self": "https://d.test/self",
+    }

@@ -1057,6 +1057,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = _rp(fx["pages"], columns=["url", "html"])
         return host_graph(pages)
 
+    def q_crawl_frontier(sf_dir: str):
+        """Top-20 UNCRAWLED link targets by distinct linking pages —
+        the crawl-scheduling primitive (what a frontier manager
+        fetches next).  Anti-join = ONE dst/url-keyed exchange of
+        tiny projection rows (html never moves), then the
+        tree-combined topk."""
+        from arabic_ocr_ray.functions.links import crawl_frontier
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return crawl_frontier(pages, k=20)
+
+    def q_crawl_depth(sf_dir: str):
+        """Multi-source BFS crawl depth from the seed set (urls
+        matching '0$') over directed page→target edges, fixed
+        max_depth 3 — frontier-only expansion, one src-keyed join +
+        one node-keyed Min per hop, shuffles ∝ frontier-adjacent
+        edges; hash-matches the fixed-depth SQL unrolling (the
+        pagerank/hits convention)."""
+        from arabic_ocr_ray.functions.links import crawl_depth
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return crawl_depth(pages, seed_regex="0$", max_depth=3)
+
     # --- retrieval family (arabic_ocr_ray/functions/retrieval.py) ----
     #: query-term mix pinned to the fixture vocabulary: 'dup' is rare
     #: (df ≈ 25/500) so idf separation is actually exercised; 'hash'/
@@ -2599,8 +2624,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (q3_shipping — changed in r4 not r5, measured by bench.py's
         # q3 leg every round, artifact-covered — yielded its slot to
         # the NEW minhash_probe_dups; moved past the window below)
-        "events_above_type_mean": q_events_above_type_mean,
-        "near_dup_clusters": q_near_dup_clusters,
+        # (events_above_type_mean / near_dup_clusters — both
+        # r4-hash-green, untouched this session, artifact-covered —
+        # yielded their slots to the NEW crawl_frontier/crawl_depth;
+        # the 1a91b02 hash_join path stays exercised in-window by
+        # tfidf_top_terms AND crawl_depth itself; moved below)
+        "crawl_frontier": q_crawl_frontier,
+        "crawl_depth": q_crawl_depth,
         # --- join/aggregate paths touched by the late-r5 schema-hint
         # sweep (commit 1a91b02) pulled inside the window; the four
         # untouched pure maps they displace are artifact-covered -----
@@ -2621,6 +2651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_stats": q_mm_audio_stats,
         "mm_video_frames": q_mm_video_frames,
         "mm_jpeg_stats": q_mm_jpeg_stats,
+        "events_above_type_mean": q_events_above_type_mean,
+        "near_dup_clusters": q_near_dup_clusters,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -4720,6 +4752,38 @@ def oracle_sql() -> dict[str, str]:
         r" JOIN reach r ON r.id = e.t)"
         r" SELECT id AS node, min(lab) AS component"
         r" FROM reach GROUP BY id"
+    )
+    # crawl frontier: uncrawled targets ranked by distinct linking
+    # pages (edge rows are per-(src, dst) distinct so count(*) ≡
+    # distinct pages); the ORDER BY mirrors the engine's topk tie law
+    # (n_src_pages DESC, dst ASC) so the boundary SET matches
+    out["crawl_frontier"] = (
+        f"WITH {_lk_edges}"
+        r" SELECT dst, CAST(count(*) AS BIGINT) AS n_src_pages,"
+        r" CAST(sum(n_links) AS BIGINT) AS n_links FROM edges"
+        f" WHERE dst NOT IN (SELECT url FROM read_parquet('{pages}'))"
+        r" GROUP BY dst ORDER BY n_src_pages DESC, dst ASC LIMIT 20"
+    )
+    # crawl depth: fixed-depth BFS unrolling (the pagerank/hits
+    # convention) — seeds from the FULL pages table (a crawled page
+    # seeds even when its html fails the edge gate), each hop joins
+    # only the frontier (depth = hop-1; expanding settled nodes is
+    # redundant under +1 weights) then re-mins
+    _cd_hop = (
+        " u{i} AS (SELECT node, depth FROM d{p}"
+        " UNION ALL SELECT e.dst AS node, d.depth + 1 AS depth"
+        " FROM d{p} d JOIN edges e ON e.src = d.node"
+        " WHERE d.depth = {pd}),"
+        " d{i} AS (SELECT node, min(depth) AS depth"
+        " FROM u{i} GROUP BY node)")
+    out["crawl_depth"] = (
+        f"WITH {_lk_edges},"
+        f" d0 AS (SELECT url AS node, CAST(0 AS BIGINT) AS depth"
+        f" FROM read_parquet('{pages}')"
+        r" WHERE regexp_matches(url, '0$')),"
+        + ",".join(_cd_hop.format(i=i, p=i - 1, pd=i - 1)
+                   for i in (1, 2, 3))
+        + " SELECT node, depth FROM d3"
     )
     # host condensation: authority part via the same scheme regex
     # both engines run; '' on no match (DuckDB regexp_extract ≡ the

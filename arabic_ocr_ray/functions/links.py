@@ -536,3 +536,156 @@ def anchor_texts(pages_ds, url_col: str = "url",
             .groupby(["dst", "anchor"])
             .aggregate(Sum("n", alias_name="n_occurrences"),
                        Count(alias_name="n_src_pages")))
+
+
+# --- crawl scheduling -------------------------------------------------------
+
+
+def crawl_frontier(pages_ds, k: int = 20, url_col: str = "url",
+                   html_col: str = "html",
+                   num_partitions: int = 8):
+    """→ pandas DataFrame (≤ ``k`` rows): the top-k UNCRAWLED link
+    targets ranked by distinct linking pages — the crawl-scheduling
+    primitive (what a frontier manager fetches next; the reference's
+    directory scan `segment_words.py:254` is the degenerate
+    single-machine analog of "what to process next").
+
+    Law (oracle-pinned): candidates = every resolved link target NOT
+    present in the corpus url set; ``n_src_pages`` = distinct linking
+    pages (edge rows are per-(src, dst) distinct, so Sum of 1s ≡
+    distinct count); ``n_links`` = total occurrences; order =
+    ``n_src_pages`` DESC then ``dst`` ASC (deterministic boundary
+    ties).
+
+    Scale shape: the anti-join is ONE dst/url-keyed exchange of tiny
+    projection rows — edge rows carry (dst, n_links, 1, 0), crawled
+    urls ship a 4-int marker row (url, 0, 0, 1); html never moves —
+    then the tree-combined :func:`~.topk.topk` bounds the driver at
+    ``combine_partitions × k`` rows regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    from .topk import topk
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        eb = outlinks_batch(b, url_col, html_col)
+        n = eb.num_rows
+        return pa.table({
+            "dst": eb.column("dst"),
+            "n_links": eb.column("n_links"),
+            "one": pa.array(np.ones(n, np.int64)),
+            "crawled": pa.array(np.zeros(n, np.int64))})
+
+    def marker_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table({
+            "dst": b.column(url_col),
+            "n_links": z, "one": z,
+            "crawled": pa.array(np.ones(n, np.int64))})
+
+    merged = (pages_ds.map_batches(edge_rows, batch_format="pyarrow")
+              .union(pages_ds.map_batches(marker_rows,
+                                          batch_format="pyarrow"))
+              .groupby("dst", num_partitions=num_partitions)
+              .aggregate(Sum("n_links", alias_name="n_links"),
+                         Sum("one", alias_name="n_src_pages"),
+                         Sum("crawled", alias_name="_c")))
+
+    def uncrawled(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = b.filter(pc.equal(b.column("_c"), 0))
+        return keep.select(["dst", "n_src_pages", "n_links"])
+
+    cand = merged.map_batches(uncrawled, batch_format="pyarrow")
+    return topk(cand, "n_src_pages", k, descending=True,
+                tie_cols=("dst",))
+
+
+def crawl_depth(pages_ds, seed_regex: str = "0$", max_depth: int = 3,
+                url_col: str = "url", html_col: str = "html",
+                num_partitions: int = 8):
+    """→ Dataset(node, depth) — minimum hop count from the seed set
+    over DIRECTED page→target edges, the crawl-depth/BFS analysis a
+    frontier scheduler and politeness budgeter run on the link graph.
+
+    Law (oracle-pinned): seeds = corpus pages whose url matches
+    ``seed_regex`` (Python ``re.search`` ≡ DuckDB ``regexp_matches``
+    — both leftmost RE2-compatible scans; a crawled page seeds even
+    if its html fails the strict-UTF-8 edge gate, it just contributes
+    no edges); edges = the distinct (src, dst) projection of
+    :func:`outlinks_batch`; depth(v) = min hops from any seed,
+    reported only for nodes reached within ``max_depth`` — classic
+    multi-source BFS, bit-reproducible across partitionings and
+    hash-matching a fixed-depth SQL unrolling (the pagerank/hits
+    convention).
+
+    Scale shape: the edge projection materializes ONCE; each
+    iteration joins only the CURRENT FRONTIER (nodes first reached in
+    the previous round — expanding earlier-settled nodes is provably
+    redundant under +1 weights) against the edges — one src-keyed
+    hash join + one node-keyed Min, shuffles ∝ frontier-adjacent
+    edges, html never moves — and the per-iteration materialization
+    is the checkpoint/resume boundary an end-to-end 10^12-edge BFS
+    needs anyway (every boundary repartitions first: the pagerank
+    block-compounding lesson)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    cre = re.compile(seed_regex)
+
+    def edge_proj(b: pa.Table) -> pa.Table:
+        eb = outlinks_batch(b, url_col, html_col)
+        return eb.select(["src", "dst"])
+
+    edges = (pages_ds.map_batches(edge_proj, batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        urls = b.column(url_col).to_pylist()
+        keep = [u for u in urls if cre.search(u)]
+        return pa.table({
+            "node": pa.array(keep, pa.string()),
+            "depth": pa.array(np.zeros(len(keep), np.int64))})
+
+    dist = (pages_ds.map_batches(seed_rows, batch_format="pyarrow")
+            .repartition(num_partitions).materialize())
+    e_schema = pa.schema([("src", pa.string()),
+                          ("dst", pa.string())])
+    d_schema = pa.schema([("node", pa.string()),
+                          ("depth", pa.int64())])
+
+    for it in range(max_depth):
+        def frontier_only(b: pa.Table, _d=it) -> pa.Table:
+            return b.filter(pc.equal(b.column("depth"), _d))
+
+        frontier = dist.map_batches(frontier_only,
+                                    batch_format="pyarrow")
+        # empty-frontier early exit: no new labels can appear, so
+        # further fixed-depth iterations are no-ops — behavior-
+        # identical to running them (the law test re-checks at
+        # max_depth 5), and it cuts the tail once BFS converges
+        # (dist is materialized, so this count is a cheap filter
+        # pass, not a pipeline re-execution)
+        if frontier.count() == 0:
+            break
+        joined = hash_join(edges, frontier, on="src",
+                           right_on="node",
+                           num_partitions=num_partitions,
+                           left_schema=e_schema,
+                           right_schema=d_schema)
+
+        def step(b: pa.Table) -> pa.Table:
+            d = np.asarray(b.column("depth"), dtype=np.int64)
+            return pa.table({"node": b.column("dst"),
+                             "depth": pa.array(d + 1, pa.int64())})
+
+        dist = (dist.union(joined.map_batches(step,
+                                              batch_format="pyarrow"))
+                .groupby("node", num_partitions=num_partitions)
+                .aggregate(Min("depth", alias_name="depth"))
+                .repartition(num_partitions).materialize())
+
+    return dist

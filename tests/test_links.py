@@ -294,3 +294,76 @@ def test_link_components(ray_session):
         "https://b.test/y": "https://b.test/x",
         "https://d.test/self": "https://d.test/self",
     }
+
+
+def test_crawl_depth_bfs_law(ray_session):
+    """Multi-source BFS: a 4-deep chain truncated by max_depth, a
+    diamond (min over two path lengths), an unreachable island
+    (absent), and a seed whose html fails the UTF-8 gate (seeds at 0,
+    contributes no edges)."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import crawl_depth
+
+    rows = [
+        # chain: seed0 -> c1 -> c2 -> c3 -> c4 (c4 beyond max_depth 3)
+        _page("https://h.test/seed0", ["/c1"]),
+        _page("https://h.test/c1", ["/c2"]),
+        _page("https://h.test/c2", ["/c3"]),
+        _page("https://h.test/c3", ["/c4"]),
+        # diamond: give d0 a direct edge to c2 so
+        # c2 = min(2 via the chain, 1 via d0)
+        _page("https://h.test/d0", ["/c2"]),
+        # unreachable island (no seed matches, nothing links in)
+        _page("https://h.test/island", ["/island2"]),
+        # latin1 seed: depth 0, no edges
+        ("https://h.test/lat0", "caf\xe9".encode("latin-1")),
+    ]
+    ds = rd.from_arrow(_pages_table(rows))
+    out = crawl_depth(ds, seed_regex=r"0$", max_depth=3,
+                      num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == {
+        "https://h.test/seed0": 0,
+        "https://h.test/d0": 0,
+        "https://h.test/lat0": 0,
+        "https://h.test/c1": 1,
+        "https://h.test/c2": 1,   # min(2 via chain, 1 via d0)
+        "https://h.test/c3": 2,
+        "https://h.test/c4": 3,
+    }
+    # frontier-only expansion == full Bellman-Ford at fixed depth:
+    # re-run with a depth large enough to converge; island stays out
+    out4 = crawl_depth(ds, seed_regex=r"0$", max_depth=5,
+                       num_partitions=2).to_pandas()
+    assert dict(zip(out4["node"], out4["depth"])) == got
+
+
+def test_crawl_frontier_anti_join_and_ties(ray_session):
+    """Crawled targets are excluded even when heavily linked; ranking
+    is n_src_pages DESC then dst ASC at the boundary."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import crawl_frontier
+
+    rows = [
+        # p1..p3 all link to crawled /p1 (excluded) and uncrawled /u1
+        _page("https://h.test/p1", ["/u1", "/u2", "/u2"]),
+        _page("https://h.test/p2", ["/u1", "/p1"]),
+        _page("https://h.test/p3", ["/u1", "/p1", "/ua"]),
+        _page("https://h.test/p4", ["/ub"]),
+    ]
+    ds = rd.from_arrow(_pages_table(rows))
+    out = crawl_frontier(ds, k=3, num_partitions=4)
+    assert list(out["dst"]) == [
+        "https://h.test/u1",            # 3 linking pages
+        "https://h.test/u2",            # 1 page (2 links)
+        "https://h.test/ua",            # tie (1 page) broken dst ASC
+    ]
+    assert list(out["n_src_pages"]) == [3, 1, 1]
+    assert list(out["n_links"]) == [3, 2, 1]
+    # k larger than candidates: all 4 uncrawled, crawled p1 never
+    out_all = crawl_frontier(ds, k=10, num_partitions=2)
+    assert set(out_all["dst"]) == {
+        "https://h.test/u1", "https://h.test/u2",
+        "https://h.test/ua", "https://h.test/ub"}

@@ -304,6 +304,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(text.bpe_token_count_batch,
                                          batch_format="pyarrow")
 
+    def q_doc_chunk_plan(sf_dir: str):
+        """Sliding-window RAG/training chunk plan (64-token windows,
+        stride 48) — pure zero-shuffle map; the plan ships ~32 B/row
+        while chunk text stays with the doc."""
+        return _docs(sf_dir).map_batches(
+            lambda b: text.chunk_plan_batch(b, window=64, stride=48),
+            batch_format="pyarrow")
+
+    def q_lang_length_bounds(sf_dir: str):
+        """Percentile-calibrated curation gate, thresholds PER
+        LANGUAGE (the CCNet/FineWeb move): keep docs whose n_chars
+        lies in the per-lang [q10, q90] band.  Bounds via the
+        bounded-small (lang, n_chars) histogram — one cell-keyed
+        shuffle, DuckDB-bit-equal lerp — then one vectorized
+        zero-shuffle mask pass."""
+        from arabic_ocr_ray.functions.windows import (
+            quantile_bounds_filter,
+        )
+
+        docs = _docs(sf_dir, cols=("doc_id", "lang", "n_chars"))
+        return quantile_bounds_filter(docs, "lang", "n_chars",
+                                      0.1, 0.9)
+
     def q_dup_lines(sf_dir: str):
         return _docs(sf_dir).map_batches(text.dup_line_stats_batch,
                                          batch_format="pyarrow")
@@ -2555,7 +2578,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "extract_incremental": q_extract_incremental,
         "snapshot_diff": q_snapshot_diff,
-        "jaccard_dup_pairs": q_jaccard_dup,
+        # (jaccard_dup_pairs — r4-hash-green, its PPJoin path
+        # untouched this session, law pinned by the randomized
+        # brute-parity test, artifact-covered — yielded its slot to
+        # the NEW lang_length_bounds; moved past the window below)
+        "lang_length_bounds": q_lang_length_bounds,
         "near_dup_pairs": q_near_dup,
         "doc_paragraph_dedup": q_paragraph_dedup,
         "para_dedup_incremental": q_para_dedup_incremental,
@@ -2634,7 +2661,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- join/aggregate paths touched by the late-r5 schema-hint
         # sweep (commit 1a91b02) pulled inside the window; the four
         # untouched pure maps they displace are artifact-covered -----
-        "tfidf_top_terms": q_tfidf_top_terms,
+        # (tfidf_top_terms — r4-hash-green, untouched this session,
+        # artifact-covered, and the 1a91b02 hash_join path now stays
+        # exercised in-window by crawl_depth — yielded its slot to
+        # the NEW doc_chunk_plan; moved past the window below)
+        "doc_chunk_plan": q_doc_chunk_plan,
         # (semantic_dedup / curate_corpus_v2 / customer_event_coverage
         # yielded their slots to the NEW retrieval family bm25_topk /
         # term_search / postings_search — never-driver-verified takes
@@ -2653,6 +2684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_jpeg_stats": q_mm_jpeg_stats,
         "events_above_type_mean": q_events_above_type_mean,
         "near_dup_clusters": q_near_dup_clusters,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "jaccard_dup_pairs": q_jaccard_dup,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -2819,6 +2852,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'[^ \\t\\n\\r\\f\\v]+')) AS n_tokens "
             "FROM documents"
+        ),
+        # sliding-window chunk plan: same token law; the SCALAR
+        # generate_series(0, nc-1) returns an empty list for nc = 0
+        # (unnest emits no rows) so 0-token docs emit no chunks,
+        # matching the engine's explode
+        "doc_chunk_plan": (
+            "WITH t AS (SELECT doc_id, len(regexp_extract_all(text, "
+            "'[^ \\t\\n\\r\\f\\v]+')) AS n FROM documents), "
+            "c AS (SELECT doc_id, n, CASE WHEN n = 0 THEN 0 "
+            "WHEN n <= 64 THEN 1 "
+            "ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM t), "
+            "e AS (SELECT doc_id, n, "
+            "unnest(generate_series(0, nc - 1)) AS chunk_id FROM c) "
+            "SELECT doc_id, chunk_id, chunk_id * 48 AS tok_start, "
+            "least(chunk_id * 48 + 64, n) AS tok_end, "
+            "n AS n_tokens FROM e"
+        ),
+        # per-lang percentile band: the engine's histogram lerp is
+        # quantile_cont-bit-equal (pytest-pinned), so the inclusive
+        # comparisons keep identical row sets
+        "lang_length_bounds": (
+            "WITH b AS (SELECT lang, "
+            "quantile_cont(n_chars, 0.1) AS lo, "
+            "quantile_cont(n_chars, 0.9) AS hi "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars "
+            "FROM documents d JOIN b USING (lang) "
+            "WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi"
         ),
         "doc_token_count_bpe": (
             # same regex, same leftmost-first scan in RE2 (see

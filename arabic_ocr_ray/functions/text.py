@@ -32,6 +32,50 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def chunk_plan_batch(batch: pa.Table, window: int = 64,
+                     stride: int = 48) -> pa.Table:
+    """→ (doc_id, chunk_id, tok_start, tok_end, n_tokens) — the
+    sliding-window chunk plan a RAG indexer / context-window trainer
+    runs over every document: overlapping windows of ``window``
+    whitespace tokens advancing by ``stride`` (overlap = window −
+    stride).
+
+    Law (oracle-pinned): token count = the :func:`token_count_batch`
+    whitespace-run law; a doc with 0 tokens emits NO chunks; n ≤
+    window ⇒ exactly one chunk [0, n); else
+    ``ceil((n − window)/stride) + 1`` chunks at starts ``i·stride``
+    with ``end = min(start + window, n)`` — the last chunk may be
+    short, the second-to-last is always full, and no start ≥ n is
+    ever emitted (the HF-tokenizers stride convention).
+
+    Pure per-row map (ZERO shuffles; the explode is one vectorized
+    repeat + per-group arange, no Python loop beyond the tokenizer
+    scan itself) — chunk TEXT is deliberately not materialized here:
+    the plan is ~32 B/row while gathered text would be ~overlap×
+    corpus bytes; a consumer slices lazily from the doc."""
+    texts = batch.column("text").to_pylist()
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    n = np.array([len(_WS_SPLIT.findall(t or "")) for t in texts],
+                 np.int64)
+    nc = np.where(n == 0, 0,
+                  np.where(n <= window, 1,
+                           (n - window + stride - 1) // stride + 1))
+    rep_id = np.repeat(ids, nc)
+    rep_n = np.repeat(n, nc)
+    offs = np.concatenate([[0], np.cumsum(nc)[:-1]])
+    cid = np.arange(int(nc.sum()), dtype=np.int64) \
+        - np.repeat(offs, nc)
+    start = cid * stride
+    return pa.table({
+        "doc_id": pa.array(rep_id, pa.int64()),
+        "chunk_id": pa.array(cid, pa.int64()),
+        "tok_start": pa.array(start, pa.int64()),
+        "tok_end": pa.array(np.minimum(start + window, rep_n),
+                            pa.int64()),
+        "n_tokens": pa.array(rep_n, pa.int64()),
+    })
+
+
 # GPT-2-style pre-tokenizer shape (contractions | space?+letter-run |
 # space?+digit-run | space?+punct-run), restricted to ASCII classes so
 # Python re and DuckDB's RE2 tokenize IDENTICALLY (both engines are

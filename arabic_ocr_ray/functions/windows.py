@@ -423,3 +423,92 @@ def global_quantile_exact(ds, value_col: str, q: float) -> float:
     v_lo = vals[int(np.searchsorted(cum, lo + 1))]
     v_hi = vals[int(np.searchsorted(cum, hi + 1))]
     return float(v_lo * (1.0 - frac) + v_hi * frac)
+
+
+def grouped_quantile_hist(ds, key_col: str, value_col: str,
+                          qs: tuple, num_partitions: int = 8,
+                          max_cells: int = 5_000_000):
+    """Exact PER-KEY continuous quantiles with NO global sort — the
+    per-group generalization of :func:`global_quantile_exact`: one
+    ``groupby(key, value).count()`` shuffle bounds the data moved by
+    |distinct (key, value) cells|, then the DuckDB-bit-equal
+    two-sided lerp runs driver-side per key on the tiny histogram.
+
+    → pandas DataFrame (key, q0, q1, …) with one column per entry of
+    ``qs`` named ``q{i}``.
+
+    Contract: the (key, value) cell count must be bounded-small
+    (curation gates: languages × doc lengths ≈ 10⁵ at ANY corpus
+    size).  ``max_cells`` RAISES when the histogram exceeds it (the
+    paragraphs.py convention: fail loudly, never silently
+    materialize an unbounded table on the driver) — an unbounded
+    domain wants :func:`grouped_quantile`'s fold instead."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    vc = (ds.groupby([key_col, value_col],
+                     num_partitions=num_partitions)
+          .aggregate(Count(alias_name="_n")).to_pandas())
+    if len(vc) > max_cells:
+        raise ValueError(
+            f"grouped_quantile_hist: {len(vc)} (key, value) cells "
+            f"exceed max_cells={max_cells}; the value domain is not "
+            "bounded-small — use grouped_quantile's distributed "
+            "fold instead")
+    vc = vc.sort_values([key_col, value_col]).reset_index(drop=True)
+    out_rows = []
+    for key, g in vc.groupby(key_col, sort=False):
+        vals = g[value_col].to_numpy().astype(np.float64)
+        cnt = g["_n"].to_numpy().astype(np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        row = [key]
+        for q in qs:
+            pos = (n - 1) * q
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            hi = min(lo + 1, n - 1)
+            v_lo = vals[int(np.searchsorted(cum, lo + 1))]
+            v_hi = vals[int(np.searchsorted(cum, hi + 1))]
+            row.append(float(v_lo * (1.0 - frac) + v_hi * frac))
+        out_rows.append(row)
+    return pd.DataFrame(
+        out_rows, columns=[key_col] + [f"q{i}" for i in
+                                       range(len(qs))])
+
+
+def quantile_bounds_filter(ds, key_col: str, value_col: str,
+                           q_lo: float = 0.1, q_hi: float = 0.9,
+                           num_partitions: int = 8):
+    """Keep rows whose ``value_col`` lies within the per-key
+    [q_lo, q_hi] continuous-quantile band (inclusive) — the
+    percentile-calibrated curation gate (the CCNet/FineWeb move:
+    thresholds per LANGUAGE, not one global cutoff, because length
+    and quality distributions differ by language).
+
+    Scale shape: bounds come from :func:`grouped_quantile_hist`'s
+    bounded-small histogram (one cell-keyed shuffle), then ride the
+    task closure as a tiny dict — every row is filtered by ONE
+    vectorized per-key mask pass, zero further shuffles, streaming.
+    Keys absent from the bounds table (impossible for bounds built
+    from the same ds, possible for a caller-supplied subset) drop."""
+    import pyarrow.compute as pc
+
+    bounds = grouped_quantile_hist(ds, key_col, value_col,
+                                   (q_lo, q_hi),
+                                   num_partitions=num_partitions)
+    bmap = {r[key_col]: (r["q0"], r["q1"])
+            for _, r in bounds.iterrows()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column(value_col), dtype=np.float64)
+        mask = np.zeros(len(v), dtype=bool)
+        keys = b.column(key_col)
+        for k, (lo, hi) in bmap.items():
+            km = np.asarray(pc.equal(keys, k).combine_chunks()
+                            .fill_null(False))
+            mask |= km & (v >= lo) & (v <= hi)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -23,6 +23,40 @@ def test_token_count_matches_python_split():
     assert out.column("n_tokens").to_pylist() == [3, 0, 0, 1]
 
 
+def test_chunk_plan_law():
+    """Vectorized explode == per-doc brute force, across the edge
+    cases: 0 tokens (no chunks), n == window (one chunk), n just
+    over (two), exact multiple-of-stride boundary, and a long doc."""
+    W, S = 8, 5
+    docs = ["", "   ", "a b c", " ".join(["t"] * 8),
+            " ".join(["t"] * 9), " ".join(["t"] * 13),
+            " ".join(["t"] * 14), " ".join(["t"] * 100)]
+    t = _docs_table(docs)
+    out = text.chunk_plan_batch(t, window=W, stride=S)
+    got = list(zip(out.column("doc_id").to_pylist(),
+                   out.column("chunk_id").to_pylist(),
+                   out.column("tok_start").to_pylist(),
+                   out.column("tok_end").to_pylist(),
+                   out.column("n_tokens").to_pylist()))
+    expect = []
+    for i, d in enumerate(docs):
+        n = len(d.split())
+        if n == 0:
+            continue
+        nc = 1 if n <= W else -(-(n - W) // S) + 1
+        for c in range(nc):
+            expect.append((i, c, c * S, min(c * S + W, n), n))
+    assert got == expect
+    # invariants the law promises: last chunk reaches n; no start >= n;
+    # every non-final chunk is full-width
+    for i, d in enumerate(docs):
+        rows = [r for r in got if r[0] == i]
+        if rows:
+            assert rows[-1][3] == rows[-1][4]
+            assert all(r[2] < r[4] for r in rows)
+            assert all(r[3] - r[2] == W for r in rows[:-1])
+
+
 def test_bpe_token_count_shape():
     from arabic_ocr_ray.functions.text import _BPE_RE
 

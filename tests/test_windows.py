@@ -187,3 +187,62 @@ def test_global_quantile_exact_matches_duckdb(ray_session):
             "SELECT quantile_cont(n_chars, ?) FROM tf",
             [q]).fetchone()[0]
         assert gotf == expf, (q, gotf, expf)
+
+
+def test_quantile_bounds_filter_matches_duckdb(ray_session):
+    """Per-key [q10, q90] band filter must keep EXACTLY the rows the
+    DuckDB quantile_cont twin keeps (bit-equal bounds, inclusive
+    comparison) on duplicate-heavy per-key integer data."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.windows import (
+        grouped_quantile_hist,
+        quantile_bounds_filter,
+    )
+
+    rng = np.random.RandomState(17)
+    langs = np.array(["en", "de", "ar"])[rng.randint(0, 3, 700)]
+    vals = rng.randint(0, 60, 700).astype("int64")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(700), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    got = (quantile_bounds_filter(ds, "lang", "n_chars", 0.1, 0.9,
+                                  num_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", t.to_pandas())
+    exp = con.execute(
+        "WITH b AS (SELECT lang, quantile_cont(n_chars, 0.1) AS lo, "
+        "quantile_cont(n_chars, 0.9) AS hi FROM d GROUP BY lang) "
+        "SELECT d.doc_id, d.lang, d.n_chars FROM d JOIN b USING (lang) "
+        "WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi "
+        "ORDER BY doc_id").df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    # bounds themselves bit-equal to quantile_cont
+    bounds = grouped_quantile_hist(ds, "lang", "n_chars", (0.1, 0.9),
+                                   num_partitions=4)
+    expb = con.execute(
+        "SELECT lang, quantile_cont(n_chars, 0.1) AS q0, "
+        "quantile_cont(n_chars, 0.9) AS q1 FROM d GROUP BY lang "
+        "ORDER BY lang").df()
+    b = bounds.sort_values("lang").reset_index(drop=True)
+    assert b["q0"].tolist() == expb["q0"].tolist()
+    assert b["q1"].tolist() == expb["q1"].tolist()
+
+
+def test_grouped_quantile_hist_cell_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.windows import grouped_quantile_hist
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    with pytest.raises(ValueError, match="max_cells"):
+        grouped_quantile_hist(rd.from_arrow(t), "k", "v", (0.5,),
+                              max_cells=2)

@@ -1080,6 +1080,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = _rp(fx["pages"], columns=["url", "html"])
         return host_graph(pages)
 
+    def q_host_rank(sf_dir: str):
+        """Damped integer PageRank over the HOST condensation —
+        domain-level centrality on a graph ~10⁴× smaller than the
+        page graph; same floor-div law via the shared power loop,
+        edge-set nodes (self-loops kept)."""
+        from arabic_ocr_ray.functions.links import host_rank
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return host_rank(pages, n_iter=2)
+
     def q_crawl_frontier(sf_dir: str):
         """Top-20 UNCRAWLED link targets by distinct linking pages —
         the crawl-scheduling primitive (what a frontier manager
@@ -2577,7 +2588,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_prototypes": q_train_prototypes,
         "curate_corpus": q_curate_corpus,
         "extract_incremental": q_extract_incremental,
-        "snapshot_diff": q_snapshot_diff,
+        # (snapshot_diff — r4-hash-green, untouched this session,
+        # law pinned by planted/identical-snapshot tests,
+        # artifact-covered — yielded its slot to the NEW host_rank;
+        # moved past the window below)
+        "host_rank": q_host_rank,
         # (jaccard_dup_pairs — r4-hash-green, its PPJoin path
         # untouched this session, law pinned by the randomized
         # brute-parity test, artifact-covered — yielded its slot to
@@ -2686,6 +2701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q_near_dup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
         "jaccard_dup_pairs": q_jaccard_dup,
+        "snapshot_diff": q_snapshot_diff,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -4908,5 +4924,38 @@ def oracle_sql() -> dict[str, str]:
         r" CAST(count(*) AS BIGINT) AS n_page_edges,"
         r" CAST(sum(n_links) AS BIGINT) AS n_links"
         r" FROM edges GROUP BY 1, 2"
+    )
+    # host-level PageRank: the SAME damped floor-div unrolling as
+    # `pagerank`, over the host condensation (self-loops kept) with
+    # EDGE-SET nodes (the link_components convention — no corpus
+    # host table exists)
+    _hr_host = "regexp_extract({c}, '^[a-z][a-z0-9+.-]*://([^/]*)', 1)"
+    _hr_iter = (
+        "(SELECT e.dst AS node,"
+        " sum((85 * r.r * e.n_links) // (100 * o.outdeg)) AS contrib"
+        " FROM he e JOIN {r} r ON r.node = e.src"
+        " JOIN odh o ON o.src = e.src GROUP BY e.dst)"
+    )
+    _hr_rank = (
+        "(SELECT n.node, 150000 + coalesce(c.contrib, 0) AS r"
+        " FROM nodesh n LEFT JOIN {c} c ON c.node = n.node)"
+    )
+    out["host_rank"] = (
+        f"WITH {_lk_edges},"
+        f" he AS (SELECT {_hr_host.format(c='src')} AS src,"
+        f" {_hr_host.format(c='dst')} AS dst,"
+        f" CAST(sum(n_links) AS BIGINT) AS n_links"
+        f" FROM edges GROUP BY 1, 2),"
+        f" nodesh AS (SELECT src AS node FROM he"
+        f" UNION SELECT dst FROM he),"
+        f" odh AS (SELECT src, sum(n_links) AS outdeg FROM he"
+        f" GROUP BY src),"
+        f" r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r"
+        f" FROM nodesh),"
+        f" c1 AS {_hr_iter.format(r='r0')},"
+        f" r1 AS {_hr_rank.format(c='c1')},"
+        f" c2 AS {_hr_iter.format(r='r1')},"
+        f" r2 AS {_hr_rank.format(c='c2')}"
+        f" SELECT node, CAST(r AS BIGINT) AS rank FROM r2"
     )
     return out

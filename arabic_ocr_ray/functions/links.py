@@ -165,12 +165,7 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
     Sums).  Size it to the EDGE volume: the per-iteration wall is
     dominated by task dispatch once blocks are small, so a fixture-
     scale run wants 8, a 10^12-edge run wants thousands."""
-    from ray.data.aggregate import Sum
-
-    from .joins import hash_join
-
     num, den = int(damping[0]), int(damping[1])
-    base = (den - num) * PR_QUANT // den
 
     # the weighted edge list materializes ONCE: every iteration
     # re-reads it, and re-extracting the corpus per pass would
@@ -217,6 +212,24 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
              .aggregate(Count(alias_name="_c"))
              .select_columns(["node"])
              .repartition(num_partitions).materialize())
+
+    return _pr_power_loop(edges_w, nodes, num, den, n_iter,
+                          num_partitions)
+
+
+def _pr_power_loop(edges_w, nodes, num: int, den: int, n_iter: int,
+                   num_partitions: int):
+    """The damped integer power iteration shared by :func:`pagerank`
+    (page graph) and :func:`host_rank` (host condensation):
+    ``edges_w`` = materialized (src, dst, n_links, outdeg) rows,
+    ``nodes`` = materialized distinct (node) rows.  Per iteration ONE
+    src-keyed join + ONE node-keyed Sum ∝ edges; per-iteration
+    materialization is the checkpoint boundary."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    base = (den - num) * PR_QUANT // den
 
     def zero(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -270,6 +283,74 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
         lambda b: pa.table({"node": b.column("node"),
                             "rank": b.column("r")}),
         batch_format="pyarrow")
+
+
+def host_rank(pages_ds, n_iter: int = 2, url_col: str = "url",
+              html_col: str = "html", damping: tuple = (85, 100),
+              num_partitions: int = 8):
+    """→ Dataset(node, rank) — the damped integer PageRank over the
+    HOST condensation graph (domain-level centrality: what spam/
+    authority analysis actually ranks, on a graph ~10⁴× smaller than
+    the page graph).
+
+    Law (oracle-pinned): edges = :func:`host_graph` rows weighted by
+    ``n_links`` (self-loops KEPT — intra-host links are real edges;
+    filtering is a consumer choice, and the twin keeps them too);
+    node set = src ∪ dst of the EDGE SET (the link_components
+    convention — there is no "corpus host table" analog of the page
+    node rule); same PR_QUANT/floor-div/sink-drop arithmetic as
+    :func:`pagerank` via the shared :func:`_pr_power_loop`.
+
+    Scale shape: outdeg here needs ONE src-keyed Sum + one join —
+    unlike the page graph it cannot be stamped map-side (host edges
+    are already aggregated across pages) — but both exchanges are on
+    the condensed graph, ∝ HOST edges."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_join
+
+    num, den = int(damping[0]), int(damping[1])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src_host"),
+                         "dst": b.column("dst_host"),
+                         "n_links": b.column("n_links")})
+
+    edges = (host_graph(pages_ds, url_col, html_col)
+             .map_batches(rename, batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
+
+    od = (edges.groupby("src", num_partitions=num_partitions)
+          .aggregate(Sum("n_links", alias_name="outdeg")))
+    e_schema = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                          ("n_links", pa.int64())])
+    od_schema = pa.schema([("src", pa.string()),
+                           ("outdeg", pa.int64())])
+    edges_w = (hash_join(edges, od, on="src",
+                         num_partitions=num_partitions,
+                         left_schema=e_schema,
+                         right_schema=od_schema)
+               .repartition(num_partitions).materialize())
+
+    def side_nodes(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": pc.unique(b.column(col).combine_chunks())})
+        return f
+
+    nodes = (edges.map_batches(side_nodes("src"),
+                               batch_format="pyarrow")
+             .union(edges.map_batches(side_nodes("dst"),
+                                      batch_format="pyarrow"))
+             .groupby("node", num_partitions=num_partitions)
+             .aggregate(Count(alias_name="_c"))
+             .select_columns(["node"])
+             .repartition(num_partitions).materialize())
+
+    return _pr_power_loop(edges_w, nodes, num, den, n_iter,
+                          num_partitions)
 
 
 # --- HITS (hubs & authorities) ----------------------------------------------

@@ -336,6 +336,17 @@ def main() -> None:
     assert n_pr >= n  # nodes = pages ∪ link targets
     queries["pagerank"] = round(time.monotonic() - t0, 3)
 
+    # crawl frontier: top-k uncrawled targets — same corpus scan, but
+    # the exchange is the dst/url-keyed anti-join of ~30 B projection
+    # rows + the tree-combined topk (html never shuffles)
+    from arabic_ocr_ray.functions.links import crawl_frontier
+
+    t0 = time.monotonic()
+    fr = crawl_frontier(_rp(corpus, columns=["url", "html"]), k=20,
+                        num_partitions=64)
+    assert len(fr) == 20 and fr["n_src_pages"].is_monotonic_decreasing
+    queries["frontier"] = round(time.monotonic() - t0, 3)
+
     # BM25 ranked retrieval over the same 120k-doc slice (integer-
     # exact law; en query terms — de/ar docs simply don't hit, the
     # realistic mixed-corpus case): one corpus scan + tiny projection

@@ -367,3 +367,69 @@ def test_crawl_frontier_anti_join_and_ties(ray_session):
     assert set(out_all["dst"]) == {
         "https://h.test/u1", "https://h.test/u2",
         "https://h.test/ua", "https://h.test/ub"}
+
+
+def _brute_host_rank(rows, n_iter=2):
+    """Python-int oracle: host-condense the edge multiset, edge-set
+    nodes, same damped floor-div law."""
+    import re as _re
+
+    from arabic_ocr_ray.functions.links import host_of, resolve_href
+    pat = _re.compile(
+        r'<[aA][ \t][^>]*?[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"')
+    pe: dict = {}
+    for url, hb in rows:
+        try:
+            h = hb.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        for href in pat.findall(h):
+            d = resolve_href(url, href)
+            if d is not None:
+                pe[(url, d)] = pe.get((url, d), 0) + 1
+    he: dict = {}
+    for (s, d), n in pe.items():
+        k = (host_of(s), host_of(d))
+        he[k] = he.get(k, 0) + n
+    nodes = {s for s, _ in he} | {d for _, d in he}
+    outdeg: dict = {}
+    for (s, _), n in he.items():
+        outdeg[s] = outdeg.get(s, 0) + n
+    r = {v: PR_QUANT for v in nodes}
+    for _ in range(n_iter):
+        nr = {v: 150000 for v in nodes}
+        for (s, d), n in he.items():
+            nr[d] += (85 * r[s] * n) // (100 * outdeg[s])
+        r = nr
+    return sorted(r.items())
+
+
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_host_rank_matches_bruteforce(ray_session, n_blocks):
+    """Host-condensed integer PR ≡ the python-int oracle bit-for-bit
+    across partitionings: multi-host graph with intra-host self-loop
+    edges, a dangling host (gets mass, emits none), and a gated
+    page."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import host_rank
+
+    rows = [
+        # a.test: 2 pages; intra-host links become an a→a self-loop
+        _page("https://a.test/1", ["/2", "https://b.test/x"]),
+        _page("https://a.test/2", ["/1", "https://b.test/y",
+                                   "https://c.test/only"]),
+        # b.test links back to a.test and to dangling d.test
+        _page("https://b.test/x", ["https://a.test/1",
+                                   "https://d.test/sink"]),
+        ("https://b.test/lat", "caf\xe9".encode("latin-1")),  # gated
+    ]
+    ds = rd.from_arrow(_pages_table(rows)).repartition(n_blocks)
+    got = host_rank(ds, n_iter=2, num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = _brute_host_rank(rows)
+    assert list(zip(got["node"], got["rank"])) == want
+    d = dict(want)
+    # d.test is a pure sink host: base + b's share, emits nothing
+    assert "https://h.test/lat" not in d
+    assert set(d) == {"a.test", "b.test", "c.test", "d.test"}

@@ -71,6 +71,14 @@ URL_RULES = {
     ],
     "allow_hosts": [],
 }
+#: robots.txt body planted by q_robots_filter (engine AND twin — one
+#: definition, two consumers) so the politeness filter bites on the
+#: fixture: the host's own Disallow rules drop its latin1/malformed
+#: trees
+ROBOTS_URL = "https://fixture.test/robots.txt"
+ROBOTS_LINES = ["User-agent: *",
+                f"Disallow: /{FIXTURE_SEED}/latin1/",
+                f"Disallow: /{FIXTURE_SEED}/malformed/", ""]
 
 
 def _fixture(sf_dir: str) -> dict:
@@ -1019,6 +1027,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fx = _fixture(sf_dir)
         pages = _rp(fx["pages"], columns=["url"])
         return url_rule_filter(pages, URL_RULES)
+
+    def q_robots_filter(sf_dir: str):
+        """Crawl-politeness gate fed from the corpus itself: each
+        host's /robots.txt Disallow prefixes drop that host's own
+        pages (simplified-RFC law pinned in urls.py — ALL Disallow
+        lines count, case-sensitive directive, strict-UTF-8 body
+        gate).  Rules are host-keyed rows, NEVER broadcast; pages
+        ship a (url, host, path) projection into one host-keyed
+        join + one url-keyed anti-join; html never moves."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from arabic_ocr_ray.functions.urls import robots_filter
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        planted = rd.from_arrow(pa.table({
+            "url": pa.array([ROBOTS_URL], pa.string()),
+            "html": pa.array(["\n".join(ROBOTS_LINES).encode()],
+                             pa.binary())}))
+        return robots_filter(pages.union(planted))
 
     def q_vocab_drift(sf_dir: str):
         """Token-distribution drift between the even/odd doc_id
@@ -2585,7 +2614,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": q_corpus_stats,
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "export_shards": q_export_shards,
-        "train_prototypes": q_train_prototypes,
+        # (train_prototypes — r4-hash-green, trainer untouched this
+        # session, bit-identity to the sequential fold pinned by
+        # pytest AND the triples-fixture oracle, artifact-covered —
+        # yielded its slot to the NEW robots_filter; moved below)
+        "robots_filter": q_robots_filter,
         "curate_corpus": q_curate_corpus,
         "extract_incremental": q_extract_incremental,
         # (snapshot_diff — r4-hash-green, untouched this session,
@@ -2702,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "jaccard_dup_pairs": q_jaccard_dup,
         "snapshot_diff": q_snapshot_diff,
+        "train_prototypes": q_train_prototypes,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -4892,6 +4926,37 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT url, CAST(flags AS BIGINT) AS flags,"
         f" CAST(CASE WHEN (flags & 8) != 0 OR (flags & 7) = 0"
         f" THEN 1 ELSE 0 END AS BIGINT) AS keep FROM f"
+    )
+    # robots politeness filter over pages + the SAME planted robots
+    # row (ROBOTS_URL/ROBOTS_LINES — one definition, two consumers);
+    # parse law: ALL 'Disallow:' lines (case-sensitive, at line
+    # start), values trimmed of [ \t\r], empties dropped; pages drop
+    # when their own host has a matching path prefix
+    _rb_body_sql = "'" + "\\n".join(
+        ln.replace("'", "''") for ln in ROBOTS_LINES) + "'"
+    out["robots_filter"] = (
+        f"WITH pl AS (SELECT url, html"
+        f" FROM read_parquet('{pages}')"
+        f" UNION ALL SELECT '{ROBOTS_URL}',"
+        f" encode(replace({_rb_body_sql}, '\\n', chr(10)))),"
+        r" rob AS (SELECT regexp_extract(url,"
+        r" '^[a-z][a-z0-9+.-]*://([^/]*)', 1) AS host,"
+        r" decode(html) AS body FROM pl WHERE regexp_matches(url,"
+        r" '^[a-z][a-z0-9+.-]*://[^/]*/robots\.txt$')),"
+        r" ln AS (SELECT host, unnest(string_split(body, chr(10)))"
+        r" AS line FROM rob),"
+        r" rules AS (SELECT DISTINCT host,"
+        r" trim(substr(line, 10), ' ' || chr(9) || chr(13))"
+        r" AS prefix FROM ln WHERE starts_with(line, 'Disallow:')"
+        r" AND trim(substr(line, 10), ' ' || chr(9) || chr(13))"
+        r" <> ''),"
+        r" pp AS (SELECT url, regexp_extract(url,"
+        r" '^[a-z][a-z0-9+.-]*://([^/]*)', 1) AS host,"
+        r" regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', '')"
+        r" AS path FROM pl)"
+        r" SELECT url FROM pp WHERE NOT EXISTS (SELECT 1 FROM rules"
+        r" r WHERE r.host = pp.host"
+        r" AND starts_with(pp.path, r.prefix))"
     )
     # vocabulary drift between the even/odd doc_id halves — the
     # whole-bit log-ratio (printf('%b') ≡ the engine's _bitlen)

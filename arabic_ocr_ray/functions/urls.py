@@ -34,6 +34,8 @@ elects min-url + count, exactly the ``dedup_exact`` D1 pattern.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 _DEFAULT_PORT = {"http": ":80", "https": ":443"}
@@ -194,3 +196,132 @@ def url_rule_filter(ds, rules: dict, col: str = "url"):
     return ds.map_batches(
         lambda b: url_rule_filter_batch(b, rules, col),
         batch_format="pyarrow")
+
+
+# --- robots.txt politeness filter -------------------------------------------
+#: a crawl's politeness gate, fed from the corpus itself: every
+#: ``scheme://host/robots.txt`` capture contributes its ``Disallow:``
+#: prefixes, and pages whose path falls under a prefix for their own
+#: host are dropped.  Law (oracle-pinned, deliberately simplified —
+#: documented divergence from RFC 9309): ALL ``Disallow:`` lines
+#: count regardless of User-agent grouping (a SQL twin cannot run the
+#: stateful group parse; agent-``*`` groups are the overwhelming
+#: majority in practice), the directive match is case-sensitive
+#: ``Disallow:`` at line start, values are trimmed of ``[ \t\r]`` and
+#: empties dropped (an empty Disallow means allow-all per RFC), and
+#: robots bodies must decode as strict UTF-8 to contribute (the
+#: links.py gate convention).  The robots.txt page itself is an
+#: ordinary row — it survives unless a rule matches its own path.
+_ROBOTS_URL_RE = re.compile(
+    r"^[a-z][a-z0-9+.-]*://[^/]*/robots\.txt$")
+_ROBOTS_TRIM = " \t\r"
+
+
+def robots_rules_batch(batch: pa.Table, url_col: str = "url",
+                       html_col: str = "html") -> pa.Table:
+    """→ (host, prefix) rows from the robots.txt pages of a batch
+    (per-file distinct, sorted for determinism).  Non-robots rows are
+    skipped without decoding, so the scan stays cheap on ordinary
+    corpus batches."""
+    rows_h: list = []
+    rows_p: list = []
+    for u, hb in zip(batch.column(url_col).to_pylist(),
+                     batch.column(html_col).to_pylist()):
+        if not _ROBOTS_URL_RE.match(u or ""):
+            continue
+        if isinstance(hb, bytes):
+            try:
+                body = hb.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+        else:
+            body = hb or ""
+        m = re.match(_URL_HOST_PAT, u)
+        host = m.group("h") if m else ""
+        seen = set()
+        for line in body.split("\n"):
+            if line.startswith("Disallow:"):
+                p = line[9:].strip(_ROBOTS_TRIM)
+                if p:
+                    seen.add(p)
+        for p in sorted(seen):
+            rows_h.append(host)
+            rows_p.append(p)
+    return pa.table({"host": pa.array(rows_h, pa.string()),
+                     "prefix": pa.array(rows_p, pa.string())})
+
+
+def robots_rules(pages_ds, url_col: str = "url",
+                 html_col: str = "html", num_partitions: int = 8):
+    """→ Dataset(host, prefix), globally distinct (a host captured
+    more than once contributes each rule once).  ONE keyed exchange
+    ∝ RULES (≈ hosts × rules-per-host — never the corpus)."""
+    from ray.data.aggregate import Count
+
+    return (pages_ds.map_batches(
+                lambda b: robots_rules_batch(b, url_col, html_col),
+                batch_format="pyarrow")
+            .groupby(["host", "prefix"],
+                     num_partitions=num_partitions)
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["host", "prefix"]))
+
+
+def robots_filter(pages_ds, url_col: str = "url",
+                  html_col: str = "html", num_partitions: int = 8):
+    """→ Dataset(url) — the corpus urls that survive their own host's
+    robots rules (law above).
+
+    Scale shape: rules are host-keyed rows, NEVER broadcast (hosts
+    are unbounded at crawl scale — the opposite contract from
+    url_rule_filter's kilobyte blocklist); pages ship only a
+    (url, host, path) projection into ONE host-keyed join whose
+    fan-out is rules-per-host (~10), hits ship url-only into ONE
+    url-keyed anti-join; html never moves.  The per-row
+    ``startswith`` over joined (path, prefix) pairs is a Python zip
+    — no two-array Arrow kernel exists — but it runs on the join
+    output (pages on rule-bearing hosts), not the corpus."""
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    rules = robots_rules(pages_ds, url_col, html_col,
+                         num_partitions=num_partitions)
+
+    def proj(b: pa.Table) -> pa.Table:
+        urls = b.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        ex = pc.extract_regex(urls, _URL_HOST_PAT)
+        host = pc.fill_null(pc.struct_field(ex, 0), "")
+        path = pc.replace_substring_regex(
+            urls, _URL_HOST_PAT.replace("(?P<h>", "("), "")
+        return pa.table({"url": urls, "host": host, "path": path})
+
+    pp = pages_ds.map_batches(proj, batch_format="pyarrow")
+    pp_schema = pa.schema([("url", pa.string()),
+                           ("host", pa.string()),
+                           ("path", pa.string())])
+    r_schema = pa.schema([("host", pa.string()),
+                          ("prefix", pa.string())])
+
+    joined = hash_join(pp, rules, on="host",
+                       num_partitions=num_partitions,
+                       left_schema=pp_schema,
+                       right_schema=r_schema)
+
+    def hit(b: pa.Table) -> pa.Table:
+        keep = [u for u, p, r in zip(b.column("url").to_pylist(),
+                                     b.column("path").to_pylist(),
+                                     b.column("prefix").to_pylist())
+                if p.startswith(r)]
+        return pa.table({"url": pa.array(keep, pa.string())})
+
+    hits = joined.map_batches(hit, batch_format="pyarrow")
+    urls_only = pages_ds.map_batches(
+        lambda b: pa.table({"url": b.column(url_col)}),
+        batch_format="pyarrow")
+    u_schema = pa.schema([("url", pa.string())])
+    return hash_join(urls_only, hits, on="url", how="anti",
+                     num_partitions=num_partitions,
+                     left_schema=u_schema, right_schema=u_schema)

@@ -122,3 +122,57 @@ def test_vocab_drift_partitioning_invariant(ray_session):
     r2 = vocab_drift(rd.from_arrow(ta).repartition(7),
                      rd.from_arrow(tb).repartition(3), k=15)
     assert r1.equals(r2)
+
+
+def test_robots_rules_parse_law():
+    """Disallow parsing: case-sensitive directive, [ \\t\\r] trim,
+    empty-value drop, per-file distinct, strict-UTF-8 gate,
+    non-robots urls skipped."""
+    import pyarrow as pa
+
+    from arabic_ocr_ray.functions.urls import robots_rules_batch
+
+    t = pa.table({
+        "url": ["https://a.test/robots.txt",
+                "https://a.test/page",          # not robots: skipped
+                "https://b.test/robots.txt",    # bad UTF-8: gated
+                "https://c.test/sub/robots.txt"],  # path'd: NOT host
+        "html": [b"User-agent: x\nDisallow: /p1/\r\n"
+                 b"disallow: /lower/\nDisallow:\t/p2\t\n"
+                 b"Disallow: /p1/\nDisallow:   \nAllow: /ok\n",
+                 b"Disallow: /never/",
+                 b"\xff\xfeDisallow: /gated/",
+                 b"Disallow: /sub/"],
+    })
+    out = robots_rules_batch(t)
+    got = list(zip(out.column("host").to_pylist(),
+                   out.column("prefix").to_pylist()))
+    # /sub/robots.txt is not scheme://host/robots.txt -> no rules
+    assert got == [("a.test", "/p1/"), ("a.test", "/p2")]
+
+
+def test_robots_filter_host_scoped(ray_session):
+    """Rules bind only their own host; unruled hosts pass whole; the
+    robots page itself is an ordinary row; no-scheme urls pass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.urls import robots_filter
+
+    t = pa.table({
+        "url": ["https://a.test/robots.txt",
+                "https://a.test/priv/1",     # dropped
+                "https://a.test/priv",       # kept: /priv !start /priv/
+                "https://a.test/pub/1",      # kept
+                "https://b.test/priv/1",     # kept: b.test has no rules
+                "no-scheme-url"],            # kept: host ''
+        "html": [b"Disallow: /priv/\n", b"x", b"x", b"x", b"x", b"x"],
+    })
+    out = robots_filter(rd.from_arrow(t), num_partitions=4).to_pandas()
+    assert sorted(out["url"]) == [
+        "https://a.test/priv",
+        "https://a.test/pub/1",
+        "https://a.test/robots.txt",
+        "https://b.test/priv/1",
+        "no-scheme-url",
+    ]

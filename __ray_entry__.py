@@ -1430,6 +1430,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _rp(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
 
+    def q_bitext_mine(sf_dir: str):
+        """Margin-based parallel-pair mining (Artetxe & Schwenk 2019
+        ratio margin — the LASER/CCMatrix bitext-mining criterion):
+        each query vector pairs with the candidate whose cosine most
+        exceeds both endpoints' neighborhood means.  Query matrix
+        broadcasts once; the candidate side streams TWICE with zero
+        shuffles (x-side top-k partials, then per-batch argmax
+        partials); ids only cross the oracle boundary."""
+        from arabic_ocr_ray.functions.ann import bitext_margin_mine
+
+        return bitext_margin_mine(_emb(sf_dir), KNN_QUERIES, k=4)
+
     def _emb_planted_aug(sf_dir: str):
         """The shared planted-copy harness (see q_emb_near_dup):
         embeddings UNION exact copies of every 50th vector at
@@ -2619,7 +2631,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest AND the triples-fixture oracle, artifact-covered —
         # yielded its slot to the NEW robots_filter; moved below)
         "robots_filter": q_robots_filter,
-        "curate_corpus": q_curate_corpus,
+        # (curate_corpus — r4-hash-green, its composed path untouched
+        # this session (v4 is a separate function), planted-case
+        # pipeline test + artifact cover it — yielded its slot to the
+        # NEW bitext_mine; moved past the window below)
+        "bitext_mine": q_bitext_mine,
         "extract_incremental": q_extract_incremental,
         # (snapshot_diff — r4-hash-green, untouched this session,
         # law pinned by planted/identical-snapshot tests,
@@ -2736,6 +2752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": q_jaccard_dup,
         "snapshot_diff": q_snapshot_diff,
         "train_prototypes": q_train_prototypes,
+        "curate_corpus": q_curate_corpus,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -2845,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
     fx = _fixture("/root/testdata/sf0.01")  # oracle always runs at sf0.01
     pages = fx["pages"]
     spans = fx["spans"]
+    _knn_ids = ",".join(map(str, KNN_QUERIES))
 
     from arabic_ocr_ray.functions.text import STOPWORDS
 
@@ -3144,6 +3162,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM allv a JOIN allv b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.95"
+        ),
+        # ratio-margin bitext mining: rounded-cosine law shared with
+        # the knn family (DOUBLE[] cast + round(,9)); neighborhood
+        # means as sum/k (the engine divides the top-k sum), margin
+        # re-rounded at 1e-9 so ulp-level summation-order differences
+        # can never reorder the argmax; ids only in the output
+        "bitext_mine": (
+            f"WITH q AS (SELECT vec_id, embedding FROM embeddings"
+            f" WHERE vec_id IN ({_knn_ids})),"
+            f" t AS (SELECT vec_id, embedding FROM embeddings"
+            f" WHERE vec_id NOT IN ({_knn_ids})),"
+            f" p AS (SELECT q.vec_id AS sid, t.vec_id AS tid,"
+            f" round(list_cosine_similarity("
+            f"CAST(q.embedding AS DOUBLE[]),"
+            f" CAST(t.embedding AS DOUBLE[])), 9) AS c FROM q, t),"
+            f" xk AS (SELECT sid, sum(c)/4 AS xm FROM (SELECT sid, c,"
+            f" row_number() OVER (PARTITION BY sid"
+            f" ORDER BY c DESC, tid) AS rn FROM p) s"
+            f" WHERE rn <= 4 GROUP BY sid),"
+            f" yk AS (SELECT tid, sum(c)/4 AS ym FROM (SELECT tid, c,"
+            f" row_number() OVER (PARTITION BY tid"
+            f" ORDER BY c DESC, sid) AS rn FROM p) s"
+            f" WHERE rn <= 4 GROUP BY tid),"
+            f" m AS (SELECT p.sid, p.tid,"
+            f" round(p.c / ((xk.xm + yk.ym) / 2), 9) AS margin"
+            f" FROM p JOIN xk USING (sid) JOIN yk ON yk.tid = p.tid),"
+            f" b AS (SELECT sid, tid, row_number() OVER ("
+            f"PARTITION BY sid ORDER BY margin DESC, tid) AS rn"
+            f" FROM m)"
+            f" SELECT sid AS src_id, tid AS dst_id FROM b"
+            f" WHERE rn = 1"
         ),
         "knn_cosine": (
             "WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "

@@ -597,3 +597,105 @@ def knn_lsh(ds, query_ids: list[int], k: int = 5,
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     return partials.groupby("query_id").map_groups(
         arrow_clean(_merge_topk(k)), batch_format="pandas")
+
+
+def bitext_margin_mine(ds, query_ids: list[int], k: int = 4,
+                       id_col: str = "vec_id",
+                       col: str = "embedding") -> pd.DataFrame:
+    """→ pandas DataFrame (src_id, dst_id): margin-based parallel-pair
+    mining — the ratio-margin criterion of Artetxe & Schwenk 2019
+    (LASER/CCMatrix bitext mining): each query ("source-language")
+    vector is paired with the candidate whose cosine stands out most
+    against BOTH endpoints' neighborhood averages, which kills the
+    hub/scale pathologies of raw cosine thresholds.
+
+    Law (oracle-pinned): candidates = every vector NOT in
+    ``query_ids``; cosines in float64 ROUNDED to 9 decimals (the
+    module's determinism convention, see docstring); x-neighborhood =
+    mean of x's top-``k`` rounded cosines over ALL candidates,
+    y-neighborhood = mean of y's top-``k`` rounded cosines over the
+    query side (requires ``k ≤ |queries|``); margin =
+    ``round(c / ((xm + ym)/2), 9)``; per source the best candidate by
+    (margin DESC, id ASC).  Only ids are emitted — float hashes never
+    cross the oracle boundary.
+
+    Scale shape: the query matrix broadcasts once (``ray.put``); the
+    candidate side streams TWICE with ZERO shuffles — pass 1 folds
+    per-batch x-side top-k cosine partials (≤ |Q|·k floats/block to
+    the driver), pass 2 recomputes cosines with the x-means riding
+    the closure and folds per-batch per-source argmax partials
+    (≤ |Q| rows/block).  The bounded side is the QUERY side by
+    contract (the knn_bruteforce convention); mining two UNBOUNDED
+    sides composes through the IVF index (cell-pruned candidate
+    generation) instead of this exact baseline."""
+    import ray
+
+    if k > len(query_ids):
+        raise ValueError(
+            f"k={k} exceeds |query_ids|={len(query_ids)}: the y-side "
+            "neighborhood is drawn from the query side")
+    qvecs = gather_vectors(ds, query_ids, id_col, col)
+    qids = sorted(qvecs)
+    Q = _normalize(np.array([qvecs[i] for i in qids],
+                            dtype=np.float64))
+    qref = ray.put((qids, Q))
+    qset = set(qids)
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(qref)
+        ids = _ids_array(batch, id_col)
+        mask = ~np.isin(ids, list(qset))
+        E = _normalize(vectors_matrix(batch.column(col)))[mask]
+        if not len(E):
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.float64())})
+        S = np.round(Q_ @ E.T, 9)               # (|Q|, cand)
+        top = -np.sort(-S, axis=1)[:, :k]       # per-query top-k desc
+        nq, nk = top.shape
+        return pa.table({
+            "qi": pa.array(np.repeat(np.arange(nq), nk), pa.int64()),
+            "c": pa.array(top.ravel(), pa.float64())})
+
+    parts = (ds.map_batches(pass1, batch_format="pyarrow")
+             .to_pandas())
+    xm = np.empty(len(qids), dtype=np.float64)
+    for qi in range(len(qids)):
+        vals = np.sort(parts.loc[parts["qi"] == qi, "c"]
+                       .to_numpy())[::-1][:k]
+        xm[qi] = vals.sum() / k if len(vals) else 0.0
+    xmref = ray.put(xm)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(qref)
+        xm_ = ray.get(xmref)
+        ids = _ids_array(batch, id_col)
+        mask = ~np.isin(ids, list(qset))
+        ids = ids[mask]
+        E = _normalize(vectors_matrix(batch.column(col)))[mask]
+        if not len(E):
+            return pa.table({"src_id": pa.array([], pa.int64()),
+                             "dst_id": pa.array([], pa.int64()),
+                             "margin": pa.array([], pa.float64())})
+        S = np.round(Q_ @ E.T, 9)               # (|Q|, cand)
+        ym = -np.sort(-S, axis=0)[:k].sum(axis=0) / k  # per-candidate
+        M = np.round(S / ((xm_[:, None] + ym[None, :]) / 2.0), 9)
+        # per-query best in batch: margin desc, candidate id asc
+        best_dst = np.empty(len(qids_), dtype=np.int64)
+        best_m = np.empty(len(qids_), dtype=np.float64)
+        for qi in range(len(qids_)):
+            row = M[qi]
+            o = np.lexsort((ids, -row))[0]
+            best_dst[qi] = ids[o]
+            best_m[qi] = row[o]
+        return pa.table({
+            "src_id": pa.array(np.array(qids_, np.int64), pa.int64()),
+            "dst_id": pa.array(best_dst, pa.int64()),
+            "margin": pa.array(best_m, pa.float64())})
+
+    cand = (ds.map_batches(pass2, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand.sort_values(["src_id", "margin", "dst_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    best = cand.groupby("src_id", sort=True).head(1)
+    return best[["src_id", "dst_id"]].reset_index(drop=True)

@@ -248,6 +248,61 @@ def test_knn_bruteforce_exact(emb_ds):
         assert got == exp.tolist()
 
 
+def test_bitext_margin_matches_bruteforce_and_duckdb(emb_ds):
+    """Margin mining == a straight numpy re-derivation AND the DuckDB
+    window-function twin (rounded-cosine law) on gaussian data; the
+    k > |Q| guard raises."""
+    import duckdb
+
+    ds, E = emb_ds
+    qids = [0, 1, 2, 3, 4]
+    k = 3
+    got = ann.bitext_margin_mine(ds, qids, k=k)
+    # brute force in pure numpy over the SAME law
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cand = np.array([i for i in range(200) if i not in qids])
+    S = np.round(En[qids] @ En[cand].T, 9)
+    xm = (-np.sort(-S, axis=1))[:, :k].sum(axis=1) / k
+    ym = (-np.sort(-S, axis=0))[:k].sum(axis=0) / k
+    M = np.round(S / ((xm[:, None] + ym[None, :]) / 2.0), 9)
+    exp = [(qids[i], int(cand[np.lexsort((cand, -M[i]))[0]]))
+           for i in range(len(qids))]
+    assert list(zip(got["src_id"], got["dst_id"])) == exp
+    # DuckDB twin
+    con = duckdb.connect()
+    t = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32()))})
+    con.register("embeddings", t)
+    ql = ",".join(map(str, qids))
+    sql = (
+        f"WITH q AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id IN ({ql})),"
+        f" t AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id NOT IN ({ql})),"
+        f" p AS (SELECT q.vec_id AS sid, t.vec_id AS tid,"
+        f" round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        f" CAST(t.embedding AS DOUBLE[])), 9) AS c FROM q, t),"
+        f" xk AS (SELECT sid, sum(c)/{k} AS xm FROM (SELECT sid, c,"
+        f" row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid)"
+        f" AS rn FROM p) s WHERE rn <= {k} GROUP BY sid),"
+        f" yk AS (SELECT tid, sum(c)/{k} AS ym FROM (SELECT tid, c,"
+        f" row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid)"
+        f" AS rn FROM p) s WHERE rn <= {k} GROUP BY tid),"
+        f" m AS (SELECT p.sid, p.tid,"
+        f" round(p.c / ((xk.xm + yk.ym) / 2), 9) AS margin"
+        f" FROM p JOIN xk USING (sid) JOIN yk ON yk.tid = p.tid),"
+        f" b AS (SELECT sid, tid, row_number() OVER (PARTITION BY sid"
+        f" ORDER BY margin DESC, tid) AS rn FROM m)"
+        f" SELECT sid AS src_id, tid AS dst_id FROM b WHERE rn = 1"
+        f" ORDER BY src_id")
+    expdf = con.execute(sql).df()
+    assert list(zip(expdf["src_id"], expdf["dst_id"])) == exp
+    with pytest.raises(ValueError, match="exceeds"):
+        ann.bitext_margin_mine(ds, [0, 1], k=3)
+
+
 def test_knn_ivf_recall(emb_ds):
     ds, E = emb_ds
     exact = ann.knn_bruteforce(ds, list(range(10)), k=5).to_pandas()

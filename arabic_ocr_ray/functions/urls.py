@@ -325,3 +325,57 @@ def robots_filter(pages_ds, url_col: str = "url",
     return hash_join(urls_only, hits, on="url", how="anti",
                      num_partitions=num_partitions,
                      left_schema=u_schema, right_schema=u_schema)
+
+
+# --- URL template mining (spider-trap / calendar-trap detection) ------------
+
+
+def url_shape_batch(batch: pa.Table, col: str = "url") -> pa.Table:
+    """→ (shape) — one row per url with every ``[0-9]+`` run collapsed
+    to ``N`` (the pinned template law: calendar/pagination/id traps
+    differ only in their numeric runs, so their urls collapse to one
+    shape).  Pure Arrow kernel (`replace_substring_regex`), zero
+    Python per row."""
+    import pyarrow.compute as pc
+
+    urls = batch.column(col)
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pa.table({
+        "shape": pc.replace_substring_regex(urls, "[0-9]+", "N")})
+
+
+def url_pattern_stats(ds, k: int = 20, col: str = "url",
+                      num_partitions: int = 8):
+    """→ pandas DataFrame (≤ ``k`` rows): the most-populated URL
+    templates — the crawl-hygiene report that surfaces spider traps
+    (calendar pages, pagination explosions, session-id mirrors): a
+    template whose population explodes while its content entropy
+    stays flat is a trap, and population is the cheap first signal.
+
+    Law (oracle-pinned): shape = every digit run collapsed to ``N``;
+    ``n_urls`` = rows with that shape; order = n_urls DESC then shape
+    ASC at the boundary (the crawl_frontier tie convention).
+
+    Scale shape: pure vectorized map → map-side combine (per-block
+    value_counts) → ONE shape-keyed Sum ∝ DISTINCT shapes — templates
+    number ~10³–10⁶ at any crawl size, never the corpus — then the
+    tree-combined topk."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .topk import topk
+
+    def partial(b: pa.Table) -> pa.Table:
+        sh = url_shape_batch(b, col).column("shape")
+        vc = sh.value_counts()
+        return pa.table({
+            "shape": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("shape", num_partitions=num_partitions)
+              .aggregate(Sum("n", alias_name="n_urls")))
+    return topk(counts, "n_urls", k, descending=True,
+                tie_cols=("shape",))

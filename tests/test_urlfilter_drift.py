@@ -176,3 +176,26 @@ def test_robots_filter_host_scoped(ray_session):
         "https://b.test/priv/1",
         "no-scheme-url",
     ]
+
+
+def test_url_pattern_stats_trap_collapse(ray_session):
+    """Calendar-trap urls differing only in digit runs collapse to
+    one shape; ranking is n_urls DESC then shape ASC; partitioning-
+    invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.urls import url_pattern_stats
+
+    urls = ([f"https://t.test/cal/2024/{m:02d}/{d:02d}"
+             for m in range(1, 4) for d in range(1, 4)]   # 9 → 1 shape
+            + ["https://t.test/about", "https://t.test/a1b2"])
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    for nb in (1, 4):
+        out = url_pattern_stats(
+            rd.from_arrow(t).repartition(nb), k=10, num_partitions=2)
+        assert list(zip(out["shape"], out["n_urls"])) == [
+            ("https://t.test/cal/N/N/N", 9),
+            ("https://t.test/aNbN", 1),
+            ("https://t.test/about", 1),
+        ]

@@ -79,6 +79,14 @@ ROBOTS_URL = "https://fixture.test/robots.txt"
 ROBOTS_LINES = ["User-agent: *",
                 f"Disallow: /{FIXTURE_SEED}/latin1/",
                 f"Disallow: /{FIXTURE_SEED}/malformed/", ""]
+#: reciprocal pair planted by q_mutual_links (the fixture generator
+#: never links crawled→crawled, so mutuality needs planted evidence);
+#: one definition, engine and twin both consume it
+MUTUAL_PAGES = [
+    ("https://fixture.test/mutual/a", '<a href="/mutual/b">b</a>'),
+    ("https://fixture.test/mutual/b", '<a href="/mutual/a">a</a>'),
+    ("https://fixture.test/mutual/c", '<a href="/mutual/a">a</a>'),
+]
 
 
 def _fixture(sf_dir: str) -> dict:
@@ -1027,6 +1035,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fx = _fixture(sf_dir)
         pages = _rp(fx["pages"], columns=["url"])
         return url_rule_filter(pages, URL_RULES)
+
+    def q_mutual_links(sf_dir: str):
+        """Reciprocal-link pairs (link-farm spam signal): distinct
+        directed edges fold into ONE (min,max)-keyed Sum of direction
+        tags, sum==3 ⟺ both directions exist.  The fixture corpus
+        never links crawled→crawled, so a planted a↔b pair (plus a
+        one-way c→a that must NOT pair) provides the evidence — the
+        twin plants the same rows."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from arabic_ocr_ray.functions.links import mutual_links
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        planted = rd.from_arrow(pa.table({
+            "url": pa.array([u for u, _ in MUTUAL_PAGES], pa.string()),
+            "html": pa.array([h.encode() for _, h in MUTUAL_PAGES],
+                             pa.binary())}))
+        return mutual_links(pages.union(planted))
+
+    def q_host_dup_stats(sf_dir: str):
+        """Per-host duplication pressure (mirror/scraper detection,
+        the FineWeb site-quality signal): content hashed map-side
+        (html read once, never shuffled), ONE hash-keyed Count + ONE
+        hash-keyed join of tiny projections + ONE host-keyed fold."""
+        from arabic_ocr_ray.functions.urls import host_dup_stats
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return host_dup_stats(pages)
 
     def q_url_pattern_stats(sf_dir: str):
         """URL template mining (spider-trap / calendar-trap
@@ -2662,10 +2701,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-parity test, artifact-covered — yielded its slot to
         # the NEW lang_length_bounds; moved past the window below)
         "lang_length_bounds": q_lang_length_bounds,
-        "near_dup_pairs": q_near_dup,
+        # (near_dup_pairs — r4-hash-green, its self-join banding path
+        # untouched by the r5 bipartite factoring, bench-measured
+        # every round via the near_dup leg, planted-pair tests +
+        # artifact cover it — yielded its slot to the NEW
+        # host_dup_stats; moved past the window below)
+        "host_dup_stats": q_host_dup_stats,
         "doc_paragraph_dedup": q_paragraph_dedup,
         "para_dedup_incremental": q_para_dedup_incremental,
-        "curate_corpus_v3": q_curate_v3,
+        # (curate_corpus_v3 — r4-hash-green, the v3 composition
+        # untouched this session (v4 is a separate function),
+        # artifact-covered — yielded its slot to the NEW
+        # mutual_links; moved past the window below)
+        "mutual_links": q_mutual_links,
         # (mm_pixel_stats / mm_audio_stats — r4-hash-green with
         # multimodal.py untouched this session, artifact-covered —
         # yielded their slots to the NEW hits / host_graph so the
@@ -2769,6 +2817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_prototypes": q_train_prototypes,
         "curate_corpus": q_curate_corpus,
         "extract_eval": q_extract_eval,
+        "near_dup_pairs": q_near_dup,
+        "curate_corpus_v3": q_curate_v3,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -5095,5 +5145,35 @@ def oracle_sql() -> dict[str, str]:
         f" c2 AS {_hr_iter.format(r='r1')},"
         f" r2 AS {_hr_rank.format(c='c2')}"
         f" SELECT node, CAST(r AS BIGINT) AS rank FROM r2"
+    )
+    # reciprocal links over pages + the SAME planted a↔b pair
+    # (MUTUAL_PAGES — one definition, two consumers); least/greatest
+    # ≡ the engine's lexicographic min/max, sum of direction tags
+    # == 3 ⟺ both directions exist; self-links excluded
+    _mu_planted = "".join(
+        f" UNION ALL SELECT '{u}', encode('{h}')"
+        for u, h in MUTUAL_PAGES)
+    _lk_edges_pl = _lk_edges.replace(
+        f"read_parquet('{pages}')", "pl")
+    out["mutual_links"] = (
+        f"WITH pl AS (SELECT url, html FROM read_parquet('{pages}')"
+        f"{_mu_planted}),"
+        f" {_lk_edges_pl}"
+        r" SELECT least(src, dst) AS a, greatest(src, dst) AS b"
+        r" FROM edges WHERE src <> dst GROUP BY 1, 2"
+        r" HAVING sum(CASE WHEN src < dst THEN 1 ELSE 2 END) = 3"
+    )
+    # per-host duplication pressure: twin counts raw html values,
+    # engine counts sha1 groups (the dedup_exact convention)
+    out["host_dup_stats"] = (
+        f"WITH c AS (SELECT html, CAST(count(*) AS BIGINT) AS n"
+        f" FROM read_parquet('{pages}') GROUP BY html),"
+        f" p AS (SELECT regexp_extract(url,"
+        f" '^[a-z][a-z0-9+.-]*://([^/]*)', 1) AS host, html"
+        f" FROM read_parquet('{pages}')),"
+        r" j AS (SELECT p.host, c.n FROM p JOIN c USING (html))"
+        r" SELECT host, CAST(count(*) AS BIGINT) AS n_pages,"
+        r" CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        r" AS n_dup_pages FROM j GROUP BY host"
     )
     return out

@@ -780,3 +780,50 @@ def crawl_depth(pages_ds, seed_regex: str = "0$", max_depth: int = 3,
                 .repartition(num_partitions).materialize())
 
     return dist
+
+
+def mutual_links(pages_ds, url_col: str = "url",
+                 html_col: str = "html", num_partitions: int = 8):
+    """→ Dataset(a, b) — unordered page pairs that link to EACH OTHER:
+    the classic reciprocal-link / link-farm spam signal (mutual-link
+    density is one of the oldest web-spam features).
+
+    Law (oracle-pinned): edges = the distinct (src, dst) projection
+    of :func:`outlinks_batch`; self-links excluded (a page citing
+    itself is not "mutual"); ``a = min(src, dst)``, ``b = max`` —
+    lexicographic, Python str min/max ≡ DuckDB least/greatest; a pair
+    is emitted iff BOTH directions exist.
+
+    Scale shape: ONE (a, b)-keyed Sum of direction tags (1 when
+    src < dst, 2 when src > dst — each direction appears at most once
+    because edge rows are per-(src, dst) distinct), sum == 3 ⟺
+    mutual; ~80 B/row pair projections move, html never does."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_pylist()
+        dst = b.column("dst").to_pylist()
+        a_, b_, d_ = [], [], []
+        for s, d in zip(src, dst):
+            if s == d:
+                continue
+            if s < d:
+                a_.append(s); b_.append(d); d_.append(1)
+            else:
+                a_.append(d); b_.append(s); d_.append(2)
+        return pa.table({"a": pa.array(a_, pa.string()),
+                         "b": pa.array(b_, pa.string()),
+                         "dir": pa.array(d_, pa.int64())})
+
+    tagged = outlinks(pages_ds, url_col, html_col).map_batches(
+        tag, batch_format="pyarrow")
+
+    def mutual_only(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("dir"), 3))
+        return keep.select(["a", "b"])
+
+    return (tagged.groupby(["a", "b"], num_partitions=num_partitions)
+            .aggregate(Sum("dir", alias_name="dir"))
+            .map_batches(mutual_only, batch_format="pyarrow"))

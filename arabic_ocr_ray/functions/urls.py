@@ -379,3 +379,67 @@ def url_pattern_stats(ds, k: int = 20, col: str = "url",
               .aggregate(Sum("n", alias_name="n_urls")))
     return topk(counts, "n_urls", k, descending=True,
                 tie_cols=("shape",))
+
+
+def host_dup_stats(pages_ds, url_col: str = "url",
+                   content_col: str = "html",
+                   num_partitions: int = 8):
+    """→ Dataset(host, n_pages, n_dup_pages) — per-host duplication
+    pressure: how many of a host's pages carry content that appears
+    MORE THAN ONCE in the whole corpus (globally — mirrors count, the
+    FineWeb-style site-quality signal: a host whose pages are mostly
+    corpus-duplicates is a mirror/scraper and a candidate for
+    domain-level demotion).
+
+    Law (oracle-pinned): duplicate = content value occurring > 1×
+    corpus-wide (the engine counts sha1 groups, the twin counts raw
+    values — identical by the dedup_exact convention); host = the
+    scheme-authority regex ('' on no scheme).
+
+    Scale shape: content hashes map-side (html read once, never
+    shuffled); ONE hash-keyed Count, ONE hash-keyed join of ~60 B
+    (host, hash) rows against the counts, ONE host-keyed fold —
+    every exchange ∝ rows of tiny projections."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import content_hash_batch
+    from .joins import hash_join
+
+    def proj(b: pa.Table) -> pa.Table:
+        hashed = content_hash_batch(b, content_col, url_col)
+        urls = hashed.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        ex = pc.extract_regex(urls, _URL_HOST_PAT)
+        host = pc.fill_null(pc.struct_field(ex, 0), "")
+        return pa.table({"host": host,
+                         "content_hash":
+                         hashed.column("content_hash")})
+
+    hp = pages_ds.map_batches(proj, batch_format="pyarrow")
+    counts = (hp.groupby("content_hash",
+                         num_partitions=num_partitions)
+              .aggregate(Count(alias_name="_n")))
+    hp_schema = pa.schema([("host", pa.string()),
+                           ("content_hash", pa.string())])
+    c_schema = pa.schema([("content_hash", pa.string()),
+                          ("_n", pa.int64())])
+    joined = hash_join(hp, counts, on="content_hash",
+                       num_partitions=num_partitions,
+                       left_schema=hp_schema,
+                       right_schema=c_schema)
+
+    def flag(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("_n"), dtype=np.int64)
+        return pa.table({
+            "host": b.column("host"),
+            "one": pa.array(np.ones(len(n), np.int64)),
+            "dup": pa.array((n > 1).astype(np.int64))})
+
+    return (joined.map_batches(flag, batch_format="pyarrow")
+            .groupby("host", num_partitions=num_partitions)
+            .aggregate(Sum("one", alias_name="n_pages"),
+                       Sum("dup", alias_name="n_dup_pages")))

@@ -433,3 +433,22 @@ def test_host_rank_matches_bruteforce(ray_session, n_blocks):
     # d.test is a pure sink host: base + b's share, emits nothing
     assert "https://h.test/lat" not in d
     assert set(d) == {"a.test", "b.test", "c.test", "d.test"}
+
+
+def test_mutual_links_law(ray_session):
+    """A↔B found; one-way excluded; self-link excluded; href
+    multiplicity does not matter (distinct-edge law)."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import mutual_links
+
+    rows = [
+        _page("https://h.test/a", ["/b", "/b", "/c"]),  # a->b (x2), a->c
+        _page("https://h.test/b", ["/a"]),              # b->a  => mutual
+        _page("https://h.test/c", ["/d"]),              # c->d one-way
+        _page("https://h.test/self", ["https://h.test/self"]),
+    ]
+    ds = rd.from_arrow(_pages_table(rows))
+    out = mutual_links(ds, num_partitions=4).to_pandas()
+    assert list(zip(out["a"], out["b"])) == [
+        ("https://h.test/a", "https://h.test/b")]

@@ -199,3 +199,26 @@ def test_url_pattern_stats_trap_collapse(ray_session):
             ("https://t.test/aNbN", 1),
             ("https://t.test/about", 1),
         ]
+
+
+def test_host_dup_stats_global_duplicates(ray_session):
+    """Duplicate = content occurring >1x CORPUS-WIDE: cross-host
+    mirrors count on both hosts; unique content does not."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.urls import host_dup_stats
+
+    t = pa.table({
+        "url": ["https://a.test/1", "https://a.test/2",
+                "https://b.test/1", "https://b.test/2",
+                "no-scheme"],
+        "html": [b"same", b"uniqA", b"same", b"uniqB", b"same"],
+    })
+    out = (host_dup_stats(rd.from_arrow(t), num_partitions=4)
+           .to_pandas().set_index("host").sort_index())
+    assert out.loc["a.test", "n_pages"] == 2
+    assert out.loc["a.test", "n_dup_pages"] == 1   # the mirror page
+    assert out.loc["b.test", "n_dup_pages"] == 1
+    assert out.loc["", "n_pages"] == 1             # no-scheme host ''
+    assert out.loc["", "n_dup_pages"] == 1         # same content 3x

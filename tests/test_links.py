@@ -452,3 +452,55 @@ def test_mutual_links_law(ray_session):
     out = mutual_links(ds, num_partitions=4).to_pandas()
     assert list(zip(out["a"], out["b"])) == [
         ("https://h.test/a", "https://h.test/b")]
+
+
+def test_edges_ds_sharing_equals_internal(ray_session):
+    """materialize_edges fed via edges_ds= must reproduce each family
+    member's internal-extraction result exactly — the one-scan
+    batching path a production run uses."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import (
+        crawl_depth,
+        crawl_frontier,
+        materialize_edges,
+        mutual_links,
+        pagerank,
+    )
+
+    rows = [
+        _page("https://h.test/a0", ["/b", "/c"]),
+        _page("https://h.test/b", ["/a0", "/u1"]),
+        _page("https://h.test/c", ["/u1", "/u2"]),
+        ("https://h.test/lat0", "caf\xe9".encode("latin-1")),
+    ]
+    ds = rd.from_arrow(_pages_table(rows))
+    ew = materialize_edges(ds, num_partitions=4)
+
+    pr_a = pagerank(ds, n_iter=2, num_partitions=4).to_pandas()
+    pr_b = pagerank(ds, n_iter=2, num_partitions=4,
+                    edges_ds=ew).to_pandas()
+    assert (sorted(zip(pr_a["node"], pr_a["rank"]))
+            == sorted(zip(pr_b["node"], pr_b["rank"])))
+
+    fr_a = crawl_frontier(ds, k=10, num_partitions=4)
+    fr_b = crawl_frontier(ds, k=10, num_partitions=4, edges_ds=ew)
+    assert fr_a.values.tolist() == fr_b.values.tolist()
+
+    cd_a = crawl_depth(ds, max_depth=3, num_partitions=4).to_pandas()
+    cd_b = crawl_depth(ds, max_depth=3, num_partitions=4,
+                       edges_ds=ew).to_pandas()
+    assert (sorted(zip(cd_a["node"], cd_a["depth"]))
+            == sorted(zip(cd_b["node"], cd_b["depth"])))
+
+    mu_a = mutual_links(ds, num_partitions=4).to_pandas()
+    mu_b = mutual_links(ds, num_partitions=4,
+                        edges_ds=ew).to_pandas()
+    assert (sorted(zip(mu_a["a"], mu_a["b"]))
+            == sorted(zip(mu_b["a"], mu_b["b"])))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outdeg"):
+        pagerank(ds, edges_ds=ew.select_columns(["src", "dst",
+                                                 "n_links"]))

@@ -320,6 +320,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(text.bpe_token_count_batch,
                                          batch_format="pyarrow")
 
+    def q_lang_confusion(sf_dir: str):
+        """Declared-vs-predicted language confusion matrix (corpus-QA
+        mislabel report): per-batch pair Counters fold map-side, ONE
+        pair-keyed Sum ∝ |langs|² — never the corpus."""
+        return text.lang_confusion(
+            _docs(sf_dir, cols=("doc_id", "text", "lang")))
+
     def q_doc_chunk_plan(sf_dir: str):
         """Sliding-window RAG/training chunk plan (64-token windows,
         stride 48) — pure zero-shuffle map; the plan ships ~32 B/row
@@ -2707,7 +2714,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # artifact cover it — yielded its slot to the NEW
         # host_dup_stats; moved past the window below)
         "host_dup_stats": q_host_dup_stats,
-        "doc_paragraph_dedup": q_paragraph_dedup,
+        # (doc_paragraph_dedup — r4-hash-green; paragraphs.py's r5
+        # incremental additions stay exercised in-window by
+        # para_dedup_incremental, the base law by its planted/
+        # round-trip/randomized-parity tests + artifact — yielded its
+        # slot to the NEW lang_confusion; moved past the window below)
+        "lang_confusion": q_lang_confusion,
         "para_dedup_incremental": q_para_dedup_incremental,
         # (curate_corpus_v3 — r4-hash-green, the v3 composition
         # untouched this session (v4 is a separate function),
@@ -2819,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_eval": q_extract_eval,
         "near_dup_pairs": q_near_dup,
         "curate_corpus_v3": q_curate_v3,
+        "doc_paragraph_dedup": q_paragraph_dedup,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -3169,6 +3182,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN de_n > en_n THEN 'de' ELSE 'en' "
             "END AS lang_pred "
             f"FROM (SELECT doc_id, text, {lang_counts} FROM documents)"
+        ),
+        # confusion matrix: the SAME prediction CASE grouped against
+        # the declared label (coalesced to '' — the engine's
+        # null-label key)
+        "lang_confusion": (
+            "SELECT coalesce(lang, '') AS lang, CASE "
+            "WHEN regexp_matches(text, '[\\x{0600}-\\x{06FF}]') THEN 'ar' "
+            "WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' "
+            "WHEN fr_n > en_n AND fr_n > de_n AND fr_n > es_n THEN 'fr' "
+            "WHEN es_n > en_n AND es_n > de_n THEN 'es' "
+            "WHEN de_n > en_n THEN 'de' ELSE 'en' "
+            "END AS lang_pred, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM (SELECT lang, text, {lang_counts} FROM documents) "
+            "GROUP BY 1, 2"
         ),
         "doc_quality": (
             "SELECT doc_id, "

@@ -1280,3 +1280,35 @@ def vocab_drift(ds_a, ds_b, k: int = 20, min_total: int = 5):
     out = out.drop(columns=["abs_shift"]).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def lang_confusion(ds, num_partitions: int = 8):
+    """→ Dataset(lang, lang_pred, n_docs) — the declared-vs-predicted
+    language confusion matrix, the corpus-QA report that surfaces
+    mislabeled slices (a crawl whose 'en' partition is 30% predicted
+    'de' has a labeling problem upstream).  Prediction = the pinned
+    :func:`lang_id` rule.
+
+    Scale shape: per-batch (lang, pred) pair counts fold map-side
+    (Counter over the zip — ≤ |langs|² rows/block), then ONE
+    pair-keyed Sum ∝ |langs|² — never the corpus."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        langs = b.column("lang").to_pylist()
+        c: Counter = Counter()
+        for lg, t in zip(langs, texts):
+            c[(lg or "", lang_id(t))] += 1
+        keys = sorted(c)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([c[k] for k in keys], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"],
+                     num_partitions=num_partitions)
+            .aggregate(Sum("n", alias_name="n_docs")))

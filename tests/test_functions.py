@@ -1670,3 +1670,26 @@ def test_lm_surprise_ref_guard(ray_session):
     with pytest.raises(ValueError, match="max_entries"):
         bigram_lm_ref(rd.from_arrow(_docs_table(
             ["alpha beta gamma delta epsilon"])), max_entries=3)
+
+
+def test_lang_confusion_matrix(ray_session):
+    """Pair counts == brute recount; partition-invariant; empty/None
+    lang keys to ''."""
+    import ray.data as rd
+
+    docs = ["the and is of to", "der die und das ist",
+            "el la de que y", "the the the", None]
+    langs = ["en", "en", "es", None, "de"]
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(langs, pa.string())})
+    for nb in (1, 3):
+        out = (text.lang_confusion(rd.from_arrow(t).repartition(nb),
+                                   num_partitions=2)
+               .to_pandas())
+        got = {(r["lang"], r["lang_pred"]): r["n_docs"]
+               for _, r in out.iterrows()}
+        assert got == {("en", "en"): 1, ("en", "de"): 1,
+                       ("es", "es"): 1, ("", "en"): 1,
+                       ("de", "en"): 1}

@@ -1177,6 +1177,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = _rp(fx["pages"], columns=["url", "html"])
         return host_rank(pages, n_iter=2)
 
+    def q_co_citation(sf_dir: str):
+        """Co-citation "related pages" pairs (Dean & Henzinger 1999):
+        pages cited together by the most shared targets.  Hub targets
+        above the indegree cap are excluded BY LAW (deg² pair
+        explosion carries no similarity signal — the MAX_BUCKET
+        convention applied to graphs, mirrored by the twin); ONE
+        dst-keyed fixed-partition exchange + vectorized triu pair
+        generation + ONE pair-keyed Sum + tree topk."""
+        from arabic_ocr_ray.functions.links import co_citation
+
+        fx = _fixture(sf_dir)
+        pages = _rp(fx["pages"], columns=["url", "html"])
+        return co_citation(pages, min_common=2, k=20,
+                           max_indegree=64)
+
     def q_crawl_frontier(sf_dir: str):
         """Top-20 UNCRAWLED link targets by distinct linking pages —
         the crawl-scheduling primitive (what a frontier manager
@@ -2684,7 +2699,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # golden-soak and bench match_rate gate, artifact-covered —
         # yielded its slot to the NEW url_pattern_stats; moved below)
         "url_pattern_stats": q_url_pattern_stats,
-        "corpus_stats": q_corpus_stats,
+        # (corpus_stats — r4-hash-green; its r5 pc.binary_length
+        # vectorization has been green in every full-registry
+        # artifact since (3 refreshes), and the aggregate law is
+        # trivial — yielded its slot to the NEW co_citation; moved
+        # past the window below)
+        "co_citation": q_co_citation,
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "export_shards": q_export_shards,
         # (train_prototypes — r4-hash-green, trainer untouched this
@@ -2832,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": q_near_dup,
         "curate_corpus_v3": q_curate_v3,
         "doc_paragraph_dedup": q_paragraph_dedup,
+        "corpus_stats": q_corpus_stats,
         # --- past the 50-entry window: hash-green in CORRECTNESS_r04 and
         # untouched this round.  doc_normalize, doc_fingerprint and
         # doc_quality rotated out late-r5 to make room for the NEW
@@ -5173,6 +5194,22 @@ def oracle_sql() -> dict[str, str]:
         f" c2 AS {_hr_iter.format(r='r1')},"
         f" r2 AS {_hr_rank.format(c='c2')}"
         f" SELECT node, CAST(r AS BIGINT) AS rank FROM r2"
+    )
+    # co-citation "related pages": hub targets above the indegree
+    # cap excluded BY LAW before pairing (the MAX_BUCKET convention
+    # applied to graphs); engine topk tie law mirrored
+    out["co_citation"] = (
+        f"WITH {_lk_edges},"
+        r" ind AS (SELECT dst, count(*) AS deg FROM edges"
+        r" GROUP BY dst),"
+        r" kp AS (SELECT e.src, e.dst FROM edges e"
+        r" JOIN ind USING (dst) WHERE ind.deg <= 64),"
+        r" p AS (SELECT x.src AS a, y.src AS b,"
+        r" CAST(count(*) AS BIGINT) AS n_common"
+        r" FROM kp x JOIN kp y ON x.dst = y.dst AND x.src < y.src"
+        r" GROUP BY 1, 2)"
+        r" SELECT a, b, n_common FROM p WHERE n_common >= 2"
+        r" ORDER BY n_common DESC, a, b LIMIT 20"
     )
     # reciprocal links over pages + the SAME planted a↔b pair
     # (MUTUAL_PAGES — one definition, two consumers); least/greatest

@@ -504,3 +504,41 @@ def test_edges_ds_sharing_equals_internal(ray_session):
     with _pytest.raises(ValueError, match="outdeg"):
         pagerank(ds, edges_ds=ew.select_columns(["src", "dst",
                                                  "n_links"]))
+
+
+def test_co_citation_law(ray_session):
+    """Shared-target pairs counted; hub targets (deg > cap) excluded;
+    min_common enforced; (a, b) ascending ordering; edges_ds path
+    identical."""
+    import ray.data as rd
+
+    from arabic_ocr_ray.functions.links import (
+        co_citation,
+        materialize_edges,
+    )
+
+    rows = [
+        # p1, p2 share t1 and t2 (n_common 2); p3 shares only t1
+        _page("https://h.test/p1", ["/t1", "/t2", "/hub"]),
+        _page("https://h.test/p2", ["/t1", "/t2", "/hub"]),
+        _page("https://h.test/p3", ["/t1", "/hub"]),
+        # 4 more pages all citing /hub -> hub deg 7 > cap 4: excluded
+        _page("https://h.test/p4", ["/hub"]),
+        _page("https://h.test/p5", ["/hub"]),
+        _page("https://h.test/p6", ["/hub"]),
+        _page("https://h.test/p7", ["/hub"]),
+    ]
+    ds = rd.from_arrow(_pages_table(rows))
+    out = co_citation(ds, min_common=2, k=10, max_indegree=4,
+                      num_partitions=4)
+    assert list(zip(out["a"], out["b"], out["n_common"])) == [
+        ("https://h.test/p1", "https://h.test/p2", 2)]
+    # without the hub cap every pair of the 7 citing pages appears
+    out2 = co_citation(ds, min_common=2, k=50, max_indegree=100,
+                       num_partitions=2)
+    assert len(out2) == 3   # (p1,p2):3, (p1,p3):2, (p2,p3):2
+    assert out2.iloc[0]["n_common"] == 3
+    ew = materialize_edges(ds, num_partitions=4)
+    out3 = co_citation(ds, min_common=2, k=10, max_indegree=4,
+                       num_partitions=4, edges_ds=ew)
+    assert out.values.tolist() == out3.values.tolist()
